@@ -1,0 +1,16 @@
+"""Operator modules — importing this package populates the query registry.
+
+Module ↔ SURVEY.md §2 category map:
+- relational.py   → B (filters/projections), C (joins)
+- aggregates.py   → D (aggregations)
+- windows.py      → E (window functions)
+- sorts_sets.py   → F (sorts/limits/top-k), G (set operations)
+- scalars.py      → H (scalar function bundles)
+- events_batch.py → I (streaming-shaped ops, batch-verifiable forms)
+- text.py         → J (text analysis: wordcount/grep/index/tf-idf)
+- dedup.py        → J (exact + near dedup)
+- similarity.py   → J (knn / embeddings / multimodal)
+- udfs.py         → K (UDF/UDAF/UDTF surface)
+"""
+
+from . import aggregates  # noqa: F401

@@ -1,0 +1,83 @@
+"""Shared table loader — every entry point reads tables through here.
+
+The MapReduce model's input layer is InputFormat/RecordReader over file
+splits [MR04 §3.1]; Spark's parquet source subsumes it (splits ≙ partitions,
+vectorized reader, predicate pushdown). This module adds the two things the
+fixtures need on top of ``spark.read.parquet``:
+
+1. **events nanos fix** (SURVEY.md §1.3): ``events.parquet`` stores
+   TIMESTAMP(NANOS), which Spark 4.x refuses to read natively. With
+   ``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as int64
+   nanos; we truncate to microseconds with *integer* division (``ts div
+   1000`` — exact; the data is µs-granular so truncation is lossless) and
+   rebuild a proper TimestampType via ``timestamp_micros``.
+2. **conf pinning**: the driver calls our queries with *its own*
+   SparkSession, which may lack the nanos conf or run in a non-UTC session
+   timezone. Both are runtime-settable SQL confs, so we pin them here on
+   every load — idempotent, and keeps Spark↔DuckDB timestamp semantics
+   aligned (DuckDB treats the naive parquet timestamps as-is; UTC session
+   tz makes Spark do the same).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_confs(spark: SparkSession) -> None:
+    for k, v in _RUNTIME_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; applies the events timestamp normalization."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    ensure_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # int64 nanos → µs (exact integer division) → TimestampType.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+class Tables:
+    """Attribute-style access to the fixture tables of one scale factor.
+
+    >>> t = Tables(spark, "/root/testdata/sf0.01")
+    >>> t.lineitem.join(t.orders, ...)
+
+    Each access is a fresh logical scan (cheap — metadata only); Catalyst
+    dedupes/cascades pushdown per query plan, so there is nothing to cache.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return load_table(self._spark, self._sf_dir, name)
