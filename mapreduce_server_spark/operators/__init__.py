@@ -14,3 +14,6 @@ Module ↔ SURVEY.md §2 category map:
 """
 
 from . import aggregates  # noqa: F401
+from . import relational  # noqa: F401
+from . import sorts_sets  # noqa: F401
+from . import windows  # noqa: F401

@@ -75,3 +75,211 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+@query(
+    "agg_global",
+    category="D.agg",
+    oracle="""
+SELECT
+  count(*) AS n_rows,
+  sum(l_quantity)::DOUBLE AS total_qty,
+  min(l_extendedprice) AS min_price,
+  max(l_extendedprice) AS max_price,
+  sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS total_price,
+  sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / count(*) AS avg_price
+FROM lineitem
+""",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate — the single-reduce-key MR job [MR04 §2].
+    Partial aggregation collapses every partition to one row before the
+    single-row final reduce; no shuffle of data rows at any scale."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("total_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        dsum("l_extendedprice").alias("total_price"),
+        davg("l_extendedprice").alias("avg_price"),
+    )
+
+
+@query(
+    "agg_multi",
+    category="D.agg",
+    oracle="""
+SELECT
+  l_returnflag,
+  count(*) AS n,
+  sum(l_quantity)::DOUBLE AS sum_qty,
+  min(l_quantity) AS min_qty,
+  max(l_quantity) AS max_qty,
+  sum(l_quantity)::DOUBLE / count(*) AS avg_qty,
+  round(stddev_samp(l_quantity), 6) AS sd_qty,
+  round(var_samp(l_quantity), 6) AS var_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-measure aggregate: one reduce, many accumulators [HADOOP].
+    stddev/variance are algorithmically engine-specific (streaming M2
+    merge) — rounded to 6 dp on both sides (SURVEY §5.2 float discipline)."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+    )
+
+
+@query(
+    "agg_distinct",
+    category="D.agg",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — the classic two-round MR job [HADOOP pattern];
+    Spark plans it as expand + two-phase aggregation automatically."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("agg_approx_distinct", category="D.agg")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HLL++ sketch ≙ HLL-in-combiner MR
+    pattern). Sketch internals are engine-specific → rows-only check
+    (no oracle); tests assert rsd-bounded error vs the exact count.
+    At 100 TB this is the only sane distinct-count: fixed-size sketch,
+    map-side mergeable, no expand shuffle."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_collect",
+    category="D.agg",
+    oracle="""
+SELECT n_nationkey,
+       list_sort(list(s_name)) AS supplier_names,
+       list_sort(list(DISTINCT s_nationkey)) AS nation_keys
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_nationkey
+""",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group → collection (inverted-index shape [MR04 §2.3]); sort_array
+    makes the collected order deterministic on both engines."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.supplier.join(t.nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_nationkey")
+        .agg(
+            F.sort_array(F.collect_list("s_name")).alias("supplier_names"),
+            F.sort_array(F.collect_set("s_nationkey")).alias("nation_keys"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    category="D.agg",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n, sum(l_quantity)::DOUBLE AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (MR re-runs one job per level; Spark's
+    Expand operator computes all levels in one pass)."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "agg_cube",
+    category="D.agg",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n, sum(l_quantity)::DOUBLE AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over both dimensions."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    category="D.agg",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL front end (demonstrates the
+    spark.sql path over the same loaded tables)."""
+    li = Tables(spark, sf_dir).lineitem
+    li.createOrReplaceTempView("mrss_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM mrss_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_having",
+    category="D.agg",
+    oracle="""
+SELECT p_brand, count(*) AS n_parts,
+       sum(p_retailprice::DECIMAL(18,2))::DOUBLE AS brand_value
+FROM part
+GROUP BY p_brand
+HAVING count(*) > 70 AND sum(p_retailprice::DECIMAL(18,2))::DOUBLE > 70000
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (reduce-side emit-if [HADOOP])."""
+    p = Tables(spark, sf_dir).part
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum("p_retailprice").alias("brand_value"),
+        )
+        .filter((F.col("n_parts") > 70) & (F.col("brand_value") > 70000))
+    )

@@ -1,0 +1,483 @@
+"""Filters, projections and joins (SURVEY.md §2 cat. B + C).
+
+MR expressions being replaced:
+- filters/projections ≙ map-side `if`/transform [MR04 §2];
+- reduce-side join ≙ tag + shuffle-on-key + per-key merge ≙ Spark
+  sort-merge/shuffled-hash equi-join (planner's choice);
+- map-side replicated join ≙ ``F.broadcast`` hash join.
+
+Scale notes:
+- Predicates/projections are expressed declaratively so Catalyst pushes
+  them into the parquet scan (PushedFilters / ReadSchema — asserted in
+  tests/test_plans.py).
+- Dimension sides (region/nation/customer at TPC-H shape) are explicitly
+  broadcast where the query's role is "map-side join"; elsewhere the
+  planner decides (AQE converts to broadcast at runtime when a side turns
+  out small).
+- The as-of join uses the join+row_number form; at 100 TB a skewed key
+  (one hot user) would make the per-key candidate set explode — the
+  union-then-window trick (interleave both streams, `last(click) OVER
+  (PARTITION BY user ORDER BY ts)`) keeps it linear per key and is what
+  the streaming twin uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum
+from ..registry import query
+from ..sources.loader import Tables
+
+# --------------------------------------------------------------------------
+# B. filters / projections
+# --------------------------------------------------------------------------
+
+
+@query(
+    "filter_pred",
+    category="B.filter",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+FROM lineitem
+WHERE l_quantity >= 30 AND l_discount <= 0.05 AND l_returnflag <> 'A'
+""",
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison + boolean predicates (map-side `if` [MR04 §2])."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.filter(
+        (F.col("l_quantity") >= 30)
+        & (F.col("l_discount") <= 0.05)
+        & (F.col("l_returnflag") != "A")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+
+
+@query(
+    "filter_in_between",
+    category="B.filter",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+FROM orders
+WHERE o_orderstatus IN ('O', 'F')
+  AND o_totalprice BETWEEN 50000 AND 250000
+  AND o_orderpriority LIKE '%URGENT%'
+""",
+)
+def filter_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / BETWEEN / LIKE membership predicates."""
+    o = Tables(spark, sf_dir).orders
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(50000, 250000)
+        & F.col("o_orderpriority").like("%URGENT%")
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+
+
+@query(
+    "filter_grep",
+    category="B.filter",
+    oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE regexp_matches(text, 'spark (batch|stream)')
+""",
+)
+def filter_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grep [MR04 §2.3]: regex filter, no reduce."""
+    d = Tables(spark, sf_dir).documents
+    return d.filter(F.col("text").rlike("spark (batch|stream)")).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "project_compute",
+    category="B.project",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  (l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(8,2))::DOUBLE
+      AS revenue,
+  l_extendedprice / l_quantity AS unit_price,
+  year(l_shipdate)::BIGINT AS ship_year
+FROM lineitem
+""",
+)
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed columns (map emits transformed record [MR04 §2])."""
+    li = Tables(spark, sf_dir).lineitem
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (1 - F.col("l_discount")).cast("decimal(8,2)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (ep * disc).cast("double").alias("revenue"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+    )
+
+
+@query(
+    "project_null",
+    category="B.project",
+    oracle="""
+SELECT
+  o_orderkey,
+  nullif(o_orderstatus, 'O') AS status_nulled,
+  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+  (nullif(o_orderstatus, 'O') IS NULL) AS is_open
+FROM orders
+""",
+)
+def project_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI 3-valued NULL semantics (fixtures have no NULLs — synthesized
+    via nullif, per SURVEY.md §2.B)."""
+    o = Tables(spark, sf_dir).orders
+    nulled = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        nulled.alias("status_nulled"),
+        F.coalesce(nulled, F.lit("OPEN")).alias("status_filled"),
+        nulled.isNull().alias("is_open"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C. joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3_join_topk",
+    category="C.join",
+    tags=("flagship",),
+    oracle="""
+SELECT
+  l_orderkey,
+  sum(l_extendedprice::DECIMAL(18,2)
+      * (1 - l_discount)::DECIMAL(8,2))::DOUBLE AS revenue,
+  o_orderdate::DATE AS o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2000-03-15'
+  AND l_shipdate  > TIMESTAMP '2000-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship #2: TPC-H-Q3-shaped 3-way join + group + global top-k.
+
+    Reduce-side equi-join [HADOOP] chain; Spark plans broadcast for the
+    filtered customer side (AQE runtime size check) and
+    TakeOrderedAndProject for the top-k — no full sort materialized.
+    Tiebreak on l_orderkey makes the top-10 set deterministic.
+    """
+    t = Tables(spark, sf_dir)
+    cut = F.lit("2000-03-15").cast("timestamp")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (1 - F.col("l_discount")).cast("decimal(8,2)")
+    return (
+        t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t.orders.filter(F.col("o_orderdate") < cut), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.lineitem.filter(F.col("l_shipdate") > cut), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(ep * disc).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "join_broadcast",
+    category="C.join",
+    oracle="""
+SELECT n_name, sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS nation_revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side replicated join [MR04 §4 / HADOOP]: small dims are
+    broadcast to every task — no shuffle of the fact table for the join."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            dsum("o_totalprice").alias("nation_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "join_left",
+    category="C.join",
+    oracle="""
+SELECT c_custkey, count(o_orderkey) AS n_big_orders
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) big
+  ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every customer, zero-counting those without
+    qualifying orders (count(col) skips NULLs on both engines)."""
+    t = Tables(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 300000)
+    return (
+        t.customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_big_orders"))
+    )
+
+
+@query(
+    "join_right",
+    category="C.join",
+    oracle="""
+SELECT s_suppkey, count(l_orderkey) AS n_max_qty
+FROM (SELECT * FROM lineitem WHERE l_quantity >= 49) maxed
+RIGHT JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey
+""",
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (kept-side = supplier dim)."""
+    t = Tables(spark, sf_dir)
+    maxed = t.lineitem.filter(F.col("l_quantity") >= 49)
+    return (
+        maxed.join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"), "right")
+        .groupBy("s_suppkey")
+        .agg(F.count("l_orderkey").alias("n_max_qty"))
+    )
+
+
+@query(
+    "join_full",
+    category="C.join",
+    oracle="""
+SELECT
+  coalesce(e.day, p.day) AS day,
+  e.n_err,
+  p.n_pur
+FROM (SELECT ts::DATE AS day, count(*) AS n_err
+      FROM events WHERE event_type = 'error' AND value > 400 GROUP BY 1) e
+FULL JOIN
+     (SELECT ts::DATE AS day, count(*) AS n_pur
+      FROM events WHERE event_type = 'purchase' AND value > 400 GROUP BY 1) p
+  ON e.day = p.day
+""",
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two sparse daily aggregates (NULLs on both
+    sides where a day only has one kind of high-value event)."""
+    ev = Tables(spark, sf_dir).events
+    err = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 400))
+        .groupBy(F.to_date("ts").alias("e_day"))
+        .agg(F.count(F.lit(1)).alias("n_err"))
+    )
+    pur = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 400))
+        .groupBy(F.to_date("ts").alias("p_day"))
+        .agg(F.count(F.lit(1)).alias("n_pur"))
+    )
+    return err.join(pur, err.e_day == pur.p_day, "full").select(
+        F.coalesce("e_day", "p_day").alias("day"), "n_err", "n_pur"
+    )
+
+
+@query(
+    "join_semi",
+    category="C.join",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence (left-semi) join [HADOOP pattern]."""
+    t = Tables(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 400000)
+    return t.customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "join_anti",
+    category="C.join",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated existence (left-anti) join [HADOOP pattern]."""
+    t = Tables(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 400000)
+    return t.customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "join_cross",
+    category="C.join",
+    oracle="""
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — bounded demo (5 × 25); at scale cross joins are
+    only ever sane with one broadcast side, which this plan uses."""
+    t = Tables(spark, sf_dir)
+    return t.region.crossJoin(F.broadcast(t.nation)).select("r_name", "n_name")
+
+
+@query(
+    "join_theta",
+    category="C.join",
+    oracle="""
+SELECT s_nationkey AS nationkey, count(*) AS n_pairs
+FROM supplier
+JOIN customer
+  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal + 5000
+GROUP BY s_nationkey
+""",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi-key plus non-equi predicate (planner keeps the
+    hash/SMJ on the equi part and post-filters the band condition)."""
+    t = Tables(spark, sf_dir)
+    s, c = t.supplier, t.customer
+    return (
+        s.join(
+            c,
+            (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal + 5000),
+        )
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "join_range",
+    category="C.join",
+    oracle="""
+SELECT p.user_id, count(*) AS n_click_then_buy
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+GROUP BY p.user_id
+""",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/band join: clicks within the hour before each purchase.
+    Equi on user_id bounds the candidate set; the band predicate is
+    evaluated post-join (interval join at scale: bucketize ts and join
+    on (user, bucket±1) to keep candidates linear)."""
+    ev = Tables(spark, sf_dir).events
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    return (
+        p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & F.col("c_ts").between(
+                F.col("p_ts") - F.expr("INTERVAL 1 HOUR"), F.col("p_ts")
+            ),
+        )
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_click_then_buy"))
+    )
+
+
+@query(
+    "join_asof",
+    category="C.join",
+    oracle="""
+SELECT p.event_id, p.user_id, epoch_us(c.ts::TIMESTAMP) AS last_click_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click at-or-before it.
+
+    Spark lacks a native ASOF join; this uses the join+row_number form
+    (candidates bounded by the user_id equi-key). DuckDB verifies with its
+    native ASOF JOIN. Scale path for skewed keys: union both streams and
+    take `last(click_ts, ignorenulls) OVER (PARTITION BY user ORDER BY
+    ts)` — one shuffle, no candidate blow-up.
+    """
+    ev = Tables(spark, sf_dir).events
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = p.join(
+        c, (p.user_id == F.col("c_user")) & (F.col("p_ts") >= F.col("c_ts"))
+    )
+    w = Window.partitionBy("event_id").orderBy(F.desc("c_ts"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id", "user_id", F.unix_micros("c_ts").alias("last_click_us")
+        )
+    )
+
+
+@query(
+    "join_self",
+    category="C.join",
+    oracle="""
+SELECT s.user_id, count(*) AS n_funnel_pairs
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON s.user_id = p.user_id AND s.ts < p.ts
+GROUP BY s.user_id
+""",
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join (reverse-link-graph shape [MR04 §2.3]): signup→purchase
+    funnel pairs per user."""
+    ev = Tables(spark, sf_dir).events
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        s.join(p, (F.col("s_user") == F.col("p_user")) & (F.col("s_ts") < F.col("p_ts")))
+        .groupBy(F.col("s_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_funnel_pairs"))
+    )

@@ -1,0 +1,202 @@
+"""Window functions (SURVEY.md §2 cat. E).
+
+MR expression replaced: the secondary-sort pattern — composite key
+(group, orderkey), custom partitioner on group, sorted reduce input, and a
+stateful scan inside the reducer [HADOOP]. One Spark ``Window`` spec
+replaces the whole pattern; the shuffle is hash-on-partition-key +
+in-partition sort, identical in shape to the MR job it replaces.
+
+Determinism: every ORDER BY inside a window spec ends in a unique key
+(event_id / p_partkey) so row_number/ntile/lag are stable across engines
+and partitionings. Running double sums go through the decimal discipline
+(functions/numeric.py) because even sequential prefix sums must agree
+bit-exactly with the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import Tables
+
+
+@query(
+    "win_rownum_topk",
+    category="E.window",
+    tags=("headline",),
+    oracle="""
+SELECT user_id, event_id, value, rn
+FROM (SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events)
+WHERE rn <= 3
+""",
+)
+def win_rownum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — the canonical secondary-sort job.
+    One shuffle on user_id; at scale this beats a self-join top-k by
+    never materializing candidates."""
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.select("user_id", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "win_rank",
+    category="E.window",
+    oracle="""
+SELECT p_partkey, p_brand, p_retailprice,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       percent_rank() OVER w AS prnk,
+       ntile(4)       OVER w AS quartile
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+""",
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / ntile over one shared spec
+    (percent_rank is integer-derived — (rank-1)/(n-1) — so its double is
+    engine-identical; ntile needs the unique tiebreak to be stable)."""
+    p = Tables(spark, sf_dir).part
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    category="E.window",
+    oracle="""
+SELECT user_id, event_id,
+       epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP))
+           OVER w AS gap_us,
+       lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over the per-user event timeline — the inter-event-gap
+    primitive that sessionization (operators/events_batch.py) builds on."""
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "win_running",
+    category="E.window",
+    oracle="""
+SELECT user_id, event_id,
+       sum(value::DECIMAL(18,2))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+           AS running_value,
+       count(*)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS n_so_far
+FROM events
+""",
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate with an explicit ROWS frame (the stateful-scan
+    reducer [HADOOP]); prefix sums use the exact-decimal discipline so
+    every prefix is bit-identical to the oracle's."""
+    ev = Tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias(
+            "running_value"
+        ),
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+    )
+
+
+@query(
+    "win_range_frame",
+    category="E.window",
+    oracle="""
+SELECT user_id, event_id, value,
+       count(*) OVER (PARTITION BY user_id ORDER BY value
+                      RANGE BETWEEN 50 PRECEDING AND CURRENT ROW)
+           AS n_in_band,
+       sum(value::DECIMAL(18,2))
+           OVER (PARTITION BY user_id ORDER BY value
+                 RANGE BETWEEN 50 PRECEDING AND CURRENT ROW)::DOUBLE
+           AS sum_in_band
+FROM events
+""",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering key (frame membership depends
+    on values, not row positions, so tied rows share identical frames)."""
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("value").rangeBetween(-50, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_in_band"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias(
+            "sum_in_band"
+        ),
+    )
+
+
+@query(
+    "win_first_last",
+    category="E.window",
+    oracle="""
+SELECT user_id, event_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type)  OVER w AS last_type,
+       nth_value(event_type, 2) OVER w AS second_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth over the full-partition frame (the default growing
+    frame would make last_value ≡ current row — spelled out explicitly)."""
+    ev = Tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
