@@ -14,6 +14,13 @@ Module ↔ SURVEY.md §2 category map:
 """
 
 from . import aggregates  # noqa: F401
+from . import dedup  # noqa: F401
+from . import events_batch  # noqa: F401
 from . import relational  # noqa: F401
+from . import scalars  # noqa: F401
+from . import similarity  # noqa: F401
 from . import sorts_sets  # noqa: F401
+from . import sources_ops  # noqa: F401
+from . import text  # noqa: F401
+from . import udfs  # noqa: F401
 from . import windows  # noqa: F401

@@ -1,0 +1,266 @@
+"""Deduplication operators (SURVEY.md §2 cat. J, north star).
+
+Tiers, in ascending fuzziness and scale-cost:
+- ``dedup_exact``        — window survivor over the raw text key;
+- ``dedup_exact_hash``   — hash-groupBy: shuffle a 16-byte MD5 instead of
+  the document body (the 100 TB form of exact dedup);
+- ``dedup_ngram_jaccard``— exact shingle-set Jaccard pairs (quadratic in
+  candidates; oracle-checked);
+- ``dedup_minhash``      — MinHash signatures + LSH banding: candidate
+  pairs come from band-bucket collisions, verified with exact Jaccard.
+  The 100 TB near-dup path: cost ~ n·(sig + bucket sizes), never n².
+- ``dedup_simhash``      — 32-bit SimHash fingerprint per document.
+- ``dedup_embedding``    — embedding-cosine near-dup pairs.
+
+Determinism: survivors are always min-doc_id (window or groupBy-min, never
+``dropDuplicates``' arbitrary first-seen row); all hashing is seeded
+(xxhash64 with literal salts / MD5) — zero RNG anywhere (the driver
+value-hashes results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import DUCK_DOT, DUCK_NORM, cosine
+from ..registry import query
+from ..sources.loader import Tables
+
+N_HASHES = 16  # minhash permutations
+N_BANDS = 4  # → 4 rows per band; P(candidate | J=0.9) ≈ 1-(1-0.9^4)^4 ≈ 0.986
+
+
+def _shingles(text_col: str = "text", k: int = 3):
+    """k-word shingles as strings (space-joined), deterministic order."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+@query(
+    "dedup_exact",
+    category="J.dedup",
+    tags=("headline",),
+    oracle="""
+SELECT doc_id, lang, n_chars, n_copies
+FROM (SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY text) AS n_copies
+      FROM documents)
+WHERE rn = 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, deterministic min-doc_id survivor (the window form —
+    ``dropDuplicates`` keeps an arbitrary row and would flake the hash
+    gate; SURVEY §2.J). Emits the surviving row + its duplicate count."""
+    d = Tables(spark, sf_dir).documents
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("text")))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars", "n_copies")
+    )
+
+
+@query(
+    "dedup_exact_hash",
+    category="J.dedup",
+    oracle="""
+SELECT md5(text) AS fp, min(doc_id) AS survivor_id, count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: the shuffle key is the 16-byte MD5,
+    not the document body — at 100 TB this is the difference between
+    shuffling fingerprints and shuffling the corpus."""
+    d = Tables(spark, sf_dir).documents
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    category="J.dedup",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(
+             generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+             i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+           ))) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5): shingle
+    inverted-index self-join → common counts → Jaccard. Candidates are
+    bounded by shared shingles (an inverted-index join, not a crossJoin);
+    at 100 TB prefilter rare shingles or switch to dedup_minhash."""
+    d = Tables(spark, sf_dir).documents
+    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(d: DataFrame) -> DataFrame:
+    """doc_id → N_HASHES minhash values (seeded xxhash64 salts, no RNG)."""
+    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    sigs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"mh{s}:"), F.col("shingle")))).alias(
+            f"sig{s}"
+        )
+        for s in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*sigs)
+
+
+@query("dedup_minhash", category="J.dedup")
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, verified by exact
+    Jaccard (≥ 0.8). Flow: signatures → band hashes → bucket self-join
+    (candidates only from colliding buckets) → exact verify on shingle
+    sets. No SQL oracle (xxhash64 is Spark-specific) → rows-only check;
+    tests/test_dedup.py asserts the 8 planted sf0.1 duplicate pairs are
+    found with jaccard == 1.0."""
+    d = Tables(spark, sf_dir).documents
+    sig = minhash_signatures(d)
+    rows_per_band = N_HASHES // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.array(
+            *[
+                F.xxhash64(
+                    F.lit(f"band{b}"),
+                    *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+                for b in range(N_BANDS)
+            ]
+        ).alias("band_hashes"),
+    ).select("doc_id", F.posexplode("band_hashes").alias("band", "bucket"))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # exact-verify via shingle-intersection counts on candidates only
+    common = (
+        a.join(cand, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query("dedup_simhash", category="J.dedup")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document: per-token hash bits,
+    tf-weighted ±1 votes per bit position, sign-packed. Rows-only check
+    (xxhash64); tests assert exact duplicates share fingerprints."""
+    d = Tables(spark, sf_dir).documents
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.xxhash64(F.lit("simhash:"), F.col("word")))
+    )
+    bit_votes = [
+        F.sum(
+            F.col("tf")
+            * (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v{b}")
+        for b in range(32)
+    ]
+    votes = tf.groupBy("doc_id").agg(*bit_votes)
+    packed = None
+    for b in range(32):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        packed = bit if packed is None else packed + bit
+    return votes.select("doc_id", packed.cast("long").alias("simhash"))
+
+
+@query(
+    "dedup_embedding",
+    category="J.dedup",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({DUCK_DOT.format(a="a.embedding", b="b.embedding")}
+             / ({DUCK_NORM.format(a="a.embedding")}
+                * {DUCK_NORM.format(a="b.embedding")}), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {DUCK_DOT.format(a="a.embedding", b="b.embedding")}
+      / ({DUCK_NORM.format(a="a.embedding")}
+         * {DUCK_NORM.format(a="b.embedding")}) >= 0.5
+""",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥ 0.5). Exact quadratic form at
+    fixture scale; the LSH bucketing of knn_lsh is the scale path."""
+    e = Tables(spark, sf_dir).embeddings
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    sim = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(sim >= 0.5)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+    )

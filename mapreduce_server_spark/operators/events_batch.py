@@ -1,0 +1,190 @@
+"""Streaming-shaped operators in batch-verifiable form (SURVEY.md §2 cat. I).
+
+The driver's oracle is batch DuckDB SQL, so each operator here is the batch
+DataFrame form the correctness gate grades; :mod:`..streaming.twins` exposes
+the same logic over ``readStream`` with watermarks (pytest-verified only).
+
+Window-start columns are emitted as epoch seconds (BIGINT) — engine-native
+timestamp types round-trip differently (ns vs µs) through result buffers,
+epoch integers compare exactly.
+
+Scale notes: tumbling/sliding aggregation shuffles O(buckets × types) after
+partial agg; sessionization is one shuffle on user_id + an in-partition
+ordered scan (the secondary-sort pattern); at 100 TB session state per key
+is bounded by the per-user event count, and the streaming twin replaces the
+full re-scan with incremental state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import Tables
+
+
+@query(
+    "stream_tumbling",
+    category="I.stream",
+    tags=("headline",),
+    oracle="""
+SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP))::BIGINT AS ws_s,
+       event_type,
+       count(*) AS n,
+       sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window × event_type aggregate (streaming twin:
+    identical plan + withWatermark)."""
+    ev = Tables(spark, sf_dir).events
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("ws_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding",
+    category="I.stream",
+    oracle="""
+SELECT epoch(tb - k.k * INTERVAL 15 MINUTE)::BIGINT AS ws_s,
+       event_type,
+       count(*) AS n
+FROM (SELECT time_bucket(INTERVAL 15 MINUTE, ts::TIMESTAMP) AS tb, event_type
+      FROM events) e,
+     (SELECT unnest([0, 1, 2, 3]) AS k) k
+GROUP BY 1, 2
+""",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 15 min slide): each event lands in 4
+    overlapping windows (oracle reproduces Spark's epoch-aligned window
+    enumeration with an explicit 4-offset expand)."""
+    ev = Tables(spark, sf_dir).events
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_seconds(F.col("w.start")).alias("ws_s"), "event_type", "n")
+    )
+
+
+@query(
+    "stream_session",
+    category="I.stream",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       epoch_us(min(ts)::TIMESTAMP) // 1000000 AS start_s,
+       epoch_us(max(ts)::TIMESTAMP) // 1000000 AS end_s,
+       sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap — the gap-flag →
+    running-sum session-id form (deterministic ids, unlike
+    monotonically_increasing_id; SURVEY §7 M5). Streaming twin:
+    ``F.session_window(ts, '30 minutes')``."""
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(run))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_seconds(F.min("ts")).alias("start_s"),
+        F.unix_seconds(F.max("ts")).alias("end_s"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "stream_dedup",
+    category="I.stream",
+    oracle="""
+SELECT user_id, event_type, event_id, epoch_us(ts::TIMESTAMP) AS ts_us
+FROM (SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn = 1
+""",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the earliest arrival — the deterministic
+    window form of ``dropDuplicates`` (streaming twin:
+    ``dropDuplicatesWithinWatermark``). Every event_id is unique in the
+    fixtures, so the demo key is (user_id, event_type)."""
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us"))
+    )
+
+
+@query(
+    "stream_running_users",
+    category="I.stream",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, min(ts::TIMESTAMP)::DATE AS first_day FROM events GROUP BY 1
+),
+per_day AS (
+  SELECT first_day AS day, count(*) AS new_users FROM first_seen GROUP BY 1
+)
+SELECT day, new_users,
+       sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+           AS cum_users
+FROM per_day
+""",
+)
+def stream_running_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count by day — the batch equivalent of the
+    custom stateful streaming operator (per-key state = user first-seen);
+    the streaming twin keeps this state in transformWithStateInPandas."""
+    ev = Tables(spark, sf_dir).events
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.withColumn("cum_users", F.sum("new_users").over(w))

@@ -1,0 +1,260 @@
+"""Scalar function bundles (SURVEY.md §2 cat. H).
+
+The reference class exposes scalar computation as arbitrary per-record user
+code in map functions [MR04 §2]; here each family is a bundle of built-in
+JVM-side expressions (whole-stage-codegen'd — never Python UDFs, which are
+the K-category demos only).
+
+Dialect notes baked into the oracle SQL:
+- DuckDB ``regexp_replace`` replaces the first match unless the 'g' flag is
+  given; Spark's replaces all → oracle uses 'g'.
+- Spark integer-ish scalars (length/instr/year/datediff) return INT while
+  DuckDB returns BIGINT → Spark side casts to long.
+- ``round`` on doubles is only used for values with long non-terminating
+  decimal expansions (ln/sqrt/sum-of-products outputs): Spark rounds the
+  shortest decimal rendering (BigDecimal.valueOf) while DuckDB rounds the
+  binary value, so rounding clean 2-decimal data at coarser scale would
+  mismatch on exact .x5 renderings. Never round money columns directly.
+- double→int casts: Spark truncates, DuckDB rounds → use explicit floor()
+  on both sides instead of bare casts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import Tables
+
+
+@query(
+    "scalar_string",
+    category="H.scalar",
+    oracle="""
+SELECT
+  p_partkey,
+  lower(p_name)  AS name_lower,
+  upper(p_brand) AS brand_upper,
+  trim(concat('  ', p_type, ' ')) AS type_trim,
+  length(p_name) AS name_len,
+  substring(p_name, 1, 8) AS name_prefix,
+  concat_ws('-', p_brand, p_type) AS brand_type,
+  string_split(p_type, ' ')[1] AS type_first_word,
+  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+  lpad(p_brand, 12, '*') AS brand_padded,
+  strpos(p_name, 'a') AS a_pos
+FROM part
+""",
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function bundle over part."""
+    p = Tables(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("type_trim"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_first_word"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.instr("p_name", "a").cast("long").alias("a_pos"),
+    )
+
+
+@query(
+    "scalar_date",
+    category="H.scalar",
+    oracle="""
+SELECT
+  o_orderkey,
+  year(o_orderdate)  AS o_year,
+  month(o_orderdate) AS o_month,
+  day(o_orderdate)   AS o_day,
+  isodow(o_orderdate) - 1 AS o_weekday,
+  date_trunc('month', o_orderdate)::DATE AS month_start,
+  (o_orderdate + INTERVAL 30 DAY)::DATE AS due_date,
+  datediff('day', o_orderdate, DATE '2002-01-01') AS days_to_2002,
+  epoch(o_orderdate)::BIGINT AS epoch_s,
+  strftime(o_orderdate, '%Y-%m') AS month_str
+FROM orders
+""",
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function bundle over orders (weekday normalized to
+    Monday=0 on both engines — their native conventions differ)."""
+    o = Tables(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+        F.weekday("o_orderdate").cast("long").alias("o_weekday"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_2002"),
+        # o_orderdate loads as TIMESTAMP_NTZ; session tz is pinned UTC so the
+        # cast to instant-TIMESTAMP matches DuckDB's naive epoch().
+        F.unix_seconds(F.col("o_orderdate").cast("timestamp")).alias("epoch_s"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month_str"),
+    )
+
+
+@query(
+    "scalar_math",
+    category="H.scalar",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  abs(l_extendedprice - 50000) AS abs_dev,
+  floor(l_extendedprice)::BIGINT AS price_floor,
+  ceil(l_extendedprice)::BIGINT  AS price_ceil,
+  round(ln(l_extendedprice), 6)    AS ln_price,
+  round(log10(l_extendedprice), 6) AS log10_price,
+  round(sqrt(l_quantity), 6)       AS sqrt_qty,
+  round(pow(1 + l_discount, 2), 6) AS pow_disc,
+  l_quantity::BIGINT % 7 AS qty_mod7,
+  sign(l_extendedprice - 50000)::DOUBLE AS dev_sign,
+  least(l_extendedprice, 50000.0)   AS price_capped,
+  greatest(l_quantity, 25.0)        AS qty_floored
+FROM lineitem
+""",
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function bundle over lineitem; transcendentals (ln/log10/sqrt/
+    pow) rounded to 6 dp — libm implementations may differ in the last ulp
+    between JVM and C++."""
+    li = Tables(spark, sf_dir).lineitem
+    ep = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(ep - 50000).alias("abs_dev"),
+        F.floor(ep).alias("price_floor"),
+        F.ceil(ep).alias("price_ceil"),
+        F.round(F.log(ep), 6).alias("ln_price"),
+        F.round(F.log10(ep), 6).alias("log10_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.pow(1 + F.col("l_discount"), 2), 6).alias("pow_disc"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
+        F.signum(ep - 50000).alias("dev_sign"),
+        F.least(ep, F.lit(50000.0)).alias("price_capped"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_floored"),
+    )
+
+
+@query(
+    "scalar_cond",
+    category="H.scalar",
+    oracle="""
+SELECT
+  o_orderkey,
+  CASE WHEN o_totalprice >= 300000 THEN 'large'
+       WHEN o_totalprice >= 100000 THEN 'medium'
+       ELSE 'small' END AS size_tier,
+  CASE WHEN o_orderstatus = 'O' THEN 'open' ELSE 'closed' END AS open_flag,
+  coalesce(nullif(o_orderpriority, '4-NOT SPECIFIED'), 'unknown') AS prio_clean,
+  cast(o_orderkey AS VARCHAR) AS key_str,
+  cast(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+  floor(o_totalprice / 1000)::BIGINT AS price_k
+FROM orders
+""",
+)
+def scalar_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditionals and casts over orders. The double→int path goes
+    through floor() on both sides (bare casts disagree: Spark truncates,
+    DuckDB rounds)."""
+    o = Tables(spark, sf_dir).orders
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(tp >= 300000, "large")
+        .when(tp >= 100000, "medium")
+        .otherwise("small")
+        .alias("size_tier"),
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("closed")
+        .alias("open_flag"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")),
+            F.lit("unknown"),
+        ).alias("prio_clean"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("prio_num"),
+        F.floor(tp / 1000).alias("price_k"),
+    )
+
+
+@query(
+    "scalar_array",
+    category="H.scalar",
+    oracle="""
+SELECT
+  vec_id,
+  len(embedding) AS dim,
+  embedding[1]::DOUBLE AS first_elem,
+  list_contains(embedding, embedding[1]) AS has_first,
+  list_sort(embedding[1:4])::DOUBLE[] AS first4_sorted,
+  round(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), 6)
+      AS norm_sq,
+  round(list_sum(list_transform(list_zip(embedding, list_reverse(embedding)),
+                                p -> p[1]::DOUBLE * p[2]::DOUBLE)), 6)
+      AS dot_reversed
+FROM embeddings
+""",
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function bundle over embeddings: size/element_at/contains/
+    slice/sort plus the transform/aggregate/zip_with fold primitives the
+    similarity operators build on (north-star multimodal columns)."""
+    e = Tables(spark, sf_dir).embeddings
+    emb = F.col("embedding")
+    sq = F.transform(emb, lambda x: x.cast("double") * x.cast("double"))
+    dot_rev = F.zip_with(
+        emb, F.reverse(emb), lambda x, y: x.cast("double") * y.cast("double")
+    )
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size(emb).cast("long").alias("dim"),
+        F.element_at(emb, 1).cast("double").alias("first_elem"),
+        F.array_contains(emb, F.element_at(emb, 1)).alias("has_first"),
+        F.sort_array(F.slice(emb, 1, 4)).cast("array<double>").alias("first4_sorted"),
+        F.round(fold(sq), 6).alias("norm_sq"),
+        F.round(fold(dot_rev), 6).alias("dot_reversed"),
+    )
+
+
+@query(
+    "scalar_json",
+    category="H.scalar",
+    oracle="""
+SELECT
+  event_id,
+  json_extract_string(props, '$.k')::BIGINT AS k_path,
+  json_extract_string(props, '$.k')::BIGINT AS k_schema,
+  json_extract_string(props, '$.k')::BIGINT % 10 AS k_bucket
+FROM events
+""",
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props — both the path-string form
+    (get_json_object ≙ json_extract_string) and the typed from_json parse
+    (schema-on-read for the JSON-in-string column, SURVEY §1.1)."""
+    ev = Tables(spark, sf_dir).events
+    k_path = F.get_json_object("props", "$.k").cast("long")
+    k_schema = F.from_json("props", "k LONG").getField("k")
+    return ev.select(
+        "event_id",
+        k_path.alias("k_path"),
+        k_schema.alias("k_schema"),
+        (k_path % 10).alias("k_bucket"),
+    )

@@ -1,0 +1,210 @@
+"""Similarity search over embeddings (SURVEY.md §2 cat. J, north star).
+
+Three tiers, by scale:
+- ``knn_bruteforce``: one query vector broadcast to every partition —
+  exact, zero shuffle, linear scan; right up to any corpus size for a
+  single query.
+- ``knn_join``: every vector → its top-k neighbors. Exact quadratic form
+  here (fine at fixture scale); the plan is crossJoin + per-key window
+  top-k, so Spark streams pairs without materializing them.
+- ``knn_lsh``: the 100 TB path — deterministic random-hyperplane LSH
+  buckets vectors so candidate pairs are generated per bucket instead of
+  globally (candidate count ~ n·bucket_size instead of n²). Hyperplanes
+  are derived from MD5 bytes (pure function of (plane, dim) — zero RNG,
+  reproducible across runs/partitions, SURVEY §5.2 determinism rule).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import DUCK_DOT, DUCK_NORM, cosine, dot
+from ..registry import query
+from ..sources.loader import Tables
+
+QUERY_VEC_ID = 0
+# 6 planes → 64 buckets: sized so fixture-scale buckets hold ~8-30 vectors
+# (candidate set non-trivial); at real scale raise planes with corpus size
+# and multi-probe neighboring buckets to recover recall.
+N_PLANES = 6
+
+
+def _hyperplane(plane: int, dim: int = 64) -> list[float]:
+    """Deterministic ±1 hyperplane component per (plane, dim) from MD5."""
+    comps = []
+    for d in range(dim):
+        h = hashlib.md5(f"mrss-lsh:{plane}:{d}".encode()).digest()
+        comps.append(1.0 if h[0] % 2 == 0 else -1.0)
+    return comps
+
+
+@query(
+    "knn_bruteforce",
+    category="J.sim",
+    tags=("headline",),
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id,
+       round({DUCK_DOT.format(a="embedding", b="qv")}
+             / ({DUCK_NORM.format(a="embedding")} * {DUCK_NORM.format(a="qv")}),
+             6) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 by cosine vs one query vector: the vector is fetched
+    once driver-side and inlined as a literal (broadcast to all tasks);
+    scan + TakeOrderedAndProject, no shuffle of the corpus."""
+    e = Tables(spark, sf_dir).embeddings
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()[0]
+    q = F.array(*[F.lit(float(x)).cast("float") for x in qv])
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "knn_join",
+    category="J.sim",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         round({DUCK_DOT.format(a="a.embedding", b="b.embedding")}, 6) AS score
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id, nbr_id, score
+FROM (SELECT vec_id, nbr_id, score,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, nbr_id) AS rn
+      FROM pairs)
+WHERE rn <= 3
+""",
+)
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join (k=3, dot-product score): exact all-pairs + per-key
+    window top-k. At 100 TB replace the crossJoin with the knn_lsh
+    bucketing below (ICDE'19 trajectory-join shape: partition, prune,
+    refine)."""
+    e = Tables(spark, sf_dir).embeddings
+    a = e.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("emb_b"))
+    pairs = a.crossJoin(b).filter(F.col("vec_id") != F.col("nbr_id"))
+    scored = pairs.select(
+        "vec_id",
+        "nbr_id",
+        F.round(dot(F.col("emb_a"), F.col("emb_b")), 6).alias("score"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("vec_id", "nbr_id", "score")
+    )
+
+
+@query("knn_lsh", category="J.sim")
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH (the scale path).
+
+    sign-bit sketch → bucket id → per-bucket exact cosine vs the query.
+    Deterministic planes (MD5-derived, no RNG) so the driver's hash gate
+    sees stable output; no SQL oracle (hyperplanes aren't worth inlining
+    as 12×64 SQL literals) → rows-only check + recall pytest vs
+    knn_bruteforce (tests/test_similarity.py).
+    """
+    e = Tables(spark, sf_dir).embeddings
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()[0]
+
+    def bucket_of(emb_col):
+        bits = []
+        for p in range(N_PLANES):
+            plane = F.array(*[F.lit(c) for c in _hyperplane(p)])
+            bits.append(
+                F.when(dot(emb_col, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            )
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    q = F.array(*[F.lit(float(x)).cast("float") for x in qv])
+    q_bucket = bucket_of(q)
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("bucket", bucket_of(F.col("embedding")))
+        .filter(F.col("bucket") == q_bucket)
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(cosine(F.col("embedding"), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "emb_label_centroids",
+    category="J.sim",
+    oracle="""
+SELECT label, g.i - 1 AS dim,
+       round(avg(embedding[g.i]::DOUBLE), 6) AS centroid
+FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+GROUP BY label, g.i
+""",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dim): posexplode → mean,
+    rounded to 6 dp. (A decimal-grid exact sum is NOT safe here: float32
+    values have short terminating decimal tails, so double→decimal casts
+    hit genuine round-half ties where Spark's HALF_UP and DuckDB's cast
+    disagree — observed at decimal(28,12). The double sums differ only in
+    the last ulp, which round-6 absorbs.)"""
+    e = Tables(spark, sf_dir).embeddings
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+        .select(F.col("label"), F.col("dim").cast("long").alias("dim"), "centroid")
+    )
+
+
+@query(
+    "multimodal_join",
+    category="J.sim",
+    oracle=f"""
+SELECT doc_id, lang,
+       len(string_split(text, ' ')) AS n_tokens,
+       label,
+       round({DUCK_NORM.format(a="embedding")}, 6) AS emb_norm
+FROM documents JOIN embeddings ON doc_id = vec_id
+""",
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal record assembly: text features ⋈ vector features in one
+    frame (north-star multimodal columns; ids align 1:1 per FIXTURES.md)."""
+    t = Tables(spark, sf_dir)
+    from ..functions.vector import norm
+
+    return (
+        t.documents.join(t.embeddings, F.col("doc_id") == F.col("vec_id"))
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            "label",
+            F.round(norm(F.col("embedding")), 6).alias("emb_norm"),
+        )
+    )

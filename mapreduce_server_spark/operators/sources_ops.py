@@ -1,0 +1,69 @@
+"""Scan/source/sink operators (SURVEY.md §2 cat. A).
+
+The MR input layer (InputFormat/RecordReader over 16-64 MB splits
+[MR04 §3.1]) is Spark's file source: splits ≙ partitions, vectorized
+parquet reader, pushdown. These queries make the scan-layer behavior
+itself observable; `tests/test_plans.py` asserts PushedFilters/ReadSchema
+show pruning actually reached the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import Tables
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+
+@query(
+    "scan_project",
+    category="A.scan",
+    oracle="""
+SELECT l_orderkey, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2001-06-01'
+""",
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned, predicate-pushed scan: reads 3 of 11 lineitem
+    columns; the shipdate filter lands in the parquet row-group stats
+    (PushedFilters) so non-qualifying row groups are skipped entirely."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.filter(F.col("l_shipdate") >= F.lit("2001-06-01").cast("timestamp")).select(
+        "l_orderkey", "l_extendedprice"
+    )
+
+
+@query(
+    "sink_partitioned",
+    category="A.sink",
+    oracle="""
+SELECT l_returnflag, count(*) AS n,
+       sum(l_quantity)::DOUBLE AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-file sink round-trip (R reducers → R output dirs
+    [MR04 §3.1]): write lineitem partitioned by l_returnflag, read it
+    back, aggregate — the oracle aggregates the source directly, so the
+    value match proves the sink lost nothing. partitionBy is also the
+    100 TB layout primitive that makes future partition pruning free."""
+    li = Tables(spark, sf_dir).lineitem
+    out = os.path.join(SCRATCH, "sink_partitioned")
+    (
+        li.select("l_orderkey", "l_quantity", "l_returnflag")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty")
+    )

@@ -1,0 +1,233 @@
+"""Text analysis operators (SURVEY.md §2 cat. J, north-star text surface).
+
+text_wordcount is the identity card of the model class — THE canonical
+MapReduce program [MR04 §2.1]: map emits (word,1), combiner partial-sums,
+reduce totals. The Spark plan (explode → groupBy → count) is the same
+dataflow with the combiner supplied automatically by HashAggregateExec.
+
+Tokenization contract: the fixture corpus is strictly single-space
+separated (FIXTURES.md), and the oracle must split identically, so every
+operator tokenizes with a literal single-space split — never ``\\s+`` —
+to avoid Spark↔DuckDB regex-class drift.
+
+Scale notes: explode multiplies rows ~100× before the shuffle, but the
+partial aggregate collapses each partition back to |vocab| rows, so the
+wordcount shuffle is O(partitions × vocab) regardless of corpus size.
+TF-IDF is two aggregations + one broadcast-joined dimension (the per-word
+document frequencies — |vocab| rows), not an N×N anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import Tables
+
+
+def tokens(col: str = "text") -> F.Column:
+    """The engine's single tokenizer: literal single-space split."""
+    return F.split(F.col(col), " ")
+
+
+@query(
+    "text_wordcount",
+    category="J.text",
+    tags=("headline",),
+    oracle="""
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+""",
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount [MR04 §2.1]: split → explode → count per word."""
+    d = Tables(spark, sf_dir).documents
+    return (
+        d.select(F.explode(tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "text_grep",
+    category="J.text",
+    oracle="""
+SELECT doc_id, lang FROM documents
+WHERE regexp_matches(text, '(merge|sort) (join|window)')
+""",
+)
+def text_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grep over documents [MR04 §2.3] (same operator as
+    filter_grep; registered per the reference's own example-pair)."""
+    d = Tables(spark, sf_dir).documents
+    return d.filter(F.col("text").rlike("(merge|sort) (join|window)")).select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "text_inverted_index",
+    category="J.text",
+    oracle="""
+SELECT word,
+       list_sort(list(DISTINCT doc_id)) AS doc_ids,
+       count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+""",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index [MR04 §2.3]: word → sorted posting list of doc_ids."""
+    d = Tables(spark, sf_dir).documents
+    return (
+        d.select("doc_id", F.explode(tokens()).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.sort_array(F.collect_set("doc_id")).alias("doc_ids"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "text_tfidf",
+    category="J.text",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents),
+     tf  AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+     df  AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+     n   AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.word,
+       tf.tf AS tf,
+       round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS tfidf
+FROM tf JOIN df USING (word) CROSS JOIN n
+""",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: tf(w,d) · ln(N/df(w)) — two aggregations plus a broadcast
+    join of the |vocab|-row document-frequency dimension. Natural log, no
+    smoothing (pinned identically in the oracle); rounded to 6 dp for
+    libm-drift immunity."""
+    d = Tables(spark, sf_dir).documents
+    tok = d.select("doc_id", F.explode(tokens()).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # driver-side scalar; one metadata-cheap job
+    return (
+        tf.join(F.broadcast(df), "word")
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "text_lang_stats",
+    category="J.text",
+    oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       sum(n_chars)::DOUBLE / count(*) AS avg_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (metadata group-by)."""
+    d = Tables(spark, sf_dir).documents
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.sum("n_chars") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+@query(
+    "text_quality",
+    category="J.text",
+    oracle="""
+SELECT
+  doc_id,
+  len(string_split(text, ' ')) AS n_tokens,
+  n_chars,
+  n_chars::DOUBLE / len(string_split(text, ' ')) AS chars_per_token,
+  len(list_filter(string_split(text, ' '),
+                  w -> w IN ('spark', 'batch', 'stream')))::DOUBLE
+      / len(string_split(text, ' ')) AS kw_ratio,
+  (len(string_split(text, ' ')) BETWEEN 8 AND 100) AS len_ok
+FROM documents
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (north star): token count, chars/token,
+    keyword-stopword ratio, length gate — pure integer/ratio arithmetic so
+    both engines agree exactly."""
+    d = Tables(spark, sf_dir).documents
+    toks = tokens()
+    n_tok = F.size(toks)
+    kw = F.size(F.filter(toks, lambda w: w.isin("spark", "batch", "stream")))
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        "n_chars",
+        (F.col("n_chars") / n_tok).alias("chars_per_token"),
+        (kw.cast("double") / n_tok).alias("kw_ratio"),
+        n_tok.between(8, 100).alias("len_ok"),
+    )
+
+
+@query(
+    "text_token_count",
+    category="J.text",
+    oracle="""
+SELECT
+  doc_id,
+  len(string_split(text, ' ')) AS ws_tokens,
+  len(regexp_extract_all(text, '([a-z]+|[0-9]+|[^a-z0-9 ])')) AS re_tokens
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (north star): whitespace tokens and a
+    BPE-ish regex tokenizer (letter runs / digit runs / other)."""
+    d = Tables(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.size(tokens()).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("([a-z]+|[0-9]+|[^a-z0-9 ])")))
+        .cast("long")
+        .alias("re_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    category="J.text",
+    oracle="""
+SELECT doc_id,
+       md5(lower(text)) AS fp,
+       substring(md5(lower(text)), 1, 8) AS fp_prefix
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (north star doc fingerprinting): normalized
+    MD5 — the exact-dedup key at scale (16 bytes shuffled instead of the
+    full text; see operators/dedup.py)."""
+    d = Tables(spark, sf_dir).documents
+    fp = F.md5(F.lower("text").cast("binary"))
+    return d.select("doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp_prefix"))

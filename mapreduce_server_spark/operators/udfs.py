@@ -1,0 +1,108 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2 cat. K).
+
+The reference's entire programming model is "run user code per record"
+[MR04 §2]; in Spark that role is the UDF tiers. Engine policy (SURVEY §4):
+built-ins first — each demo below intentionally computes something the
+engine also offers natively, citing the built-in it benchmarks against.
+Cost ladder (measured class gaps, not guesses):
+row-Python UDF (pickle per row) ≪ pandas UDF (Arrow batches, ~10-100×
+faster) ≪ built-in (JVM codegen). Python UDFs never appear in any other
+operator module.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType
+
+from ..registry import query
+from ..sources.loader import Tables
+
+
+@query(
+    "udf_python",
+    category="K.udf",
+    oracle="""
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+FROM documents
+""",
+)
+def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (≙ the MR user map fn): custom tokenizer
+    token count. Equivalent built-in: ``F.size(F.split(...))`` — the UDF
+    exists to prove the slow path gives identical results."""
+    d = Tables(spark, sf_dir).documents
+
+    @F.udf(returnType=LongType())
+    def count_tokens(text: str) -> int:
+        return len(text.split(" "))
+
+    return d.select("doc_id", count_tokens("text").alias("n_tokens"))
+
+
+@query(
+    "udf_pandas_scalar",
+    category="K.udf",
+    oracle="""
+SELECT event_id, round(ln(1 + value), 6) AS log1p_value
+FROM events
+""",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (Arrow batch transfer): numpy log1p.
+    Rounded to 6 dp — numpy/libm vs DuckDB ln may differ in the last ulp."""
+    ev = Tables(spark, sf_dir).events
+
+    @F.pandas_udf(DoubleType())
+    def log1p_vec(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(np.log1p(v.to_numpy()))
+
+    return ev.select("event_id", F.round(log1p_vec("value"), 6).alias("log1p_value"))
+
+
+@query(
+    "udaf_pandas",
+    category="K.udf",
+    oracle="""
+SELECT event_type, median(value) AS median_value
+FROM events
+GROUP BY event_type
+""",
+)
+def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF: per-group median (a genuinely
+    non-algebraic aggregate — needs the whole group, exactly what
+    GROUPED_AGG ships to Python as one Arrow batch). Interpolated median
+    matches DuckDB's definition on even counts ((a+b)/2, identical
+    double arithmetic). Scale note: grouped-agg state is the full group —
+    for 100 TB use approx_percentile(0.5) instead; this is the UDAF demo."""
+    ev = Tables(spark, sf_dir).events
+
+    @F.pandas_udf(DoubleType())
+    def median_udaf(v: pd.Series) -> float:
+        return float(v.median())
+
+    return ev.groupBy("event_type").agg(median_udaf("value").alias("median_value"))
+
+
+@query(
+    "udtf_flatmap",
+    category="K.udf",
+    oracle="""
+SELECT doc_id, g.i - 1 AS pos, toks[g.i] AS token
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+     (SELECT unnest(generate_series(1, 512)) AS i) g
+WHERE g.i <= len(toks)
+""",
+)
+def udtf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF / flatMap (the MR map contract itself — 0..n records out per
+    record in [MR04 §2.2]): positional tokenization via posexplode."""
+    d = Tables(spark, sf_dir).documents
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
