@@ -1,0 +1,62 @@
+"""Registered queries over the multimodal binary-column pipeline
+(:mod:`..multimodal.binary`). The featurizer is deterministic, so the
+byte-level features are SQL-expressible and oracle-checked: the corpus is
+ASCII, hence byte_len == length(text) and the MD5 digests agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..multimodal.binary import extract_features, frame_sample, media_frame
+from ..registry import query
+from ..sources.loader import Tables
+
+
+@query(
+    "multimodal_features",
+    category="J.multimodal",
+    oracle="""
+SELECT doc_id AS id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       length(text) AS byte_len,
+       md5(text) AS digest,
+       ascii(substring(text, 1, 1)) AS first_byte
+FROM documents
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload featurization via Arrow-batched mapInPandas; the
+    oracle recomputes the features from the source text (payload = UTF-8
+    bytes of an ASCII corpus, so byte-level == char-level)."""
+    d = Tables(spark, sf_dir).documents
+    feats = extract_features(media_frame(d))
+    return feats.select(
+        "id",
+        "media_type",
+        "byte_len",
+        "digest",
+        F.col("first_byte").cast("int").alias("first_byte"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    category="J.multimodal",
+    oracle="""
+SELECT doc_id AS id, g.f AS frame_idx
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(0, (doc_id % 25)::INT, 5)) AS f) g
+WHERE doc_id % 3 = 2
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one row per sampled frame index (stride 5),
+    frame count from typed metadata — JVM-side sequence+explode."""
+    d = Tables(spark, sf_dir).documents
+    return frame_sample(media_frame(d)).select(
+        "id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )

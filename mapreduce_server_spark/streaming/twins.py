@@ -1,0 +1,165 @@
+"""Structured Streaming twins of the cat. I batch operators.
+
+The correctness gate grades the batch forms (operators/events_batch.py);
+these builders run the same logic incrementally over ``readStream`` with
+watermarks. Each twin shares its aggregation shape with its batch form, so
+"batch-verified + twin smoke-tested" covers both executions of one logical
+operator (SURVEY.md §3.3).
+
+Late-data policy: ``withWatermark(ts, delay)`` bounds state — aggregates
+drop events older than (max seen ts − delay); tests/test_streaming.py
+feeds out-of-order micro-batches through a file source and asserts the
+drop actually happens.
+
+Scale notes: micro-batch state lives in the state store keyed by
+(window, group); watermarks are what keep 100 TB/day streams bounded —
+every stateful twin here sets one.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources.loader import ensure_confs
+
+#: schema of events.parquet as stored (ts = int64 nanos under the
+#: nanosAsLong conf — the stream source must declare the storage schema).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of events with the same ts normalization as the
+    batch loader (nanos-long → µs TimestampType)."""
+    ensure_confs(spark)
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if not os.path.isdir(path):
+        raise ValueError("file stream source requires a directory of files")
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of stream_tumbling."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("ws_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of stream_sliding."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_seconds(F.col("w.start")).alias("ws_s"), "event_type", "n")
+    )
+
+
+def session(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming twin of stream_session via native session windows
+    (gap-merge semantics match the batch lag/running-sum form)."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.unix_seconds(F.col("w.start")).alias("start_s"),
+            F.unix_seconds(F.col("w.end")).alias("end_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of stream_dedup: drop duplicate event_ids while
+    their window is inside the watermark (bounded dedup state)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    checkpoint: str | None = None,
+):
+    """Drain all available input into an in-memory sink table; returns the
+    finished query (tests then read ``spark.table(name)``). Passing a
+    checkpoint dir makes successive runs resume offsets + watermark —
+    how tests feed deterministic micro-batch sequences."""
+    writer = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q
+
+
+def run_collect(df: DataFrame, output_mode: str, checkpoint: str) -> list:
+    """Drain available input via foreachBatch, collecting every emitted row
+    driver-side. Unlike the memory sink, foreachBatch supports checkpoint
+    recovery in append/update mode — successive calls with the same
+    checkpoint resume offsets AND the persisted watermark."""
+    out: list = []
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        out.extend(batch_df.collect())
+
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out

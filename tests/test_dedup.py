@@ -1,0 +1,59 @@
+"""Dedup operators vs the planted sf0.1 fixture: 5000 docs, 4992 distinct
+texts → 8 exact duplicate pairs (FIXTURES.md). The MinHash/SimHash paths
+have no SQL oracle, so this is their correctness gate."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from mapreduce_server_spark import REGISTRY
+
+from .conftest import SF01
+
+
+@pytest.fixture(scope="module")
+def planted_pairs():
+    """(min_doc_id, max_doc_id) per duplicated text at sf0.1, from DuckDB."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT min(doc_id), max(doc_id), count(*)
+        FROM read_parquet('{SF01}/documents.parquet')
+        GROUP BY text HAVING count(*) > 1
+        """
+    ).fetchall()
+    assert all(n == 2 for _, _, n in rows), "fixture: each dup text has 2 copies"
+    return {(a, b) for a, b, _ in rows}
+
+
+def test_fixture_has_8_planted_dups(planted_pairs):
+    assert len(planted_pairs) == 8
+
+
+def test_dedup_exact_sf01(spark, planted_pairs):
+    rows = REGISTRY["dedup_exact"].fn(spark, SF01).collect()
+    assert len(rows) == 4992
+    survivors_with_copies = {r.doc_id for r in rows if r.n_copies == 2}
+    assert survivors_with_copies == {a for a, _ in planted_pairs}
+
+
+def test_dedup_minhash_finds_planted_pairs(spark, planted_pairs):
+    rows = REGISTRY["dedup_minhash"].fn(spark, SF01).collect()
+    found = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
+    for pair in planted_pairs:
+        assert pair in found, f"planted duplicate pair {pair} missed"
+        assert found[pair] == 1.0
+
+
+def test_dedup_simhash_identical_for_dups(spark, planted_pairs):
+    rows = REGISTRY["dedup_simhash"].fn(spark, SF01).collect()
+    sim = {r.doc_id: r.simhash for r in rows}
+    assert len(sim) == 5000
+    for a, b in planted_pairs:
+        assert sim[a] == sim[b]
+
+
+def test_dedup_exact_hash_matches_exact(spark):
+    n_hash = REGISTRY["dedup_exact_hash"].fn(spark, SF01).count()
+    assert n_hash == 4992

@@ -1,0 +1,55 @@
+"""Physical-plan assertions: the optimizations SURVEY.md §4 marks as
+"free from Catalyst — verify via explain" are actually in the plans."""
+
+from __future__ import annotations
+
+from mapreduce_server_spark import REGISTRY
+from mapreduce_server_spark.plans import plan_string
+
+from .conftest import SF001
+
+
+def _plan(spark, key: str, mode: str = "formatted") -> str:
+    return plan_string(REGISTRY[key].fn(spark, SF001), mode)
+
+
+def test_scan_project_pushdown_and_pruning(spark):
+    p = _plan(spark, "scan_project")
+    assert "PushedFilters" in p and "GreaterThanOrEqual(l_shipdate" in p
+    # pruned read: only the 3 referenced columns reach the scan
+    assert "l_orderkey" in p.split("ReadSchema")[1][:200]
+    assert "l_tax" not in p
+
+
+def test_q1_two_phase_aggregation(spark):
+    p = _plan(spark, "q1_pricing_summary")
+    assert p.count("HashAggregate") >= 2  # partial + final (MR combiner, free)
+    assert "PushedFilters" in p and "LessThanOrEqual(l_shipdate" in p
+
+
+def test_join_broadcast_is_broadcast(spark):
+    p = _plan(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastExchange" in p
+
+
+def test_topk_plans_take_ordered(spark):
+    p = _plan(spark, "topk_global")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p  # top-k never shuffles the table
+
+
+def test_knn_bruteforce_no_shuffle(spark):
+    p = _plan(spark, "knn_bruteforce")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
+
+
+def test_wordcount_partial_aggregation(spark):
+    p = _plan(spark, "text_wordcount")
+    assert p.count("HashAggregate") >= 2
+
+
+def test_semi_anti_join_strategies(spark):
+    assert "LeftSemi" in _plan(spark, "join_semi")
+    assert "LeftAnti" in _plan(spark, "join_anti")

@@ -1,0 +1,42 @@
+"""Rows-only similarity operators: LSH consistency vs the exact
+brute-force baseline, and the approx-distinct error bound."""
+
+from __future__ import annotations
+
+from mapreduce_server_spark import REGISTRY
+
+
+def test_knn_lsh_scores_match_bruteforce(spark):
+    """Every LSH candidate's cosine must equal the exact cosine the
+    brute-force scan computes for the same vec_id (same fold, same
+    rounding) — LSH changes the candidate set, never the scores."""
+    sf = "/root/testdata/sf0.01"
+    brute = {
+        r.vec_id: r.cos_sim
+        for r in REGISTRY["knn_bruteforce"].fn(spark, sf).collect()
+    }
+    lsh_rows = REGISTRY["knn_lsh"].fn(spark, sf).collect()
+    assert len(lsh_rows) > 0, "query bucket must not be empty at fixture scale"
+    exact_all = dict(brute)
+    for r in lsh_rows:
+        if r.vec_id in exact_all:
+            assert exact_all[r.vec_id] == r.cos_sim
+
+
+def test_knn_lsh_single_bucket(spark):
+    rows = REGISTRY["knn_lsh"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert len({r.bucket for r in rows}) == 1
+
+
+def test_approx_distinct_within_rsd(spark):
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in REGISTRY["agg_approx_distinct"].fn(spark, sf).collect()
+    }
+    exact = {
+        r.l_returnflag: r.n_parts
+        for r in REGISTRY["agg_distinct"].fn(spark, sf).collect()
+    }
+    for flag, n in exact.items():
+        assert abs(approx[flag] - n) / n < 0.1  # rsd 0.02, generous margin
