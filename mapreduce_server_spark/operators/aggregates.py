@@ -283,3 +283,22 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_parts") > 70) & (F.col("brand_value") > 70000))
     )
+
+
+@query(
+    "agg_group",
+    category="D.agg",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_orders,
+       sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare hash group-by (URL-access-count shape [MR04 §2.3]) under its
+    SURVEY §2 key; q1_pricing_summary is the flagship composition."""
+    o = Tables(spark, sf_dir).orders
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total")
+    )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import DUCK_DOT, DUCK_NORM, cosine
+from ..functions.vector import DUCK_DOT, DUCK_NORM
 from ..registry import query
 from ..sources.loader import Tables
 
@@ -252,15 +252,42 @@ WHERE {DUCK_DOT.format(a="a.embedding", b="b.embedding")}
 """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (≥ 0.5). Exact quadratic form at
-    fixture scale; the LSH bucketing of knn_lsh is the scale path."""
+    """Embedding-cosine near-dup pairs (≥ 0.5) as a blocked matrix
+    product: corpus broadcast once, each Arrow batch computes its cosine
+    row-block in BLAS and emits only qualifying (vec_a < vec_b) pairs —
+    the n²-pair space is scanned but never materialized as rows (same
+    escape-hatch rationale as knn_join; LSH bucketing is the
+    beyond-broadcast scale path)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
     e = Tables(spark, sf_dir).embeddings
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    sim = cosine(F.col("emb_a"), F.col("emb_b"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(sim >= 0.5)
-        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+    corpus = e.select("vec_id", "embedding").toPandas()
+    ids = np.array(corpus["vec_id"], dtype=np.int64)
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in corpus["embedding"]])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
+
+    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat, c_norms = b_ids.value, b_mat.value, b_norms.value
+        for pdf in batches:
+            q = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            q_ids = np.array(pdf["vec_id"], dtype=np.int64)
+            q_norms = np.sqrt((q * q).sum(axis=1))
+            cos = (q @ c_mat.T) / (q_norms[:, None] * c_norms[None, :])
+            keep_a, keep_b, keep_s = [], [], []
+            for i, vid in enumerate(q_ids):
+                mask = (c_ids > vid) & (cos[i] >= 0.5)
+                keep_a.extend([vid] * int(mask.sum()))
+                keep_b.extend(c_ids[mask])
+                keep_s.extend(np.round(cos[i][mask], 6))
+            yield pd.DataFrame(
+                {"vec_a": keep_a, "vec_b": keep_b, "cos_sim": keep_s}
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        pairs, "vec_a BIGINT, vec_b BIGINT, cos_sim DOUBLE"
     )

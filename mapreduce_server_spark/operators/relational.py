@@ -481,3 +481,23 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s_user").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_funnel_pairs"))
     )
+
+
+@query(
+    "join_inner",
+    category="C.join",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 450000
+""",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain reduce-side equi-join [HADOOP] (q3_join_topk is the flagship
+    composition; this is the bare operator under the SURVEY §2 key)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.filter(F.col("o_totalprice") > 450000)
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_totalprice", "c_mktsegment")
+    )

@@ -1,0 +1,66 @@
+"""Text / CSV / JSON ingestion (SURVEY.md §2 cat. A, Hadoop InputFormat
+parity — ``TextInputFormat`` (offset,line) pairs, delimited and JSON
+record readers).
+
+No fixture files exist in these formats (SURVEY §2.A: loader utilities
+only, no registered query); tests/test_ingest.py round-trips each format
+through the scratch dir.
+
+Engine policy: **schemas are explicit**. ``inferSchema``/sampling reads
+the data twice and guesses types per-run — at 100 TB that is both a full
+extra pass and a correctness hazard (a later file can silently widen a
+column). Callers pass DDL strings, mirroring the fixed StructType model
+of §1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_text(spark: SparkSession, path: str, with_offsets: bool = False) -> DataFrame:
+    """Lines of text; with_offsets=True adds the Hadoop-style per-file
+    line position (the (offset, line) KV pair of TextInputFormat —
+    expressed as (file, pos, line) since byte offsets are reader-private)."""
+    df = spark.read.text(path)
+    if not with_offsets:
+        return df
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.input_file_name()).orderBy(F.monotonically_increasing_id())
+    return df.select(
+        F.input_file_name().alias("file"),
+        (F.row_number().over(w) - 1).alias("pos"),
+        F.col("value").alias("line"),
+    )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """Delimited records with a mandatory explicit schema (DDL string)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", "FAILFAST")  # bad records are bugs, not rows to drop
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSON-lines records with a mandatory explicit schema."""
+    return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+) -> None:
+    """The MR sink (R reducers → R output files [MR04 §3.1]) as a
+    partitioned columnar layout — the write side of partition pruning."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)

@@ -1,0 +1,60 @@
+"""Text/CSV/JSON ingestion round-trips through the scratch dir."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from mapreduce_server_spark.sources import ingest
+from mapreduce_server_spark.sources.loader import load_table
+
+from .conftest import SF001
+
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "ingest"
+)
+
+
+def setup_module():
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    os.makedirs(SCRATCH, exist_ok=True)
+
+
+def test_csv_roundtrip(spark):
+    nation = load_table(spark, SF001, "nation")
+    path = os.path.join(SCRATCH, "nation_csv")
+    nation.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+    back = ingest.read_csv(
+        spark, path, "n_nationkey INT, n_name STRING, n_regionkey INT"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_json_roundtrip(spark):
+    region = load_table(spark, SF001, "region")
+    path = os.path.join(SCRATCH, "region_json")
+    region.coalesce(1).write.mode("overwrite").json(path)
+    back = ingest.read_json(spark, path, "r_regionkey INT, r_name STRING")
+    assert sorted(map(tuple, back.select("r_regionkey", "r_name").collect())) == sorted(
+        map(tuple, region.collect())
+    )
+
+
+def test_text_with_offsets(spark):
+    path = os.path.join(SCRATCH, "lines.txt")
+    with open(path, "w") as f:
+        f.write("alpha\nbeta\ngamma\n")
+    df = ingest.read_text(spark, path, with_offsets=True)
+    rows = sorted((r.pos, r.line) for r in df.collect())
+    assert rows == [(0, "alpha"), (1, "beta"), (2, "gamma")]
+
+
+def test_write_partitioned_layout(spark):
+    ev = load_table(spark, SF001, "events")
+    path = os.path.join(SCRATCH, "events_by_type")
+    ingest.write_partitioned(
+        ev.select("event_id", "user_id", "event_type"), path, ["event_type"]
+    )
+    dirs = {d for d in os.listdir(path) if d.startswith("event_type=")}
+    assert dirs == {f"event_type={t}" for t in ["click", "error", "purchase", "signup", "view"]}
+    assert spark.read.parquet(path).count() == ev.count()
