@@ -231,3 +231,86 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Tables(spark, sf_dir).documents
     fp = F.md5(F.lower("text").cast("binary"))
     return d.select("doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp_prefix"))
+
+
+@query(
+    "text_langid",
+    category="J.text",
+    oracle="""
+WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+tok_train AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM train),
+counts AS (SELECT lang, w, count(*) AS c FROM tok_train GROUP BY 1, 2),
+totals AS (SELECT lang, sum(c) AS tot FROM counts GROUP BY 1),
+vocab AS (SELECT count(DISTINCT w) AS v FROM tok_train),
+grid AS (
+  SELECT t.lang, wv.w,
+         ln((coalesce(c.c, 0) + 1.0) / (t.tot + v.v)) AS lp
+  FROM totals t
+  CROSS JOIN (SELECT DISTINCT w FROM tok_train) wv
+  CROSS JOIN vocab v
+  LEFT JOIN counts c ON c.lang = t.lang AND c.w = wv.w
+),
+test_tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents WHERE doc_id % 2 = 1),
+scores AS (SELECT doc_id, g.lang, sum(g.lp) AS s
+           FROM test_tok tt JOIN grid g ON tt.w = g.w
+           GROUP BY 1, 2)
+SELECT doc_id, lang AS pred_lang, round(s, 4) AS score
+FROM (SELECT doc_id, lang, s,
+             row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) AS rn
+      FROM scores)
+WHERE rn = 1
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID as a distributed naive-Bayes word-profile classifier
+    (north star): train add-1-smoothed log-likelihood profiles on the
+    even-doc_id split (groupBy → |langs|×|vocab| grid), broadcast the
+    grid, score held-out docs, argmax with deterministic tiebreak.
+
+    Honesty note: the fixture's languages share one uniform 31-word
+    vocabulary (measured — per-lang word frequencies are noise), so
+    accuracy is chance by construction; the operator's value is the
+    distributed shape (train/broadcast/score/argmax), which transfers
+    unchanged to real corpora. Scores are double log-sums — last-ulp
+    engine drift is absorbed by round-4 output and cannot flip the argmax
+    unless two languages tie within an ulp.
+    """
+    d = Tables(spark, sf_dir).documents
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    tok_train = train.select("lang", F.explode(tokens()).alias("w"))
+    counts = tok_train.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
+    vocab_n = tok_train.select("w").distinct().count()
+    grid = (
+        totals.crossJoin(tok_train.select("w").distinct())
+        .join(counts, ["lang", "w"], "left")
+        .select(
+            "lang",
+            "w",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                / (F.col("tot") + F.lit(vocab_n))
+            ).alias("lp"),
+        )
+    )
+    test_tok = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.explode(tokens()).alias("w")
+    )
+    scores = (
+        test_tok.join(F.broadcast(grid), "w")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("lp").alias("s"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("pred_lang"),
+            F.round("s", 4).alias("score"),
+        )
+    )

@@ -163,3 +163,41 @@ def run_collect(df: DataFrame, output_mode: str, checkpoint: str) -> list:
     )
     q.awaitTermination()
     return out
+
+
+def first_seen_users(stream: DataFrame) -> DataFrame:
+    """Custom per-key stateful operator (SURVEY §2.I stream_stateful):
+    emit each user exactly once, on first sight, with their first-seen
+    day — the streaming half of stream_running_users (whose batch form
+    aggregates these rows into the cumulative curve).
+
+    State per user is one boolean+date row in the state store; watermark
+    isn't needed because state is O(distinct users) and never evicted —
+    the bounded-state analysis a custom stateful op must do explicitly
+    (ARCHITECTURE.md §7).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdf_iter, state: GroupState):
+        min_day = None
+        for pdf in pdf_iter:
+            day = pdf["ts"].dt.date.min()
+            min_day = day if min_day is None else min(min_day, day)
+        if not state.exists:
+            state.update((str(min_day),))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "first_day": [str(min_day)]}
+            )
+
+    return (
+        stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id BIGINT, first_day STRING",
+            stateStructType="first_day STRING",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

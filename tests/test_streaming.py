@@ -110,3 +110,31 @@ def test_watermark_drops_late_data(spark):
     assert run_sequence("tight", "10 minutes") == 0
     # wide watermark control: identical feed, late event updates its window
     assert run_sequence("wide", "720 hours") == 1
+
+
+def test_stateful_first_seen_dedups_across_batches(spark):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    feeding the same events twice (two files, two batches) emits each
+    user exactly once, matching the batch first-seen aggregation."""
+    src = os.path.join(SCRATCH, "stateful_src")
+    ckpt = os.path.join(SCRATCH, "stateful_ckpt")
+    for d in (src, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    shutil.copyfile(f"{SF001}/events.parquet", os.path.join(src, "a.parquet"))
+    shutil.copyfile(f"{SF001}/events.parquet", os.path.join(src, "b.parquet"))
+
+    stream = twins.events_stream(spark, src, max_files_per_trigger=1)
+    rows = twins.run_collect(twins.first_seen_users(stream), "append", ckpt)
+
+    from pyspark.sql import functions as F
+
+    batch = (
+        load_table(spark, SF001, "events")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).cast("string").alias("first_day"))
+        .collect()
+    )
+    assert sorted((r.user_id, r.first_day) for r in rows) == sorted(
+        (r.user_id, r.first_day) for r in batch
+    )
