@@ -302,3 +302,125 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total")
     )
+
+
+@query(
+    "agg_pivot",
+    category="D.agg",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (o_orderstatus = 'F') AS n_filled,
+       count(*) FILTER (o_orderstatus = 'P') AS n_pending,
+       coalesce(sum(o_totalprice::DECIMAL(18,2)) FILTER (o_orderstatus = 'O'),
+                0)::DOUBLE AS open_total
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): status values become columns. The value
+    list is pinned explicitly — at scale an unpinned pivot needs a
+    distinct-scan planning pass over the pivot column first."""
+    o = Tables(spark, sf_dir).orders
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("t"),
+        )
+    )
+    return p.select(
+        "o_orderpriority",
+        F.col("O_n").alias("n_open"),
+        F.col("F_n").alias("n_filled"),
+        F.col("P_n").alias("n_pending"),
+        F.coalesce(F.col("O_t").cast("double"), F.lit(0.0)).alias("open_total"),
+    )
+
+
+@query(
+    "agg_unpivot",
+    category="D.agg",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem
+""",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: measures to rows (the inverse reshape; values pass
+    through untouched so no float discipline needed)."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice"],
+        "measure",
+        "val",
+    )
+
+
+@query(
+    "agg_stats",
+    category="D.agg",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+       round(covar_pop(l_quantity, l_discount), 6) AS qty_disc_covar_pop
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (corr / covariance): streaming-merge
+    algorithms differ per engine → rounded like stddev (SURVEY §5.2)."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias(
+            "qty_disc_covar_pop"
+        ),
+    )
+
+
+@query(
+    "agg_percentile",
+    category="D.agg",
+    oracle="""
+SELECT event_type,
+       median(value) AS med,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.75) AS p75
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use linear
+    interpolation on the sorted group — identical arithmetic on identical
+    operands). The 100 TB form is approx_percentile (sketch-mergeable);
+    this is the exact-semantics operator."""
+    ev = Tables(spark, sf_dir).events
+    return ev.groupBy("event_type").agg(
+        F.median("value").alias("med"),
+        F.percentile("value", F.lit(0.25)).alias("p25"),
+        F.percentile("value", F.lit(0.75)).alias("p75"),
+    )
+
+
+@query("agg_sample", category="D.agg")
+def agg_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded TABLESAMPLE (the 100 TB debugging workhorse): Bernoulli
+    sample per row with a fixed seed — deterministic for a fixed input
+    partitioning, but partitioning-dependent by nature → rows-only check."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Simulate the driver's verification end-to-end: vanilla SparkSession →
+entry() smoke → every queries() key vs oracle_sql() in DuckDB at sf0.01
+(exact compare, stricter than the driver's hash). Exit 1 on any failure.
+
+Usage: python tools/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+    from mapreduce_server_spark.sources.loader import TABLE_NAMES
+    from parity import assert_parity
+
+    spark = (
+        SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = entrymod.entry(spark).collect()
+    assert len(rows) > 0, "entry() smoke failed"
+    print(f"entry(): {len(rows)} rows OK")
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    bad, rows_only = [], []
+    for key, fn in queries.items():
+        try:
+            df = fn(spark, sf_dir)
+            sql = oracles.get(key)
+            if sql is None:
+                rows_only.append((key, df.count()))
+            else:
+                assert_parity(df, con, sql, key=key)
+        except Exception as exc:  # noqa: BLE001 - report, don't abort
+            bad.append((key, str(exc)[:200]))
+
+    print(f"rows-only ({len(rows_only)}): {rows_only}")
+    if bad:
+        print(f"FAILED ({len(bad)}):")
+        for key, msg in bad:
+            print(f"  {key}: {msg}")
+        return 1
+    print(f"ALL {len(queries)} QUERIES OK ({len(queries) - len(rows_only)} oracle-exact)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
