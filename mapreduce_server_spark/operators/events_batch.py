@@ -169,7 +169,7 @@ WITH first_seen AS (
   SELECT user_id, min(ts::TIMESTAMP)::DATE AS first_day FROM events GROUP BY 1
 ),
 per_day AS (
-  SELECT first_day AS day, count(*) AS new_users FROM first_seen GROUP BY 1
+  SELECT first_day::VARCHAR AS day, count(*) AS new_users FROM first_seen GROUP BY 1
 )
 SELECT day, new_users,
        sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
@@ -183,7 +183,7 @@ def stream_running_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming twin keeps this state in transformWithStateInPandas."""
     ev = Tables(spark, sf_dir).events
     first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
-    per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+    per_day = first_seen.groupBy(F.col("first_day").cast("string").alias("day")).agg(
         F.count(F.lit(1)).alias("new_users")
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)

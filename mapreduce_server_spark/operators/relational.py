@@ -159,7 +159,7 @@ SELECT
   l_orderkey,
   sum(l_extendedprice::DECIMAL(18,2)
       * (1 - l_discount)::DECIMAL(8,2))::DOUBLE AS revenue,
-  o_orderdate::DATE AS o_orderdate
+  o_orderdate::DATE::VARCHAR AS o_orderdate
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -189,7 +189,7 @@ def q3_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t.lineitem.filter(F.col("l_shipdate") > cut), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(ep * disc).cast("double").alias("revenue"))
-        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -271,7 +271,7 @@ def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="C.join",
     oracle="""
 SELECT
-  coalesce(e.day, p.day) AS day,
+  coalesce(e.day, p.day)::VARCHAR AS day,
   e.n_err,
   p.n_pur
 FROM (SELECT ts::DATE AS day, count(*) AS n_err
@@ -297,7 +297,7 @@ def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pur"))
     )
     return err.join(pur, err.e_day == pur.p_day, "full").select(
-        F.coalesce("e_day", "p_day").alias("day"), "n_err", "n_pur"
+        F.coalesce("e_day", "p_day").cast("string").alias("day"), "n_err", "n_pur"
     )
 
 

@@ -77,8 +77,8 @@ SELECT
   month(o_orderdate) AS o_month,
   day(o_orderdate)   AS o_day,
   isodow(o_orderdate) - 1 AS o_weekday,
-  date_trunc('month', o_orderdate)::DATE AS month_start,
-  (o_orderdate + INTERVAL 30 DAY)::DATE AS due_date,
+  date_trunc('month', o_orderdate)::DATE::VARCHAR AS month_start,
+  (o_orderdate + INTERVAL 30 DAY)::DATE::VARCHAR AS due_date,
   datediff('day', o_orderdate, DATE '2002-01-01') AS days_to_2002,
   epoch(o_orderdate)::BIGINT AS epoch_s,
   strftime(o_orderdate, '%Y-%m') AS month_str
@@ -95,8 +95,8 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").cast("long").alias("o_month"),
         F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
         F.weekday("o_orderdate").cast("long").alias("o_weekday"),
-        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
-        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").cast("string").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("string").alias("due_date"),
         F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
         .cast("long")
         .alias("days_to_2002"),
