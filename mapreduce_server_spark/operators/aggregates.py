@@ -424,3 +424,37 @@ def agg_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@query(
+    "agg_salted",
+    category="D.agg",
+    oracle="""
+SELECT l_suppkey, count(*) AS n,
+       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS total
+FROM lineitem
+GROUP BY l_suppkey
+""",
+)
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation — the hand-rolled skew mitigation for
+    a hot grouping key: stage 1 groups on (key, salt) spreading each hot
+    key over 16 reducers, stage 2 merges partials per key. Results are
+    identical to a plain group-by (the oracle IS the plain group-by)
+    because decimal partials merge exactly. With AQE's skew handling this
+    is rarely needed for joins, but aggregation skew on a hot key still
+    wants it at 100 TB; the salt is a hash of the row's unique id — no RNG
+    (SURVEY §5.2 determinism)."""
+    li = Tables(spark, sf_dir).lineitem
+    salt = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(16)).alias("salt")
+    stage1 = (
+        li.select("l_suppkey", salt, "l_extendedprice")
+        .groupBy("l_suppkey", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("pt"),
+        )
+    )
+    return stage1.groupBy("l_suppkey").agg(
+        F.sum("pn").alias("n"), F.sum("pt").cast("double").alias("total")
+    )

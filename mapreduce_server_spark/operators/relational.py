@@ -23,6 +23,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -500,4 +502,51 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.orders.filter(F.col("o_totalprice") > 450000)
         .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "o_totalprice", "c_mktsegment")
+    )
+
+
+@query(
+    "join_bucketed",
+    category="C.join",
+    oracle="""
+SELECT o_custkey AS custkey, count(*) AS n_orders,
+       sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total,
+       max(c_mktsegment) AS segment
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey
+""",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written bucketBy(custkey) once,
+    then joined WITHOUT a shuffle exchange — the 100 TB strategy for a
+    join key that is hit repeatedly (bucket layout amortizes one shuffle
+    across every future join on that key). tests/test_plans.py asserts the
+    join has no Exchange. Results equal the plain join (the oracle)."""
+    t = Tables(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    o_name, c_name = f"mrss_orders_b_{tag}", f"mrss_customer_b_{tag}"
+    def ensure_bucketed(df, name: str, key: str) -> None:
+        if spark.catalog.tableExists(name):
+            return
+        # a previous session's managed-table directory may survive without
+        # a catalog entry (in-memory catalog, persistent warehouse dir) —
+        # clear it so saveAsTable doesn't refuse the location
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+        df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(name)
+
+    ensure_bucketed(t.orders, o_name, "o_custkey")
+    ensure_bucketed(t.customer, c_name, "c_custkey")
+    o, c = spark.table(o_name), spark.table(c_name)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total"),
+            F.max("c_mktsegment").alias("segment"),
+        )
     )

@@ -314,3 +314,33 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("s", 4).alias("score"),
         )
     )
+
+
+@query(
+    "text_bigrams",
+    category="J.text",
+    oracle="""
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents)
+SELECT bigram, count(*) AS cnt
+FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks)
+GROUP BY bigram
+""",
+)
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram frequency (n-gram statistics over the corpus): windowed
+    token pairs → explode → count; same shuffle shape as wordcount
+    (partial agg collapses to |vocab|² keys max)."""
+    d = Tables(spark, sf_dir).documents
+    toks = tokens()
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -53,3 +53,19 @@ def test_wordcount_partial_aggregation(spark):
 def test_semi_anti_join_strategies(spark):
     assert "LeftSemi" in _plan(spark, "join_semi")
     assert "LeftAnti" in _plan(spark, "join_anti")
+
+
+def test_bucketed_join_no_shuffle(spark):
+    REGISTRY["join_bucketed"].fn(spark, SF001).collect()  # materialize tables
+    p = _plan(spark, "join_bucketed")
+    # bucketed layout: scans report Bucketed: true and NOTHING in the plan
+    # shuffles — the join uses the layout (or broadcasts the small side)
+    # and the groupBy(custkey) aggregation rides the same bucketing
+    assert "Bucketed: true" in p
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_salted_agg_two_stage(spark):
+    p = _plan(spark, "agg_salted")
+    # stage-1 on (key, salt), stage-2 on key → at least 3 HashAggregates
+    assert p.count("HashAggregate") >= 3

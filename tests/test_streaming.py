@@ -138,3 +138,10 @@ def test_stateful_first_seen_dedups_across_batches(spark):
     assert sorted((r.user_id, r.first_day) for r in rows) == sorted(
         (r.user_id, r.first_day) for r in batch
     )
+
+
+def test_sliding_twin_matches_batch(spark):
+    stream = twins.events_stream(spark, _events_dir())
+    got = _drain(spark, twins.sliding(stream), "t_sliding", "complete")
+    batch = REGISTRY["stream_sliding"].fn(spark, SF001)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))

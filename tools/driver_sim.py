@@ -26,9 +26,8 @@ def main() -> int:
     from mapreduce_server_spark.sources.loader import TABLE_NAMES
     from parity import assert_parity
 
-    spark = (
-        SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
-    )
+    master = os.environ.get("MRSS_MASTER", "local[8]")
+    spark = SparkSession.builder.master(master).appName("driver-sim").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     rows = entrymod.entry(spark).collect()
