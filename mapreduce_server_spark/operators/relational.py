@@ -525,18 +525,31 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     o_name, c_name = f"mrss_orders_b_{tag}", f"mrss_customer_b_{tag}"
+    # external tables at an explicit repo-local path: the default managed
+    # location is <session cwd>/spark-warehouse, which isn't ours to write
+    # when a foreign session (the driver's) runs this query
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "bucketed",
+    )
+
     def ensure_bucketed(df, name: str, key: str) -> None:
         if spark.catalog.tableExists(name):
             return
-        # a previous session's managed-table directory may survive without
-        # a catalog entry (in-memory catalog, persistent warehouse dir) —
-        # clear it so saveAsTable doesn't refuse the location
         import shutil
-        from urllib.parse import urlparse
 
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
-        df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(name)
+        path = os.path.join(scratch, name)
+        # a previous session's table directory may survive without a
+        # catalog entry (in-memory catalog, persistent files) — clear it
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
 
     ensure_bucketed(t.orders, o_name, "o_custkey")
     ensure_bucketed(t.customer, c_name, "c_custkey")
