@@ -45,10 +45,21 @@ _RUNTIME_CONFS = {
 }
 
 
+_CONFS_DONE: set[str] = set()
+#: table-scan cache: (applicationId, sf_dir, name) → DataFrame. Scans are
+#: immutable plans over read-only paths; caching skips the per-call
+#: parquet footer read and schema inference (~80 ms/table).
+_SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def ensure_confs(spark: SparkSession) -> None:
+    app = spark.sparkContext.applicationId
+    if app in _CONFS_DONE:
+        return
     for k, v in _RUNTIME_CONFS.items():
         if spark.conf.get(k, None) != v:
             spark.conf.set(k, v)
+    _CONFS_DONE.add(app)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -56,10 +67,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     ensure_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        # int64 nanos → µs (exact integer division) → TimestampType.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _SCAN_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events":
+            # int64 nanos → µs (exact integer division) → TimestampType.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _SCAN_CACHE[key] = df
     return df
 
 
