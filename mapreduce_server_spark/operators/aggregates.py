@@ -181,8 +181,8 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="D.agg",
     oracle="""
 SELECT n_nationkey,
-       list_sort(list(s_name)) AS supplier_names,
-       list_sort(list(DISTINCT s_nationkey)) AS nation_keys
+       array_to_string(list_sort(list(s_name)), ',') AS supplier_names,
+       array_to_string(list_sort(list(DISTINCT s_nationkey)), ',') AS nation_keys
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_nationkey
 """,
@@ -195,8 +195,8 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.supplier.join(t.nation, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_nationkey")
         .agg(
-            F.sort_array(F.collect_list("s_name")).alias("supplier_names"),
-            F.sort_array(F.collect_set("s_nationkey")).alias("nation_keys"),
+            F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias("supplier_names"),
+            F.array_join(F.transform(F.sort_array(F.collect_set("s_nationkey")), lambda x: x.cast("string")), ",").alias("nation_keys"),
         )
     )
 
@@ -457,4 +457,19 @@ def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return stage1.groupBy("l_suppkey").agg(
         F.sum("pn").alias("n"), F.sum("pt").cast("double").alias("total")
+    )
+
+
+@query("agg_approx_percentile", category="D.agg")
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the KLL-style sketch behind
+    approx_percentile — the 100 TB quantile path (fixed-size mergeable
+    sketch, map-side combined) next to agg_percentile's exact form.
+    Sketch internals are engine-specific → rows-only check; the pytest
+    bounds the error against the exact interpolated percentiles."""
+    ev = Tables(spark, sf_dir).events
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 1000).alias("approx_med"),
+        F.percentile_approx("value", 0.99, 1000).alias("approx_p99"),
+        F.count(F.lit(1)).alias("n"),
     )

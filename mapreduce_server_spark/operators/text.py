@@ -73,7 +73,7 @@ def text_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="J.text",
     oracle="""
 SELECT word,
-       list_sort(list(DISTINCT doc_id)) AS doc_ids,
+       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids,
        count(DISTINCT doc_id) AS n_docs
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
 GROUP BY word
@@ -86,7 +86,7 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(tokens()).alias("word"))
         .groupBy("word")
         .agg(
-            F.sort_array(F.collect_set("doc_id")).alias("doc_ids"),
+            F.array_join(F.transform(F.sort_array(F.collect_set("doc_id")), lambda x: x.cast("string")), ",").alias("doc_ids"),
             F.countDistinct("doc_id").alias("n_docs"),
         )
     )

@@ -40,3 +40,19 @@ def test_approx_distinct_within_rsd(spark):
     }
     for flag, n in exact.items():
         assert abs(approx[flag] - n) / n < 0.1  # rsd 0.02, generous margin
+
+
+def test_approx_percentile_close_to_exact(spark):
+    sf = "/root/testdata/sf0.01"
+    from mapreduce_server_spark import REGISTRY
+
+    exact = {
+        r.event_type: r.med for r in REGISTRY["agg_percentile"].fn(spark, sf).collect()
+    }
+    approx = {
+        r.event_type: r.approx_med
+        for r in REGISTRY["agg_approx_percentile"].fn(spark, sf).collect()
+    }
+    for et, med in exact.items():
+        # accuracy 1000 → rank error ≤ ~0.1%; generous value-space margin
+        assert abs(approx[et] - med) / max(abs(med), 1e-9) < 0.05
