@@ -202,7 +202,10 @@ SELECT
   len(embedding) AS dim,
   embedding[1]::DOUBLE AS first_elem,
   list_contains(embedding, embedding[1]) AS has_first,
-  list_sort(embedding[1:4])::DOUBLE[] AS first4_sorted,
+  list_sort(embedding[1:4])[1]::DOUBLE AS s4_a,
+  list_sort(embedding[1:4])[2]::DOUBLE AS s4_b,
+  list_sort(embedding[1:4])[3]::DOUBLE AS s4_c,
+  list_sort(embedding[1:4])[4]::DOUBLE AS s4_d,
   round(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), 6)
       AS norm_sq,
   round(list_sum(list_transform(list_zip(embedding, list_reverse(embedding)),
@@ -227,7 +230,12 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(emb).cast("long").alias("dim"),
         F.element_at(emb, 1).cast("double").alias("first_elem"),
         F.array_contains(emb, F.element_at(emb, 1)).alias("has_first"),
-        F.sort_array(F.slice(emb, 1, 4)).cast("array<double>").alias("first4_sorted"),
+        *[
+            F.element_at(F.sort_array(F.slice(emb, 1, 4)), i + 1)
+            .cast("double")
+            .alias(n)
+            for i, n in enumerate(["s4_a", "s4_b", "s4_c", "s4_d"])
+        ],
         F.round(fold(sq), 6).alias("norm_sq"),
         F.round(fold(dot_rev), 6).alias("dot_reversed"),
     )
