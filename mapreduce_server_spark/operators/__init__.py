@@ -17,6 +17,7 @@ from . import aggregates  # noqa: F401
 from . import dedup  # noqa: F401
 from . import events_batch  # noqa: F401
 from . import multimodal_ops  # noqa: F401
+from . import pipeline  # noqa: F401
 from . import relational  # noqa: F401
 from . import scalars  # noqa: F401
 from . import similarity  # noqa: F401

@@ -344,3 +344,66 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@query(
+    "graph_reverse_links",
+    category="J.text",
+    oracle="""
+SELECT word AS target,
+       array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
+       count(DISTINCT source) AS n_sources
+FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+""",
+)
+def graph_reverse_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse web-link graph [MR04 §2.3]: (source, target) pairs inverted
+    to target → sorted source list. Here sources are the documents'
+    origin feeds and targets their referenced tokens — the same
+    shuffle-on-target + collect shape as for URLs."""
+    d = Tables(spark, sf_dir).documents
+    return (
+        d.select("source", F.explode(tokens()).alias("target"))
+        .groupBy("target")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("source")), ",").alias(
+                "sources"
+            ),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+@query(
+    "text_term_vector",
+    category="J.text",
+    oracle="""
+SELECT source, word, tf
+FROM (SELECT source, word, tf,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY tf DESC, word) AS rn
+      FROM (SELECT source, word, count(*) AS tf
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            GROUP BY source, word))
+WHERE rn <= 5
+""",
+)
+def text_term_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term vector per host [MR04 §2.3]: the top-5 most frequent terms
+    per source feed (groupBy + per-group window top-k)."""
+    d = Tables(spark, sf_dir).documents
+    tf = (
+        d.select("source", F.explode(tokens()).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("tf"), F.asc("word"))
+    return (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "word", "tf")
+    )
