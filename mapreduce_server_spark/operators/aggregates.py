@@ -473,3 +473,25 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.99, 1000).alias("approx_p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_bool",
+    category="D.agg",
+    oracle="""
+SELECT user_id,
+       bool_and(value > 1)    AS all_nontrivial,
+       bool_or(event_type = 'purchase') AS ever_bought,
+       count(*) FILTER (event_type = 'error') AS n_errors
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates: every/any/count_if per user."""
+    ev = Tables(spark, sf_dir).events
+    return ev.groupBy("user_id").agg(
+        F.bool_and(F.col("value") > 1).alias("all_nontrivial"),
+        F.bool_or(F.col("event_type") == "purchase").alias("ever_bought"),
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+    )

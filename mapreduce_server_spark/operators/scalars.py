@@ -266,3 +266,33 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_schema.alias("k_schema"),
         (k_path % 10).alias("k_bucket"),
     )
+
+
+@query(
+    "scalar_bitwise",
+    category="H.scalar",
+    oracle="""
+SELECT event_id,
+       event_id & 255 AS low_byte,
+       event_id | 4096 AS with_flag,
+       xor(event_id, 1023) AS xored,
+       event_id << 2 AS shifted_l,
+       event_id >> 3 AS shifted_r,
+       bit_count(event_id) AS n_bits
+FROM events
+""",
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator bundle over event ids (hash/bucket plumbing —
+    the primitives the LSH/banding operators build on)."""
+    ev = Tables(spark, sf_dir).events
+    eid = F.col("event_id")
+    return ev.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).alias("low_byte"),
+        eid.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        eid.bitwiseXOR(F.lit(1023)).alias("xored"),
+        F.shiftleft(eid, 2).alias("shifted_l"),
+        F.shiftright(eid, 3).alias("shifted_r"),
+        F.bit_count(eid).cast("long").alias("n_bits"),
+    )

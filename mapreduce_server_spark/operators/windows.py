@@ -56,6 +56,7 @@ SELECT p_partkey, p_brand, p_retailprice,
        rank()         OVER w AS rnk,
        dense_rank()   OVER w AS drnk,
        percent_rank() OVER w AS prnk,
+       cume_dist()    OVER w AS cdist,
        ntile(4)       OVER w AS quartile
 FROM part
 WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
@@ -74,6 +75,7 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
         F.ntile(4).over(w).alias("quartile"),
     )
 
