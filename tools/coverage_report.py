@@ -95,6 +95,7 @@ SURVEY_MAP: dict[str, str] = {
         "wordcount → text_wordcount; sort → sort_global (TeraSort)"
     ),
     "curation pipeline composition (north star)": "pipeline_curation (quality→dedup→join→stats in one plan)",
+    "composite TPC-H-shaped workloads": "q1_pricing_summary, q3_join_topk, q5_local_volume, q10_returned_items, q12_priority_class, q14_promo_ratio",
     "udf_python": "udf_python",
     "udf_pandas_scalar": "udf_pandas_scalar",
     "udaf_pandas": "udaf_pandas",
