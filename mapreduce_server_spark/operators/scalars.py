@@ -296,3 +296,33 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(eid, 3).alias("shifted_r"),
         F.bit_count(eid).cast("long").alias("n_bits"),
     )
+
+
+@query(
+    "scalar_trig",
+    category="H.scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(sin(l_discount), 6) AS sin_d,
+       round(cos(l_discount), 6) AS cos_d,
+       round(atan2(l_quantity, l_extendedprice), 6) AS angle,
+       round(degrees(atan2(l_quantity, l_extendedprice)), 6) AS angle_deg,
+       round(exp(l_discount), 6) AS exp_d
+FROM lineitem
+""",
+)
+def scalar_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric/exponential bundle (rounded to 6 dp — libm drift,
+    same policy as scalar_math)."""
+    li = Tables(spark, sf_dir).lineitem
+    d = F.col("l_discount")
+    at = F.atan2(F.col("l_quantity"), F.col("l_extendedprice"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin(d), 6).alias("sin_d"),
+        F.round(F.cos(d), 6).alias("cos_d"),
+        F.round(at, 6).alias("angle"),
+        F.round(F.degrees(at), 6).alias("angle_deg"),
+        F.round(F.exp(d), 6).alias("exp_d"),
+    )

@@ -40,7 +40,8 @@ def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
     return _QV_CACHE[sf_dir]
 # 6 planes → 64 buckets: sized so fixture-scale buckets hold ~8-30 vectors
 # (candidate set non-trivial); at real scale raise planes with corpus size
-# and multi-probe neighboring buckets to recover recall.
+# (candidates per probe ≈ n / 2^planes). Multi-probe (Hamming-1 flips)
+# recovers the recall lost at bucket edges — implemented in knn_lsh.
 N_PLANES = 6
 
 
@@ -189,10 +190,14 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc += float(x) * c
         if acc >= 0:
             q_bucket += 1 << p
+    # multi-probe: also search the N_PLANES Hamming-1 neighbor buckets —
+    # vectors near a hyperplane land on either side, so probing adjacent
+    # sign-flips recovers most of the recall LSH loses at bucket edges
+    probes = [q_bucket] + [q_bucket ^ (1 << p) for p in range(N_PLANES)]
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .withColumn("bucket", bucket_of(F.col("embedding")))
-        .filter(F.col("bucket") == F.lit(q_bucket))
+        .filter(F.col("bucket").isin(probes))
         .select(
             "vec_id",
             "bucket",

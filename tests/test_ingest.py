@@ -58,3 +58,22 @@ def test_write_partitioned_layout(spark):
     dirs = {d for d in os.listdir(path) if d.startswith("event_type=")}
     assert dirs == {f"event_type={t}" for t in ["click", "error", "purchase", "signup", "view"]}
     assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_loader_rejects_unknown_table(spark):
+    import pytest
+    from mapreduce_server_spark.sources.loader import load_table
+
+    with pytest.raises(KeyError):
+        load_table(spark, SF001, "nonexistent")
+
+
+def test_csv_failfast_on_malformed(spark):
+    import pytest
+
+    path = os.path.join(SCRATCH, "bad.csv")
+    os.makedirs(SCRATCH, exist_ok=True)
+    with open(path, "w") as f:
+        f.write("a,b\n1,2\nnot_an_int,3\n")
+    with pytest.raises(Exception):
+        ingest.read_csv(spark, path, "a INT, b INT").collect()

@@ -69,3 +69,23 @@ def test_salted_agg_two_stage(spark):
     p = _plan(spark, "agg_salted")
     # stage-1 on (key, salt), stage-2 on key → at least 3 HashAggregates
     assert p.count("HashAggregate") >= 3
+
+
+def test_shared_scan_cache_reuse(spark):
+    """Recurring-workload pattern (shared execution of recurring
+    workloads, VLDB'15): cache a shared intermediate once; subsequent
+    queries read the in-memory columnar form instead of rescanning."""
+    from mapreduce_server_spark.sources.loader import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF001, "lineitem").filter(F.col("l_quantity") > 25)
+    li.cache()
+    try:
+        li.count()  # materialize
+        q1 = li.groupBy("l_returnflag").count()
+        q2 = li.agg(F.sum("l_quantity"))
+        assert "InMemoryTableScan" in plan_string(q1, "simple")
+        assert "InMemoryTableScan" in plan_string(q2, "simple")
+        assert q1.count() == 3
+    finally:
+        li.unpersist()

@@ -23,9 +23,30 @@ def test_knn_lsh_scores_match_bruteforce(spark):
             assert exact_all[r.vec_id] == r.cos_sim
 
 
-def test_knn_lsh_single_bucket(spark):
-    rows = REGISTRY["knn_lsh"].fn(spark, "/root/testdata/sf0.01").collect()
-    assert len({r.bucket for r in rows}) == 1
+def test_knn_lsh_multiprobe_buckets_and_recall(spark):
+    """Candidates come only from the query bucket or its Hamming-1
+    sign-flips (the multi-probe set), and the probe set is enough to
+    recover the exact top-1 neighbor on this corpus."""
+    sf = "/root/testdata/sf0.01"
+    from mapreduce_server_spark.operators.similarity import (
+        N_PLANES,
+        _hyperplane,
+        _query_vector,
+    )
+
+    qv = _query_vector(spark, sf)
+    q_bucket = 0
+    for p in range(N_PLANES):
+        acc = 0.0
+        for x, c in zip(qv, _hyperplane(p)):
+            acc += float(x) * c
+        if acc >= 0:
+            q_bucket += 1 << p
+    probes = {q_bucket} | {q_bucket ^ (1 << p) for p in range(N_PLANES)}
+    rows = REGISTRY["knn_lsh"].fn(spark, sf).collect()
+    assert {r.bucket for r in rows} <= probes
+    brute_top1 = REGISTRY["knn_bruteforce"].fn(spark, sf).collect()[0].vec_id
+    assert brute_top1 in {r.vec_id for r in rows}
 
 
 def test_approx_distinct_within_rsd(spark):
