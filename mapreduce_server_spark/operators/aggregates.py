@@ -495,3 +495,33 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("event_type") == "purchase").alias("ever_bought"),
         F.count_if(F.col("event_type") == "error").alias("n_errors"),
     )
+
+
+@query(
+    "agg_argmax",
+    category="D.agg",
+    oracle="""
+SELECT user_id, event_id AS top_event, value AS top_value
+FROM (SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""",
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic arg-max per group via struct-max: ``max(struct(value,
+    event_id))`` orders lexicographically, so value ties break on the
+    highest event_id — unlike ``max_by``, whose tie winner is
+    engine/partitioning-dependent and would flake the hash gate."""
+    ev = Tables(spark, sf_dir).events
+    s = F.max(F.struct(F.col("value"), F.col("event_id"))).alias("s")
+    return (
+        ev.groupBy("user_id")
+        .agg(s)
+        .select(
+            "user_id",
+            F.col("s.event_id").alias("top_event"),
+            F.col("s.value").alias("top_value"),
+        )
+    )

@@ -326,3 +326,70 @@ def scalar_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.degrees(at), 6).alias("angle_deg"),
         F.round(F.exp(d), 6).alias("exp_d"),
     )
+
+
+@query(
+    "scalar_hash",
+    category="H.scalar",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS h_md5,
+       sha256(text) AS h_sha256,
+       substring(md5(concat(lang, ':', text)), 1, 16) AS h_salted
+FROM documents
+""",
+)
+def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash bundle (content addressing / fingerprint
+    plumbing; both engines emit lowercase hex)."""
+    d = Tables(spark, sf_dir).documents
+    txt = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.md5(txt).alias("h_md5"),
+        F.sha2(txt, 256).alias("h_sha256"),
+        F.substring(
+            F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("text")).cast("binary")),
+            1,
+            16,
+        ).alias("h_salted"),
+    )
+
+
+@query(
+    "scalar_array_setops",
+    category="H.scalar",
+    oracle="""
+WITH t AS (SELECT doc_id,
+                  string_split(text, ' ')[1:6]  AS a,
+                  string_split(text, ' ')[4:10] AS b
+           FROM documents)
+SELECT doc_id,
+       array_to_string(list_sort(list_distinct(list_concat(a, b))), ',')
+           AS union_ab,
+       coalesce(array_to_string(list_sort(list_distinct(
+           list_filter(a, x -> list_contains(b, x)))), ','), '')
+           AS intersect_ab,
+       coalesce(array_to_string(list_sort(list_distinct(
+           list_filter(a, x -> NOT list_contains(b, x)))), ','), '')
+           AS except_ab
+FROM t
+""",
+)
+def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations (union/intersect/except over token slices),
+    canonicalized by sort+distinct and emitted as joined strings."""
+    d = Tables(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    a = F.slice(toks, 1, 6)
+    b = F.slice(toks, 4, 7)
+
+    def canon(arr):
+        return F.array_join(F.array_sort(F.array_distinct(arr)), ",")
+
+    return d.select(
+        "doc_id",
+        canon(F.concat(a, b)).alias("union_ab"),
+        canon(F.array_intersect(a, b)).alias("intersect_ab"),
+        canon(F.array_except(a, b)).alias("except_ab"),
+    )
