@@ -525,3 +525,21 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.value").alias("top_value"),
         )
     )
+
+
+@query(
+    "agg_histogram",
+    category="D.agg",
+    oracle="""
+SELECT floor(o_totalprice / 50000)::BIGINT AS bucket, count(*) AS n
+FROM orders
+GROUP BY 1
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value histogram by floor-bucketing (the jobs.histogram builder
+    registered over orders) — the bucket key is the group key, so the
+    shuffle carries |buckets| rows per partition."""
+    from ..jobs import histogram
+
+    return histogram(Tables(spark, sf_dir).orders, "o_totalprice", 50000.0)
