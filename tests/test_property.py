@@ -127,3 +127,65 @@ def test_union_except(spark, rows):
              SELECT k FROM t UNION ALL SELECT k FROM t WHERE v > 0
            ) EXCEPT ALL SELECT k FROM t WHERE s = 'a'""",
     )
+
+
+@SETTINGS
+@given(rows=ROWS)
+def test_running_sum_prefixes(spark, rows):
+    """Running ROWS-frame sums agree with DuckDB for arbitrary int data
+    (the window-ordering + frame semantics, not just the fixture shape)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy("k")
+        .orderBy("v", "s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    _both(
+        spark,
+        rows,
+        lambda df: df.dropDuplicates(["k", "v", "s"]).select(
+            "k", "v", "s", F.sum("v").over(w).alias("run")
+        ),
+        """SELECT k, v, s,
+                  sum(v) OVER (PARTITION BY k ORDER BY v, s
+                               ROWS UNBOUNDED PRECEDING)::BIGINT AS run
+           FROM (SELECT DISTINCT k, v, s FROM t)""",
+    )
+
+
+@SETTINGS
+@given(rows=ROWS)
+def test_gap_sessionization_invariants(spark, rows):
+    """Gap-based session ids (the stream_session algorithm) on arbitrary
+    int 'timestamps': same flag→running-sum form on both engines."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = lambda df: df.dropDuplicates(["k", "v"]).select("k", "v")  # noqa: E731
+    w = Window.partitionBy("k").orderBy("v")
+    run = Window.partitionBy("k").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+
+    def spark_fn(df):
+        d = base(df)
+        flag = F.when(
+            F.lag("v").over(w).isNull() | (F.col("v") - F.lag("v").over(w) > 100), 1
+        ).otherwise(0)
+        return d.withColumn("sid", F.sum(flag).over(run))
+
+    _both(
+        spark,
+        rows,
+        spark_fn,
+        """WITH d AS (SELECT DISTINCT k, v FROM t),
+        f AS (SELECT k, v,
+                     CASE WHEN lag(v) OVER w IS NULL OR v - lag(v) OVER w > 100
+                          THEN 1 ELSE 0 END AS flag
+              FROM d WINDOW w AS (PARTITION BY k ORDER BY v))
+        SELECT k, v, sum(flag) OVER (PARTITION BY k ORDER BY v
+                                     ROWS UNBOUNDED PRECEDING)::BIGINT AS sid
+        FROM f""",
+    )
