@@ -333,9 +333,9 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return p.select(
         "o_orderpriority",
-        F.col("O_n").alias("n_open"),
-        F.col("F_n").alias("n_filled"),
-        F.col("P_n").alias("n_pending"),
+        F.coalesce(F.col("O_n"), F.lit(0).cast("long")).alias("n_open"),
+        F.coalesce(F.col("F_n"), F.lit(0).cast("long")).alias("n_filled"),
+        F.coalesce(F.col("P_n"), F.lit(0).cast("long")).alias("n_pending"),
         F.coalesce(F.col("O_t").cast("double"), F.lit(0.0)).alias("open_total"),
     )
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import DUCK_DOT, DUCK_NORM
+from ..functions.vector import DUCK_DOT, DUCK_NORM, cosine
 from ..registry import query
 from ..sources.loader import Tables
 
@@ -254,10 +254,16 @@ WHERE {DUCK_DOT.format(a="a.embedding", b="b.embedding")}
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (≥ 0.5) as a blocked matrix
     product: corpus broadcast once, each Arrow batch computes its cosine
-    row-block in BLAS and emits only qualifying (vec_a < vec_b) pairs —
+    row-block in BLAS and emits qualifying (vec_a < vec_b) CANDIDATES —
     the n²-pair space is scanned but never materialized as rows (same
     escape-hatch rationale as knn_join; LSH bucketing is the
-    beyond-broadcast scale path)."""
+    beyond-broadcast scale path).
+
+    Float discipline: BLAS prunes with an epsilon-relaxed threshold only;
+    the surviving pairs (a vanishing fraction of n²) are re-scored JVM-side
+    with the sequential-fold ``cosine()``, whose fold order is bit-identical
+    to the DuckDB oracle — so the ≥ 0.5 cut and the 6-dp rounding are
+    decided by the same arithmetic on both engines."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
@@ -278,16 +284,24 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_ids = np.array(pdf["vec_id"], dtype=np.int64)
             q_norms = np.sqrt((q * q).sum(axis=1))
             cos = (q @ c_mat.T) / (q_norms[:, None] * c_norms[None, :])
-            keep_a, keep_b, keep_s = [], [], []
+            keep_a, keep_b = [], []
             for i, vid in enumerate(q_ids):
-                mask = (c_ids > vid) & (cos[i] >= 0.5)
+                # relaxed cut: summation-order noise is ~1e-13 relative,
+                # 1e-6 margin guarantees no JVM-acceptable pair is pruned
+                mask = (c_ids > vid) & (cos[i] >= 0.5 - 1e-6)
                 keep_a.extend([vid] * int(mask.sum()))
                 keep_b.extend(c_ids[mask])
-                keep_s.extend(np.round(cos[i][mask], 6))
-            yield pd.DataFrame(
-                {"vec_a": keep_a, "vec_b": keep_b, "cos_sim": keep_s}
-            )
+            yield pd.DataFrame({"vec_a": keep_a, "vec_b": keep_b})
 
-    return e.select("vec_id", "embedding").mapInPandas(
-        pairs, "vec_a BIGINT, vec_b BIGINT, cos_sim DOUBLE"
+    cand = e.select("vec_id", "embedding").mapInPandas(
+        pairs, "vec_a BIGINT, vec_b BIGINT"
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    sim = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        cand.join(F.broadcast(ea), "vec_a")
+        .join(F.broadcast(eb), "vec_b")
+        .where(sim >= 0.5)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
     )

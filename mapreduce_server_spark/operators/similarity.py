@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import DUCK_DOT, DUCK_NORM, cosine, dot, norm
@@ -121,7 +121,13 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ICDE'19 trajectory-join); beyond broadcastable corpus sizes, bucket
     with knn_lsh first. A pure-DataFrame crossJoin+window form computes
     the same result ~50× slower (per-element expression folds) — the
-    sanctioned pandas-UDF escape hatch (ARCHITECTURE.md §6)."""
+    sanctioned pandas-UDF escape hatch (ARCHITECTURE.md §6).
+
+    Float discipline: BLAS only PRUNES (top-10 candidates per vector, a
+    margin over k=3 that summation-order ulps cannot cross); the final
+    score and the (score DESC, nbr_id) ranking are computed JVM-side with
+    the sequential-fold ``dot()`` that matches the DuckDB oracle
+    bit-for-bit."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
@@ -138,20 +144,34 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             q = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             scores = q @ corpus_m.T  # (batch, n) in BLAS
-            out_v, out_n, out_s = [], [], []
+            out_v, out_n = [], []
             for i, vid in enumerate(pdf["vec_id"]):
-                row = np.round(scores[i], 6)
                 mask = nbr_ids != vid
-                # order by (-score, nbr_id): lexsort's last key is primary
-                cand_n, cand_s = nbr_ids[mask], row[mask]
-                order = np.lexsort((cand_n, -cand_s))[:3]
+                cand_n, cand_s = nbr_ids[mask], scores[i][mask]
+                order = np.lexsort((cand_n, -cand_s))[:10]
                 out_v.extend([vid] * len(order))
                 out_n.extend(cand_n[order])
-                out_s.extend(cand_s[order])
-            yield pd.DataFrame({"vec_id": out_v, "nbr_id": out_n, "score": out_s})
+            yield pd.DataFrame({"vec_id": out_v, "nbr_id": out_n})
 
-    return e.select("vec_id", "embedding").mapInPandas(
-        topk, "vec_id BIGINT, nbr_id BIGINT, score DOUBLE"
+    cand = e.select("vec_id", "embedding").mapInPandas(
+        topk, "vec_id BIGINT, nbr_id BIGINT"
+    )
+    ea = e.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("emb_b"))
+    scored = (
+        cand.join(F.broadcast(ea), "vec_id")
+        .join(F.broadcast(eb), "nbr_id")
+        .select(
+            "vec_id",
+            "nbr_id",
+            F.round(dot(F.col("emb_a"), F.col("emb_b")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("vec_id", "nbr_id", "score")
     )
 
 

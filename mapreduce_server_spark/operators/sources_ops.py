@@ -56,7 +56,10 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     value match proves the sink lost nothing. partitionBy is also the
     100 TB layout primitive that makes future partition pruning free."""
     li = Tables(spark, sf_dir).lineitem
-    out = os.path.join(SCRATCH, "sink_partitioned")
+    # sf-tagged path: the registry plan cache is keyed by (app, sf_dir), so
+    # two scale factors in one session must not share one sink directory.
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(SCRATCH, f"sink_partitioned_{tag}")
     (
         li.select("l_orderkey", "l_quantity", "l_returnflag")
         .write.mode("overwrite")

@@ -334,13 +334,20 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial agg collapses to |vocab|² keys max)."""
     d = Tables(spark, sf_dir).documents
     toks = tokens()
-    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    # 1-token docs: sequence(1, 0) infers step -1 → [1, 0] and element_at(0)
+    # raises under ANSI; filter them out first (DuckDB's generate_series(1, 0)
+    # is empty, so dropping them matches the oracle).
+    idx = F.sequence(F.lit(1), F.size(F.col("t")) - 1)
     bigrams = F.transform(
         idx,
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+        ),
     )
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        d.select(toks.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
