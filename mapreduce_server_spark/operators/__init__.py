@@ -25,5 +25,6 @@ from . import sorts_sets  # noqa: F401
 from . import sources_ops  # noqa: F401
 from . import text  # noqa: F401
 from . import tpch_shapes  # noqa: F401
+from . import tpch_suite  # noqa: F401
 from . import udfs  # noqa: F401
 from . import windows  # noqa: F401
