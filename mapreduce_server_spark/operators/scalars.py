@@ -393,3 +393,131 @@ def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         canon(F.array_intersect(a, b)).alias("intersect_ab"),
         canon(F.array_except(a, b)).alias("except_ab"),
     )
+
+
+@query(
+    "scalar_format",
+    category="H.scalar",
+    oracle="""
+SELECT p_partkey,
+       printf('P%05d-%s', p_partkey, p_brand)      AS part_code,
+       lpad(p_brand, 12, '*')                      AS brand_lpad,
+       rpad(p_type, 10, '.')                       AS type_rpad,
+       repeat('-', p_size % 5)                     AS size_dashes,
+       reverse(p_type)                             AS type_rev,
+       translate(p_type, 'AEO', 'aeo')             AS type_tr,
+       replace(p_name, ' ', '_')                   AS name_snake,
+       printf('%x', p_partkey * 2654435761)        AS key_hex
+FROM part
+""",
+)
+def scalar_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting bundle: printf-style templating (Java Formatter
+    ≡ DuckDB printf for %d/%s/%x), padding, repetition, translate. All
+    JVM-side codegen'd expressions; integer-only printf args so the two
+    engines' float-rendering differences never enter."""
+    p = Tables(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.format_string("P%05d-%s", "p_partkey", "p_brand").alias("part_code"),
+        F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+        F.rpad("p_type", 10, ".").alias("type_rpad"),
+        F.repeat(F.lit("-"), (F.col("p_size") % 5).cast("int")).alias("size_dashes"),
+        F.reverse("p_type").alias("type_rev"),
+        F.translate("p_type", "AEO", "aeo").alias("type_tr"),
+        F.replace("p_name", F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.format_string("%x", F.col("p_partkey") * F.lit(2654435761)).alias("key_hex"),
+    )
+
+
+@query(
+    "scalar_url",
+    category="H.scalar",
+    oracle="""
+SELECT doc_id,
+       'https://' || source || '.example.org/docs/' || doc_id
+           || '?lang=' || lang || '&v=2'           AS url,
+       source || '.example.org'                    AS host,
+       '/docs/' || doc_id                          AS path,
+       'lang=' || lang || '&v=2'                   AS query,
+       lang                                        AS lang_param,
+       'https'                                     AS protocol
+FROM documents
+""",
+)
+def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing: a URL is synthesized from fixture columns (the corpus
+    has no URL column), then decomposed with Spark's ``parse_url``
+    (HOST/PATH/QUERY/param/PROTOCOL). The oracle states the ground-truth
+    components directly from the same source columns, so the check is
+    that parse_url inverts the construction exactly."""
+    d = Tables(spark, sf_dir).documents
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/docs/"),
+        F.col("doc_id"), F.lit("?lang="), F.col("lang"), F.lit("&v=2"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
+    )
+
+
+@query(
+    "scalar_ip",
+    category="H.scalar",
+    oracle="""
+WITH ips AS (
+  SELECT event_id,
+         (user_id % 223 + 1) || '.' || (floor(value)::BIGINT % 256) || '.'
+             || (event_id % 256) || '.' || ((event_id // 256) % 256) AS ip
+  FROM events
+), oct AS (
+  SELECT event_id, ip,
+         string_split(ip, '.')[1]::BIGINT AS o1,
+         string_split(ip, '.')[2]::BIGINT AS o2,
+         string_split(ip, '.')[3]::BIGINT AS o3,
+         string_split(ip, '.')[4]::BIGINT AS o4
+  FROM ips
+)
+SELECT event_id, ip,
+       o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_num,
+       o1 || '.' || o2 || '.' || o3 || '.0/24'    AS subnet24,
+       CASE WHEN o1 = 10 OR (o1 = 172 AND o2 >= 16 AND o2 <= 31)
+                 OR (o1 = 192 AND o2 = 168)
+            THEN TRUE ELSE FALSE END               AS is_private
+FROM oct
+""",
+)
+def scalar_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP address derivation: an IPv4 string is synthesized from event
+    keys, then parsed back — octet split with cast, 32-bit numeric form,
+    /24 subnet rollup key, RFC-1918 private-range classification. The
+    subnet key is the canonical group-by for network-level aggregation at
+    scale (clickstream rollups shuffle on subnet24, not raw IP)."""
+    ev = Tables(spark, sf_dir).events
+    ip = F.concat_ws(
+        ".",
+        (F.col("user_id") % 223 + 1),
+        (F.floor("value").cast("long") % 256),
+        (F.col("event_id") % 256),
+        (F.expr("event_id div 256") % 256),
+    )
+    oct_ = F.split(ip, "\\.")
+    o = [F.element_at(oct_, i).cast("long") for i in (1, 2, 3, 4)]
+    is_priv = (
+        (o[0] == 10)
+        | ((o[0] == 172) & (o[1] >= 16) & (o[1] <= 31))
+        | ((o[0] == 192) & (o[1] == 168))
+    )
+    return ev.select(
+        "event_id",
+        ip.alias("ip"),
+        (o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]).alias("ip_num"),
+        F.concat_ws(".", o[0], o[1], o[2], F.lit("0/24")).alias("subnet24"),
+        is_priv.alias("is_private"),
+    )
