@@ -188,3 +188,53 @@ def stream_running_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return per_day.withColumn("cum_users", F.sum("new_users").over(w))
+
+
+@query(
+    "stream_join",
+    category="I.stream",
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       (epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP)) // 1000000
+           AS lag_s
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+""",
+)
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution pairs within 24 h per user — the batch
+    form of a stream-stream interval join. In batch this is an equi-join
+    on user_id with a range predicate (one shuffle, range evaluated post-
+    join); the streaming twin (streaming/twins.interval_join) runs the
+    same condition over two watermarked streams, where the time bounds
+    are what let Spark evict join state — an unbounded stream-stream join
+    would hold both streams forever."""
+    ev = Tables(spark, sf_dir).events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 24 HOURS"))
+    )
+    lag_s = F.floor(
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")) / F.lit(1_000_000)
+    )
+    return clicks.join(purchases, cond).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        lag_s.alias("lag_s"),
+    )
