@@ -70,3 +70,51 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty")
     )
+
+
+def _daily_rollup_view() -> "MaterializedView":
+    from ..serving.matview import MaterializedView
+
+    def keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = Tables(spark, sf_dir).events
+        return ev.select(F.to_date("ts").cast("string").alias("day")).distinct()
+
+    def build(spark: SparkSession, sf_dir: str, days: list | None) -> DataFrame:
+        ev = Tables(spark, sf_dir).events
+        day = F.to_date("ts").cast("string")
+        if days is not None:
+            # the pruning predicate: at scale this hits the source's
+            # day-partition layout and reads only the new days
+            ev = ev.filter(day.isin(days))
+        return ev.groupBy(day.alias("day"), "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+
+    return MaterializedView("daily_rollup", "day", keys, build)
+
+
+@query(
+    "matview_daily_rollup",
+    category="A.sink",
+    oracle="""
+SELECT ts::TIMESTAMP::DATE::VARCHAR AS day, event_type,
+       count(*) AS n,
+       sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def matview_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized daily event rollup, refreshed partition-incrementally
+    and read back (serving/matview.py — the recurring-workload pattern:
+    an hourly dashboard refresh over an append-only log rescans only the
+    days that gained data, via the pushed-down day predicate). The oracle
+    aggregates the source directly, so the value match proves refresh +
+    storage round-trip lost nothing; the incremental path itself is
+    pytest-verified (tests/test_matview.py)."""
+    mv = _daily_rollup_view()
+    mv.refresh(spark, sf_dir)
+    return mv.read(spark, sf_dir)
