@@ -630,10 +630,12 @@ GROUP BY s_name
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who alone delayed a multi-supplier
     order. The classic EXISTS / NOT EXISTS pair collapses into per-order
-    flag aggregation (n_supp > 1 ≙ EXISTS other supplier; n_late = 1 ≙
-    NOT EXISTS other late supplier) — two groupBys on the same orderkey
-    partitioning instead of two correlated joins, the shuffle-reuse
-    form."""
+    flags (n_supp > 1 ≙ EXISTS other supplier; n_late = 1 ≙ NOT EXISTS
+    other late supplier), computed as WINDOW aggregates over the same
+    orderkey partitioning the (ok, sk) groupBy just produced — one
+    Exchange serves both, where the naive ol⋈stats self-join would scan
+    and shuffle the lineitem⋈orders subtree twice (the plan test pins
+    the exchange count)."""
     t = Tables(spark, sf_dir)
     late_flag = F.max(
         F.when(
@@ -645,11 +647,10 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
         .agg(late_flag.alias("late"))
     )
-    stats = ol.groupBy("ok").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
-    )
+    wok = Window.partitionBy("ok")
     return (
-        ol.join(stats, "ok")
+        ol.withColumn("n_supp", F.count(F.lit(1)).over(wok))
+        .withColumn("n_late", F.sum("late").over(wok))
         .where((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
         .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("sk"))
         .groupBy("s_name")

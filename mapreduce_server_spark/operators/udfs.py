@@ -106,3 +106,43 @@ def udtf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+@query(
+    "udtf_python",
+    category="K.udf",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+     c AS (SELECT doc_id, toks,
+                  unnest(generate_series(0, (len(toks) - 1) // 50)) AS chunk_idx
+           FROM t)
+SELECT doc_id, chunk_idx,
+       least(50, len(toks) - chunk_idx * 50) AS n_tokens,
+       toks[chunk_idx * 50 + 1] AS first_token
+FROM c
+""",
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based Python UDTF (Spark 4 table function API): chunk each
+    document into 50-token windows — the training-data chunking shape —
+    emitting (chunk_idx, n_tokens, first_token) per window via a LATERAL
+    correlated call. Unlike udtf_flatmap (declarative posexplode, the
+    right default), this is the escape hatch for row→table expansions
+    with imperative per-row logic; row-at-a-time pickled worker, so the
+    hot path should prefer built-ins or arrow-batched forms."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx BIGINT, n_tokens BIGINT, first_token STRING")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(0, len(toks), 50):
+                c = toks[i : i + 50]
+                yield (i // 50, len(c), c[0])
+
+    spark.udtf.register("mrss_chunk_doc", ChunkDoc)
+    Tables(spark, sf_dir).documents.createOrReplaceTempView("__mrss_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.first_token "
+        "FROM __mrss_udtf_docs d, LATERAL mrss_chunk_doc(d.text) c"
+    )

@@ -89,3 +89,47 @@ def test_shared_scan_cache_reuse(spark):
         assert q1.count() == 3
     finally:
         li.unpersist()
+
+
+def test_tpch_suite_broadcasts_dimensions(spark):
+    """The new TPC-H shapes keep dimension chains broadcast: the only
+    sort-merge/shuffled joins allowed are fact-fact (lineitem-orders)."""
+    for key in ("q5_local_volume", "q7_volume_shipping", "q9_product_profit"):
+        p = _plan(spark, key)
+        assert "BroadcastHashJoin" in p, key
+    # q19: part broadcast, zero Exchange before the final 1-row agg
+    p = _plan(spark, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in p
+
+
+def test_q4_semi_join_shape(spark):
+    p = _plan(spark, "q4_priority_exists")
+    assert "LeftSemi" in p
+    assert "PushedFilters" in p and "o_orderdate" in p.split("PushedFilters")[1][:400]
+
+
+def test_q6_all_predicates_pushed(spark):
+    p = _plan(spark, "q6_forecast_revenue")
+    pushed = p.split("PushedFilters")[1][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q16_not_in_is_anti_join(spark):
+    p = _plan(spark, "q16_supplier_counts")
+    assert "LeftAnti" in p
+
+
+def test_q21_single_pass_flags(spark):
+    """The window form computes both per-order flags on one orderkey
+    partitioning: lineitem⋈orders must appear ONCE (the self-join form
+    duplicates the whole subtree), and exchanges stay bounded at
+    join(2) + (ok,sk) agg + ok window + s_name agg + supplier
+    broadcast = 6."""
+    import re
+
+    p = _plan(spark, "q21_waiting_suppliers")
+    assert p.count("lineitem.parquet") == 1
+    n_exchanges = len(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", p))
+    assert n_exchanges <= 6, p
