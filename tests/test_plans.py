@@ -129,7 +129,12 @@ def test_q21_single_pass_flags(spark):
     broadcast = 6."""
     import re
 
-    p = _plan(spark, "q21_waiting_suppliers")
+    # fresh plan (module fn, not the registry's memoized one): a prior
+    # collect() finalizes AQE and explain() then prints final + initial
+    # trees, double-counting nodes
+    from mapreduce_server_spark.operators.tpch_suite import q21_waiting_suppliers
+
+    p = plan_string(q21_waiting_suppliers(spark, SF001), "formatted")
     assert p.count("lineitem.parquet") == 1
     n_exchanges = len(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", p))
     assert n_exchanges <= 6, p
