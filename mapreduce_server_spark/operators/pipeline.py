@@ -73,3 +73,135 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         (F.sum("n_tokens") / F.count(F.lit(1))).alias("avg_tokens"),
     )
+
+
+@query(
+    "pack_sequences",
+    category="J.pipeline",
+    oracle="""
+WITH t AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT source, (cum - n_tokens) // 256 AS seq_id,
+       count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY 1, 2
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training-data layout: concatenate documents
+    in deterministic order and cut 256-token sequences — each doc's
+    sequence is its starting offset ÷ budget (concat-then-chunk, the
+    standard pretraining pack). Packing runs per source shard
+    (partitionBy(source)) so shards pack in parallel with no global
+    coordination — at 100 TB the shard key is the file/partition id, and
+    the window is an in-partition scan after one shuffle on the shard
+    key. Integer token counts keep the running sum exact on both
+    engines."""
+    d = Tables(spark, sf_dir).documents
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select("source", "doc_id", n_tokens.alias("n_tokens")).withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    return c.groupBy(
+        "source",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(256)).alias("seq_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@query(
+    "split_deterministic",
+    category="J.pipeline",
+    oracle="""
+WITH b AS (
+  SELECT lang, substring(md5(doc_id::VARCHAR), 1, 2) AS hx FROM documents
+)
+SELECT lang,
+       CASE WHEN hx < 'cd' THEN 'train'
+            WHEN hx < 'e7' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n
+FROM b GROUP BY 1, 2
+""",
+)
+def split_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~80/10/10) by hashing the
+    stable document key — the split is a pure function of doc_id, so it
+    is reproducible across runs, engines and cluster sizes, and new
+    documents never reshuffle old assignments (the property random
+    splits lose). Bucketing compares the first md5 hex byte
+    lexicographically ('cd'=205/256≈80%, 'e7'=231/256≈90%)."""
+    d = Tables(spark, sf_dir).documents
+    hx = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    split = (
+        F.when(hx < "cd", "train").when(hx < "e7", "val").otherwise("test")
+    )
+    return d.select("lang", split.alias("split")).groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "decontaminate",
+    category="J.pipeline",
+    oracle="""
+WITH bench AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
+           i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')
+         ))) AS sh
+  FROM documents WHERE doc_id < 10
+),
+train AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
+           i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')
+         ))) AS sh
+  FROM documents WHERE doc_id >= 10
+)
+SELECT t.doc_id, count(*) AS n_hits
+FROM train t JOIN bench b USING (sh)
+GROUP BY t.doc_id
+""",
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents sharing any 8-gram
+    with the benchmark set (doc_id < 10 stands in for an eval suite),
+    with the number of contaminated shingles per document. The benchmark
+    shingle set is tiny → broadcast to the training shingle stream, so
+    the scan of the 100 TB side never shuffles; training docs explode to
+    distinct shingles once (same inverted-index shape as
+    dedup_ngram_jaccard, but one side is small by construction)."""
+    from .dedup import _shingles
+
+    d = Tables(spark, sf_dir).documents
+    bench = (
+        d.filter(F.col("doc_id") < 10)
+        .select(F.explode(_shingles(k=8)).alias("sh"))
+        .distinct()
+    )
+    train = d.filter(F.col("doc_id") >= 10).select(
+        "doc_id", F.explode(_shingles(k=8)).alias("sh")
+    )
+    return (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
