@@ -16,6 +16,7 @@ Module ↔ SURVEY.md §2 category map:
 from . import aggregates  # noqa: F401
 from . import dedup  # noqa: F401
 from . import events_batch  # noqa: F401
+from . import graph  # noqa: F401
 from . import multimodal_ops  # noqa: F401
 from . import pipeline  # noqa: F401
 from . import relational  # noqa: F401

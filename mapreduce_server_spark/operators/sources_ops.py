@@ -118,3 +118,47 @@ def matview_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv = _daily_rollup_view()
     mv.refresh(spark, sf_dir)
     return mv.read(spark, sf_dir)
+
+
+#: compaction target size; tiny so fixture-scale data still yields >1 file
+COMPACT_TARGET_BYTES = 256 * 1024
+
+
+@query(
+    "sink_compacted",
+    category="A.sink",
+    oracle="""
+SELECT lang, count(*) AS n, sum(n_chars) AS total_chars
+FROM documents GROUP BY lang
+""",
+)
+def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the 100 TB housekeeping op: a fragmented
+    write (64 files here; in production, streaming micro-batch or
+    per-task outputs) is rewritten to ⌈bytes / target⌉ right-sized files
+    via repartition. Small files are a real scale tax: each costs a
+    footer read + task schedule + NameNode/listing entry, and a 100 TB
+    table fragmented into MB-files makes scans metadata-bound. The
+    oracle aggregates the source directly — the value match proves the
+    two rewrites lost nothing; file-count mechanics are pinned in
+    tests/test_ingest.py."""
+    d = Tables(spark, sf_dir).documents
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    frag = os.path.join(SCRATCH, f"compact_frag_{tag}")
+    compact = os.path.join(SCRATCH, f"compact_out_{tag}")
+    d.repartition(64).write.mode("overwrite").parquet(frag)
+
+    back = spark.read.parquet(frag)
+    frag_bytes = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-frag_bytes // COMPACT_TARGET_BYTES))
+    back.repartition(n_files).write.mode("overwrite").parquet(compact)
+
+    return (
+        spark.read.parquet(compact)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars"))
+    )

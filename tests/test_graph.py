@@ -1,0 +1,55 @@
+"""Iterative PageRank: Spark fixed-point vs a NumPy reference on the
+same synthesized trade graph — the documented criterion for iterative
+float workloads (tolerance compare + exact mass conservation)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+from mapreduce_server_spark.operators.graph import DAMPING, N_ITER, graph_pagerank
+
+from .conftest import SF001
+
+
+def _numpy_pagerank(sf_dir: str) -> dict[int, float]:
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+        FROM read_parquet('{sf_dir}/lineitem.parquet') l
+        JOIN read_parquet('{sf_dir}/orders.parquet') o ON o_orderkey = l_orderkey
+        JOIN read_parquet('{sf_dir}/customer.parquet') c ON c_custkey = o_custkey
+        JOIN read_parquet('{sf_dir}/supplier.parquet') s ON s_suppkey = l_suppkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    nodes = [
+        r[0]
+        for r in con.execute(
+            f"SELECT n_nationkey FROM read_parquet('{sf_dir}/nation.parquet') ORDER BY 1"
+        ).fetchall()
+    ]
+    n = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    w = np.zeros((n, n))
+    for src, dst, cnt in edges:
+        w[idx[src], idx[dst]] = cnt
+    out = w.sum(axis=1)
+    has_out = out > 0
+    p = np.divide(w, out[:, None], out=np.zeros_like(w), where=out[:, None] > 0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(N_ITER):
+        dm = r[~has_out].sum()
+        r = (1 - DAMPING) / n + DAMPING * (r @ p + dm / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    got = {r.node: r.rank for r in graph_pagerank(spark, SF001).collect()}
+    want = _numpy_pagerank(SF001)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    # mass conservation: ranks form a distribution
+    assert abs(sum(got.values()) - 1.0) < 1e-6

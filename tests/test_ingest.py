@@ -77,3 +77,29 @@ def test_csv_failfast_on_malformed(spark):
         f.write("a,b\n1,2\nnot_an_int,3\n")
     with pytest.raises(Exception):
         ingest.read_csv(spark, path, "a INT, b INT").collect()
+
+
+def test_compaction_reduces_file_count(spark):
+    import os
+
+    from mapreduce_server_spark.operators.sources_ops import (
+        COMPACT_TARGET_BYTES,
+        SCRATCH,
+    )
+    from mapreduce_server_spark import REGISTRY
+    from .conftest import SF001
+
+    REGISTRY["sink_compacted"].fn(spark, SF001).collect()
+    tag = os.path.basename(SF001)
+    frag = os.path.join(SCRATCH, f"compact_frag_{tag}")
+    compact = os.path.join(SCRATCH, f"compact_out_{tag}")
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    n_compact = len([f for f in os.listdir(compact) if f.endswith(".parquet")])
+    frag_bytes = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    assert n_frag == 64
+    assert n_compact == max(1, -(-frag_bytes // COMPACT_TARGET_BYTES))
+    assert n_compact < n_frag

@@ -138,3 +138,56 @@ def test_q21_single_pass_flags(spark):
     assert p.count("lineitem.parquet") == 1
     n_exchanges = len(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", p))
     assert n_exchanges <= 6, p
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling, observed end-to-end: a deliberately skewed
+    key (99% of lineitem on one key) through a forced sort-merge join
+    must show skew=true splits in the finalized adaptive plan once the
+    skew thresholds are scaled down to fixture size.
+
+    Two preconditions discovered empirically (both scale lessons):
+    - OptimizeSkewedJoin matches SMJ(Sort(ShuffleStage), Sort(ShuffleStage))
+      only — an aggregate (or any operator) atop either shuffle blocks the
+      split, so the probe side must be a bare shuffled relation.
+    - Splitting reads *subsets of map outputs*, so the skewed side needs
+      >1 mapper; a single small parquet file scans as one map task and its
+      skewed partition cannot be split. repartition(16) provides mappers.
+    """
+    from pyspark.sql import functions as F
+
+    from mapreduce_server_spark.sources.loader import load_table
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF001, "lineitem").repartition(16)
+        skewed = li.withColumn(
+            "k",
+            F.when(F.col("l_orderkey") % 100 < 99, F.lit(0)).otherwise(
+                F.col("l_orderkey")
+            ),
+        ).select("k", "l_quantity")
+        right = spark.range(0, 200000).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+        joined = skewed.join(right, "k").select("k", "l_quantity", "v")
+        rows = joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert len(rows) == skewed.count()  # unique-key right side: no fan-out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
