@@ -123,6 +123,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by shared shingles (an inverted-index join, not a crossJoin);
     at 100 TB prefilter rare shingles or switch to dedup_minhash."""
     d = Tables(spark, sf_dir).documents
+    return _jaccard_pairs(d).select(
+        "doc_a", "doc_b", F.round(F.col("jac"), 6).alias("jaccard")
+    )
+
+
+def _jaccard_pairs(d: DataFrame) -> DataFrame:
+    """(doc_a < doc_b, jac) pairs with exact 3-gram Jaccard ≥ 0.5."""
     sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -140,7 +147,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", jac.alias("jac"))
     )
 
 
@@ -304,4 +311,104 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(eb), "vec_b")
         .where(sim >= 0.5)
         .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+    )
+
+
+CC_MAX_ITERS = 15  # safety bound; dup clusters are near-cliques, converge in ~2
+
+
+@query(
+    "dedup_components",
+    category="J.dedup",
+    oracle="""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(
+             generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+             i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+           ))) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS doc_id, min(comp) AS component_id,
+       (min(comp) = node) AS is_canonical
+FROM walk GROUP BY node
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution — the step a pairwise dedup op leaves
+    undone. Near-dup similarity is not transitive: pair lists (A,B),(B,C)
+    alone cannot say which rows to drop. This op closes the pair graph
+    into connected components (component id = min doc_id reachable) and
+    flags the one canonical survivor per component — the keep/drop
+    decision a 100 TB curation pipeline actually executes.
+
+    Algorithm: iterative min-label propagation. Each round is one
+    declarative plan — edges ⋈ labels, union, groupBy(node).min(comp) —
+    with a driver-side convergence count; rounds = graph diameter.
+    Jaccard-0.5 dup clusters are near-cliques (diameter ≤ 2), so this
+    converges in ~2 rounds; for web-scale graphs with long chains or
+    supernodes the O(log n)-round large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) is the drop-in replacement — same edge/label frames, the
+    loop body swaps. Edges are localCheckpoint-ed once (computed by the
+    shingle inverted-index join, reused every round with lineage cut);
+    labels are checkpointed per round so round k's plan does not nest
+    round k-1's. Oracle: DuckDB recursive CTE computing min reachable id.
+    """
+    d = Tables(spark, sf_dir).documents
+    pairs = _jaccard_pairs(d).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    labels = d.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("comp"))
+    for _ in range(CC_MAX_ITERS):
+        prop = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "comp"
+        )
+        new = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.withColumnRenamed("comp", "comp_new")
+            .join(labels, "node")
+            .where(F.col("comp_new") != F.col("comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component_id"),
+        (F.col("comp") == F.col("node")).alias("is_canonical"),
     )

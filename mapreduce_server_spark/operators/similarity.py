@@ -281,3 +281,111 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(norm(F.col("embedding")), 6).alias("emb_norm"),
         )
     )
+
+
+# --- IVF (inverted-file) approximate NN — the centroid-partitioned scale path
+
+IVF_K = 16  # coarse centroids (≈ sqrt-ish of fixture corpus; scale with n)
+IVF_NPROBE = 4  # clusters scanned per query
+IVF_ITERS = 2  # Lloyd refinement rounds over the deterministic seeds
+
+#: coarse-quantizer cache keyed by sf_dir (16×64 doubles — driver-tiny)
+_IVF_CACHE: dict[str, list[list[float]]] = {}
+
+
+def _l2sq(emb_col, centroid: list[float]):
+    """Squared L2 distance between an embedding column and a literal
+    centroid — one JVM-side fold (zip_with + aggregate), no UDF."""
+    c = F.lit(centroid).cast("array<double>")
+    diff = F.zip_with(emb_col.cast("array<double>"), c, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _assign_cluster(emb_col, centroids: list[list[float]]):
+    """argmin over centroid distances, ties to the lowest cluster id."""
+    dists = F.array(*[_l2sq(emb_col, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """K coarse centroids: stride-spaced seeds over vec_id order, refined
+    with IVF_ITERS Lloyd rounds (assignment is a JVM fold; the mean is a
+    posexplode → avg groupBy collected driver-side — 16×64 rows).
+    Centroids are rounded to 6 dp each round: Spark's double avg is
+    fold-order-dependent in its last ulps, and rounding pins the
+    quantizer (hence every downstream assignment) bit-stable across
+    runs — the SURVEY §5.2 determinism rule applied to learned state."""
+    if sf_dir in _IVF_CACHE:
+        return _IVF_CACHE[sf_dir]
+    e = Tables(spark, sf_dir).embeddings
+    ids = [r[0] for r in e.select("vec_id").orderBy("vec_id").collect()]
+    stride = max(1, len(ids) // IVF_K)
+    seed_ids = ids[::stride][:IVF_K]
+    seeds = {
+        r[0]: [float(x) for x in r[1]]
+        for r in e.filter(F.col("vec_id").isin(seed_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    cents = [seeds[i] for i in seed_ids]
+    for _ in range(IVF_ITERS):
+        assigned = e.select(
+            _assign_cluster(F.col("embedding"), cents).alias("cluster"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+        )
+        means = (
+            assigned.groupBy("cluster", "dim")
+            .agg(F.round(F.avg("v"), 6).alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r.cluster, {})[r.dim] = r.m
+        cents = [
+            [by_cluster[k][d] for d in range(len(cents[0]))]
+            if k in by_cluster
+            else cents[k]  # empty cluster: keep previous centroid
+            for k in range(IVF_K)
+        ]
+    _IVF_CACHE[sf_dir] = cents
+    return cents
+
+
+@query("knn_ivf", category="J.sim")
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via IVF (inverted-file) coarse quantization — the
+    other canonical ANN scale path next to knn_lsh. Corpus vectors are
+    assigned to K=16 learned centroids; the query probes its NPROBE=4
+    nearest cells and scans only those exactly (candidates ≈ n·NPROBE/K
+    instead of n). At 100 TB: persist the cell id as a partition column
+    so a probe is a partition-pruned scan (files outside the 4 cells are
+    never opened), train centroids on a sample, and raise K with corpus
+    size (K ≈ sqrt(n) keeps cells scan-sized). Deterministic end-to-end:
+    stride seeds + 6-dp-rounded Lloyd rounds, no RNG. Rows-only (learned
+    centroids aren't SQL) — recall + exactness pytests vs knn_bruteforce
+    in tests/test_similarity.py."""
+    e = Tables(spark, sf_dir).embeddings
+    cents = _ivf_centroids(spark, sf_dir)
+    qv = _query_vector(spark, sf_dir)
+    # query-side probe selection: pure-Python double fold on the rounded
+    # centroids (same arithmetic class as the JVM fold — deterministic)
+    qdists = []
+    for k, c in enumerate(cents):
+        acc = 0.0
+        for x, y in zip(qv, c):
+            acc += (float(x) - y) * (float(x) - y)
+        qdists.append((acc, k))
+    probes = [k for _, k in sorted(qdists)[:IVF_NPROBE]]
+    q = F.lit(qv).cast("array<float>")
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("cluster", _assign_cluster(F.col("embedding"), cents))
+        .filter(F.col("cluster").isin(probes))
+        .select(
+            "vec_id",
+            "cluster",
+            F.round(cosine(F.col("embedding"), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -57,3 +57,30 @@ def test_dedup_simhash_identical_for_dups(spark, planted_pairs):
 def test_dedup_exact_hash_matches_exact(spark):
     n_hash = REGISTRY["dedup_exact_hash"].fn(spark, SF01).count()
     assert n_hash == 4992
+
+
+def test_dedup_components_folds_planted_pairs(spark, planted_pairs):
+    """Every planted duplicate pair lands in one shared component (the
+    component may be larger than the pair — near-dup jaccard edges can
+    chain additional docs in), and the non-minimal member never survives."""
+    rows = REGISTRY["dedup_components"].fn(spark, SF01).collect()
+    comp = {r.doc_id: r.component_id for r in rows}
+    canon = {r.doc_id for r in rows if r.is_canonical}
+    for a, b in planted_pairs:
+        assert comp[a] == comp[b] <= min(a, b)
+        assert max(a, b) not in canon
+
+
+def test_dedup_components_partition_properties(spark):
+    """Component ids are a valid partition: every component id is a member
+    of its own component (min-label fixpoint reached), and canonical rows
+    are exactly one per component."""
+    rows = REGISTRY["dedup_components"].fn(spark, SF01).collect()
+    comp = {r.doc_id: r.component_id for r in rows}
+    assert all(comp[c] == c for c in set(comp.values()))
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, []).append(r)
+    for cid, members in by_comp.items():
+        assert sum(1 for m in members if m.is_canonical) == 1
+        assert cid == min(m.doc_id for m in members)
