@@ -1,6 +1,8 @@
 """Operator modules — importing this package populates the query registry.
 
 Module ↔ SURVEY.md §2 category map:
+- analytics.py    → composite analytics (co-occurrence, funnel, CDC merge,
+                    SCD2, anomaly flagging)
 - relational.py   → B (filters/projections), C (joins)
 - aggregates.py   → D (aggregations)
 - windows.py      → E (window functions)
@@ -14,6 +16,7 @@ Module ↔ SURVEY.md §2 category map:
 """
 
 from . import aggregates  # noqa: F401
+from . import analytics  # noqa: F401
 from . import dedup  # noqa: F401
 from . import events_batch  # noqa: F401
 from . import graph  # noqa: F401

@@ -1,0 +1,302 @@
+"""Composite analytics operators (round 2): co-occurrence, funnel,
+CDC merge, SCD2 history, statistical anomaly flagging.
+
+The reference class expresses each of these as a chained MapReduce job
+(pairs emission → shuffle → count; per-key state carried between passes
+[MR04 §2.3's URL/access patterns generalized]); here each is ONE declarative
+DataFrame plan, so Catalyst fuses the stages and AQE sizes the shuffles.
+
+Float discipline (ARCHITECTURE.md §4): counts and timestamps are exact
+integers end-to-end; the only doubles (anomaly z-scores) are derived from
+exact DECIMAL sums, making them fold-order-independent, then rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import Tables
+
+
+@query(
+    "cooccur_parts",
+    category="D.agg",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*) AS n_orders
+FROM op a JOIN op b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 2
+""",
+)
+def cooccur_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item co-occurrence (market-basket pairs): parts appearing in the
+    same order, counted across orders — the canonical "pairs" MapReduce
+    workload (emit (a,b) per basket → shuffle → count). As one plan the
+    self-join happens AFTER the distinct projection collapses each order
+    to its part set, and both join sides shuffle on l_orderkey (the
+    basket key), so pair blowup is per-basket local — never a global
+    crossJoin. At 100 TB the hazard is basket skew (one giant order →
+    |basket|² pairs in one task); the mitigation is capping/salting huge
+    baskets or switching to the "stripes" form (per-part neighbor maps)
+    before the shuffle. Catalyst reuses ONE shuffle of `op` for both
+    sides (ReusedExchange — see PLANS.md)."""
+    li = Tables(spark, sf_dir).lineitem
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, ["l_orderkey"])
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+    )
+
+
+@query(
+    "funnel_stages",
+    category="I.stream",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts::TIMESTAMP) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(ts::TIMESTAMP) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE event_type = 'click' AND ts::TIMESTAMP > t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(ts::TIMESTAMP) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE event_type = 'purchase' AND ts::TIMESTAMP > t2
+  GROUP BY e.user_id
+)
+SELECT stage, n_users FROM (
+  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+  UNION ALL SELECT '2_click_after_view', count(*) FROM c
+  UNION ALL SELECT '3_purchase_after_click', count(*) FROM p
+)
+""",
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase, strictly
+    later stages): per user, the earliest view, the earliest click AFTER
+    that view, the earliest purchase after that click; output is users
+    surviving each stage. Each stage is a per-user min — a map-side
+    partial agg that collapses to |users| rows before its join, and
+    every join is on user_id, so all three stages share one partitioning
+    (no re-shuffle between stages at scale; the stage frames are
+    broadcast-joined back onto events while |users| stays small relative
+    to events). Strict `>` on microsecond timestamps matches the oracle's
+    `ts::TIMESTAMP` truncation exactly."""
+    ev = Tables(spark, sf_dir).events
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("1_view").alias("stage"), "n_users"
+        )
+        .unionAll(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("2_click_after_view").alias("stage"), "n_users"
+            )
+        )
+        .unionAll(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("3_purchase_after_click").alias("stage"), "n_users"
+            )
+        )
+    )
+    return counts
+
+
+@query(
+    "merge_upsert",
+    category="C.join",
+    oracle="""
+WITH latest AS (
+  SELECT o_custkey, o_orderstatus, o_totalprice,
+         epoch_us(o_orderdate::TIMESTAMP) // 1000000 AS last_order_s
+  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate DESC, o_orderkey DESC)
+               AS rn
+        FROM orders)
+  WHERE rn = 1
+)
+SELECT c_custkey, c_name, c_mktsegment,
+       coalesce(o_orderstatus, 'NONE') AS last_status,
+       coalesce(o_totalprice, 0.0)     AS last_price,
+       coalesce(last_order_s, 0)       AS last_order_s
+FROM customer LEFT JOIN latest ON c_custkey = o_custkey
+""",
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge/upsert (MERGE INTO semantics without a table format):
+    the customer dimension is refreshed with each customer's latest
+    order (change-capture stream reduced to last-writer-wins by
+    (o_orderdate, o_orderkey) — a deterministic tiebreak, never
+    "whichever arrived last"). WHEN MATCHED → update status/price/date;
+    WHEN NOT MATCHED BY SOURCE → keep the base row with sentinel
+    defaults. The changelog reduction is a window top-1 (partial per
+    partition, no pre-shuffle), and the merge itself is a single
+    equi-join on the dimension key — on a real lakehouse this plan is
+    exactly what Delta/Iceberg MERGE compiles to, minus the file
+    rewrite. Money passes through untouched (no arithmetic → no float
+    discipline needed)."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    latest = (
+        t.orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.unix_seconds(F.col("o_orderdate").cast("timestamp")).alias(
+                "last_order_s"
+            ),
+        )
+    )
+    return t.customer.join(
+        latest, t.customer.c_custkey == latest.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.coalesce("o_orderstatus", F.lit("NONE")).alias("last_status"),
+        F.coalesce("o_totalprice", F.lit(0.0)).alias("last_price"),
+        F.coalesce("last_order_s", F.lit(0)).alias("last_order_s"),
+    )
+
+
+@query(
+    "scd2_intervals",
+    category="E.window",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type,
+         epoch_us(ts::TIMESTAMP) AS valid_from_us
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type, valid_from_us,
+       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us)
+         AS valid_to_us,
+       (lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us)
+          IS NULL) AS is_current
+FROM changes
+""",
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: each user's event_type is treated as a
+    slowly-changing attribute; consecutive repeats collapse and each
+    surviving change opens a validity interval [valid_from, valid_to)
+    closed by the next change (NULL = current). Two window passes over
+    the SAME (user_id)-partitioning — Catalyst plans one Exchange and
+    runs both sorts within it. The (ts, event_id) tiebreak keeps
+    tied-microsecond rows deterministic on both engines (the ADVICE.md
+    stream_session rule). This is the batch backfill of what
+    streaming/twins.py's stateful ops maintain incrementally."""
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("valid_from_us"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us")
+    nxt = F.lead("valid_from_us").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "anomaly_zscore",
+    category="D.agg",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(value::DECIMAL(18,2))::DOUBLE AS s,
+         sum((value * value)::DECIMAL(24,4))::DOUBLE AS ssq
+  FROM events GROUP BY event_type
+),
+scored AS (
+  SELECT e.event_id, e.event_type, e.value,
+         (e.value - s / n)
+           / sqrt(ssq / n - (s / n) * (s / n)) AS z
+  FROM events e JOIN stats USING (event_type)
+)
+SELECT event_id, event_type, value, round(z, 4) AS z
+FROM scored
+WHERE abs(z) > 2.4
+""",
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical anomaly flagging: per-event-type z-score, events with
+    |z| > 2.4 surfaced — the data-quality screen a training pipeline
+    runs before ingestion. The moments are EXACT decimal sums (value is
+    2-dp clean → DECIMAL(18,2); value² is then 4-dp clean →
+    DECIMAL(24,4)), so mean/std are independent of partition fold order
+    — the only way a threshold filter can be deterministic across engines
+    AND cluster sizes (a double sum would move by ulps with partitioning
+    and could flip a borderline row in/out of the result). Stats per
+    type (5 rows) broadcast back onto events: one shuffle for the agg,
+    none for the join."""
+    ev = Tables(spark, sf_dir).events
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(24,4)"))
+        .cast("double")
+        .alias("ssq"),
+    )
+    mean = F.col("s") / F.col("n")
+    std = F.sqrt(F.col("ssq") / F.col("n") - mean * mean)
+    z = (F.col("value") - mean) / std
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 2.4)
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+    )

@@ -128,8 +128,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_pairs(d: DataFrame) -> DataFrame:
-    """(doc_a < doc_b, jac) pairs with exact 3-gram Jaccard ≥ 0.5."""
+def _jaccard_pairs(d: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """(doc_a < doc_b, jac) pairs with exact 3-gram Jaccard ≥ threshold."""
     sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -146,7 +146,7 @@ def _jaccard_pairs(d: DataFrame) -> DataFrame:
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= 0.5)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", jac.alias("jac"))
     )
 
@@ -411,4 +411,61 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("comp").alias("component_id"),
         (F.col("comp") == F.col("node")).alias("is_canonical"),
+    )
+
+
+@query(
+    "dedup_levenshtein",
+    category="J.dedup",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(
+             generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+             i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+           ))) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+)
+SELECT doc_a, doc_b,
+       levenshtein(ta.text, tb.text)::BIGINT AS edit_dist
+FROM cand
+JOIN documents ta ON ta.doc_id = doc_a
+JOIN documents tb ON tb.doc_id = doc_b
+WHERE levenshtein(ta.text, tb.text) * 5 <= greatest(length(ta.text), length(tb.text))
+""",
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs: candidates from the shingle inverted
+    index (Jaccard ≥ 0.3 — a cheap, recall-oriented block), confirmed by
+    full Levenshtein with a relative cutoff (dist ≤ 20% of the longer
+    text, expressed as integer math `5·dist ≤ max_len` so both engines
+    compare exact ints — no float threshold to straddle). Levenshtein is
+    O(len²) per pair, which is exactly why it never runs on the n² pair
+    space: the block bounds it to near-dup candidates, the same
+    block-then-verify shape as dedup_minhash. At 100 TB swap the exact
+    Jaccard block for minhash bands and keep this verify stage; the
+    verify is JVM-side `F.levenshtein` (whole-stage codegen, no UDF)."""
+    d = Tables(spark, sf_dir).documents
+    cand = _jaccard_pairs(d, threshold=0.3).select("doc_a", "doc_b")
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    lev = F.levenshtein("text_a", "text_b")
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(lev * 5 <= F.greatest(F.length("text_a"), F.length("text_b")))
+        .select("doc_a", "doc_b", lev.cast("long").alias("edit_dist"))
     )

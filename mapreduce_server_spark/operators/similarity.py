@@ -389,3 +389,70 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "emb_quantize",
+    category="J.sim",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         127.0 / list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+           AS scale,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id, scale,
+         list_transform(v, x ->
+           greatest(-127.0, least(127.0, floor(x * scale + 0.5)))) AS qv,
+         v
+  FROM q
+),
+err AS (
+  SELECT vec_id, scale,
+         len(list_filter(qv, x -> abs(x) = 127.0))::BIGINT AS n_saturated,
+         list_transform(list_zip(v, qv), p ->
+           abs(p[1] - p[2] / scale)) AS e
+  FROM quant
+)
+SELECT vec_id, round(scale, 6) AS scale, n_saturated,
+       round(list_max(e), 6) AS max_abs_err,
+       round(list_sum(e) / 64, 6) AS mean_abs_err
+FROM err
+""",
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization with reconstruction-error audit — the
+    compression step a 100 TB vector store runs before indexing (4×
+    smaller than float32, BLAS int8 kernels downstream). Per vector:
+    symmetric absmax scale (127/max|x|), q = clamp(floor(x·scale+0.5)),
+    then the dequantization error stats that decide whether int8 is safe
+    for the corpus. Everything is per-row array math — zero shuffle, one
+    parquet scan, whole-stage codegen'd lambda folds (no UDF). Float
+    discipline: floor(x+0.5) instead of round() (identical binary-double
+    semantics on both engines — round() differs on rendering vs binary),
+    max/elementwise ops are order-free, and the one sequential fold
+    (list_sum for the mean) mirrors F.aggregate's fold exactly."""
+    e = Tables(spark, sf_dir).embeddings
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.lit(127.0) / F.array_max(F.transform(v, F.abs))
+    # floor(x*scale + 0.5): nearest-int quantization, deterministic ties
+    qv = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x * scale + F.lit(0.5)))
+        ),
+    )
+    err = F.zip_with(v, qv, lambda x, q: F.abs(x - q / scale))
+    return e.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.size(F.filter(qv, lambda x: F.abs(x) == 127.0))
+        .cast("long")
+        .alias("n_saturated"),
+        F.round(F.array_max(err), 6).alias("max_abs_err"),
+        F.round(
+            F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x) / F.lit(64.0), 6
+        ).alias("mean_abs_err"),
+    )

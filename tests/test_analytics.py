@@ -1,0 +1,60 @@
+"""Semantic tests for the composite analytics operators (analytics.py).
+
+The exact-value gate is the DuckDB oracle (driver_sim); these assert the
+*invariants* the oracle can't express — funnel monotonicity, SCD2 interval
+validity, merge completeness — at sf0.01.
+"""
+
+from __future__ import annotations
+
+from mapreduce_server_spark import REGISTRY
+
+from .conftest import SF001
+
+
+def test_funnel_counts_monotone_nonincreasing(spark):
+    rows = {r.stage: r.n_users for r in REGISTRY["funnel_stages"].fn(spark, SF001).collect()}
+    assert set(rows) == {"1_view", "2_click_after_view", "3_purchase_after_click"}
+    assert rows["1_view"] >= rows["2_click_after_view"] >= rows["3_purchase_after_click"]
+    assert rows["3_purchase_after_click"] > 0  # funnel not degenerate at sf0.01
+
+
+def test_merge_upsert_covers_every_customer_once(spark):
+    out = REGISTRY["merge_upsert"].fn(spark, SF001).collect()
+    t = spark.read.parquet(f"{SF001}/customer.parquet")
+    assert len(out) == t.count()
+    assert len({r.c_custkey for r in out}) == len(out)
+    # fixture has 0 customers without orders → no sentinel rows at sf0.01
+    assert all(r.last_status in ("P", "O", "F", "NONE") for r in out)
+
+
+def test_scd2_intervals_are_valid_partitions_of_time(spark):
+    rows = REGISTRY["scd2_intervals"].fn(spark, SF001).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from_us)
+        # exactly one open (current) interval per user, and it is the last
+        assert sum(1 for r in ivs if r.valid_to_us is None) == 1
+        assert ivs[-1].valid_to_us is None and ivs[-1].is_current
+        for prev, nxt in zip(ivs, ivs[1:]):
+            # intervals chain without gaps and never repeat the attribute
+            assert prev.valid_to_us == nxt.valid_from_us
+            assert prev.event_type != nxt.event_type
+
+
+def test_cooccur_pairs_ordered_and_thresholded(spark):
+    rows = REGISTRY["cooccur_parts"].fn(spark, SF001).collect()
+    assert rows, "sf0.01 baskets produce recurring pairs"
+    assert all(r.part_a < r.part_b and r.n_orders >= 2 for r in rows)
+
+
+def test_anomaly_zscore_flags_are_tail_values(spark):
+    ev = spark.read.parquet(f"{SF001}/events.parquet")
+    n_total = ev.count()
+    rows = REGISTRY["anomaly_zscore"].fn(spark, SF001).collect()
+    # |z| > 2.4 keeps roughly the ~1.6% two-sided tail of a flat-ish
+    # distribution — sanity-bound it well under 10% of events
+    assert 0 < len(rows) < 0.1 * n_total
+    assert all(abs(r.z) > 2.39 for r in rows)

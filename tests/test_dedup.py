@@ -84,3 +84,10 @@ def test_dedup_components_partition_properties(spark):
     for cid, members in by_comp.items():
         assert sum(1 for m in members if m.is_canonical) == 1
         assert cid == min(m.doc_id for m in members)
+
+
+def test_dedup_levenshtein_finds_planted_pairs_at_zero_distance(spark, planted_pairs):
+    rows = REGISTRY["dedup_levenshtein"].fn(spark, SF01).collect()
+    found = {(r.doc_a, r.doc_b): r.edit_dist for r in rows}
+    for pair in planted_pairs:
+        assert found.get(pair) == 0  # exact copies → edit distance 0

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from mapreduce_server_spark import REGISTRY
 
+from .conftest import SF001
+
 
 def test_knn_lsh_scores_match_bruteforce(spark):
     """Every LSH candidate's cosine must equal the exact cosine the
@@ -110,3 +112,16 @@ def test_knn_ivf_deterministic_rebuild(spark):
     _IVF_CACHE.pop(sf, None)
     second = [tuple(r) for r in knn_ivf(spark, sf).collect()]
     assert first == second
+
+
+def test_emb_quantize_error_bounded_by_half_step(spark):
+    """Absmax int8 quantization error is at most half a quantization step
+    (0.5/scale) per element; saturation only at the absmax element."""
+    rows = REGISTRY["emb_quantize"].fn(spark, SF001).collect()
+    assert len(rows) == 500
+    for r in rows:
+        step_half = 0.5 / r.scale
+        # both sides of the bound are 6-dp-rounded report columns → ±5e-7
+        assert r.max_abs_err <= step_half + 1e-6
+        assert r.mean_abs_err <= r.max_abs_err
+        assert r.n_saturated >= 1  # the absmax element maps to ±127
