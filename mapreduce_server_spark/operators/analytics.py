@@ -43,8 +43,10 @@ def cooccur_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossJoin. At 100 TB the hazard is basket skew (one giant order →
     |basket|² pairs in one task); the mitigation is capping/salting huge
     baskets or switching to the "stripes" form (per-part neighbor maps)
-    before the shuffle. Catalyst reuses ONE shuffle of `op` for both
-    sides (ReusedExchange — see PLANS.md)."""
+    before the shuffle. At fixture scale AQE broadcasts one distinct side
+    (PLANS.md); past the broadcast threshold the same plan becomes a
+    sort-merge join whose two sides reuse the ONE shuffle of `op`
+    (ReusedExchange), so the self-join never pays twice."""
     li = Tables(spark, sf_dir).lineitem
     op = li.select("l_orderkey", "l_partkey").distinct()
     a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))

@@ -191,3 +191,53 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Spark's runtime bloom-filter join pruning (the 100 TB shuffle
+    saver): with a selective dimension filter, the optimizer injects
+    bloom_filter_agg on the build side and might_contain on the fact
+    scan, so fact rows that cannot join are dropped BEFORE the shuffle.
+    Fixture scans are below the default 10 GB application-side threshold,
+    so the thresholds are scaled to fixture size — at real scale the
+    defaults fire on their own. Results must equal the unfiltered-plan
+    join exactly (a bloom false positive only wastes a probe, never
+    changes the join output)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_server_spark.sources.loader import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF001, "lineitem")
+        s = load_table(spark, SF001, "supplier").filter(F.col("s_acctbal") > 9000)
+        j = (
+            li.join(s, li.l_suppkey == s.s_suppkey)
+            .groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan
+        got = {(r.s_nationkey, r.n) for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    li = load_table(spark, SF001, "lineitem")
+    s = load_table(spark, SF001, "supplier").filter(F.col("s_acctbal") > 9000)
+    ref = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert got == {(r.s_nationkey, r.n) for r in ref.collect()}
