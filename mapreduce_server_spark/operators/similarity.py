@@ -309,46 +309,48 @@ def _assign_cluster(emb_col, centroids: list[list[float]]):
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     """K coarse centroids: stride-spaced seeds over vec_id order, refined
-    with IVF_ITERS Lloyd rounds (assignment is a JVM fold; the mean is a
-    posexplode → avg groupBy collected driver-side — 16×64 rows).
-    Centroids are rounded to 6 dp each round: Spark's double avg is
-    fold-order-dependent in its last ulps, and rounding pins the
+    with IVF_ITERS Lloyd rounds — trained DRIVER-SIDE in numpy on one
+    collected sample (the whole fixture corpus here; at 100 TB, a
+    `.sample()` of ~100k vectors — coarse-quantizer quality needs a
+    sample, never the corpus, so training cost is constant in corpus
+    size). A JVM-expression training loop was measured 20× slower at
+    sf0.1: higher-order-function folds run interpreted (outside
+    whole-stage codegen), and K×dim literal trees pay multi-second
+    planning per Lloyd round — the same blocked-BLAS escape-hatch
+    rationale as knn_join (ARCHITECTURE.md §6). Only TRAINING is
+    driver-side: corpus assignment in knn_ivf stays a declarative JVM
+    plan. Centroids are rounded to 6 dp each round, pinning the
     quantizer (hence every downstream assignment) bit-stable across
-    runs — the SURVEY §5.2 determinism rule applied to learned state."""
+    runs — the SURVEY §5.2 determinism rule applied to learned state
+    (np.argmin ties resolve to the lowest cluster id, matching
+    _assign_cluster's array_position tie rule)."""
     if sf_dir in _IVF_CACHE:
         return _IVF_CACHE[sf_dir]
+    import numpy as np
+
     e = Tables(spark, sf_dir).embeddings
-    ids = [r[0] for r in e.select("vec_id").orderBy("vec_id").collect()]
-    stride = max(1, len(ids) // IVF_K)
-    seed_ids = ids[::stride][:IVF_K]
-    seeds = {
-        r[0]: [float(x) for x in r[1]]
-        for r in e.filter(F.col("vec_id").isin(seed_ids))
-        .select("vec_id", "embedding")
-        .collect()
-    }
-    cents = [seeds[i] for i in seed_ids]
+    rows = e.select("vec_id", "embedding").orderBy("vec_id").collect()
+    mat = np.array([[float(x) for x in r[1]] for r in rows])  # (n, 64) f64
+    stride = max(1, len(rows) // IVF_K)
+    cents = mat[::stride][:IVF_K].copy()
     for _ in range(IVF_ITERS):
-        assigned = e.select(
-            _assign_cluster(F.col("embedding"), cents).alias("cluster"),
-            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin ties → lowest id
+        d2 = (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2.0 * (mat @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
         )
-        means = (
-            assigned.groupBy("cluster", "dim")
-            .agg(F.round(F.avg("v"), 6).alias("m"))
-            .collect()
+        assign = np.argmin(d2, axis=1)
+        cents = np.array(
+            [
+                np.round(mat[assign == k].mean(axis=0), 6)
+                if (assign == k).any()
+                else cents[k]  # empty cluster: keep previous centroid
+                for k in range(IVF_K)
+            ]
         )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cluster.setdefault(r.cluster, {})[r.dim] = r.m
-        cents = [
-            [by_cluster[k][d] for d in range(len(cents[0]))]
-            if k in by_cluster
-            else cents[k]  # empty cluster: keep previous centroid
-            for k in range(IVF_K)
-        ]
-    _IVF_CACHE[sf_dir] = cents
-    return cents
+    _IVF_CACHE[sf_dir] = [[float(x) for x in c] for c in cents]
+    return _IVF_CACHE[sf_dir]
 
 
 @query("knn_ivf", category="J.sim")

@@ -82,16 +82,61 @@ class MaterializedView:
         the partition keys actually rebuilt."""
         src_keys = {str(r[0]) for r in self.keys(spark, sf_dir).collect()}
         todo = sorted((src_keys - self.materialized_keys(sf_dir)) | set(force or []))
-        if not todo:
+        return self.rebuild(spark, sf_dir, todo)
+
+    def rebuild(
+        self, spark: SparkSession, sf_dir: str, keys: list[str]
+    ) -> list[str]:
+        """Rebuild exactly the given partition keys (no discovery scan)."""
+        if not keys:
             return []
-        df = self.build(spark, sf_dir, todo)
+        df = self.build(spark, sf_dir, keys)
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(self.partition_col)
             .parquet(self.path(sf_dir))
         )
-        return todo
+        return keys
+
+    def stream_refresh(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        stream_df: DataFrame,
+        key_expr,
+        checkpoint: str,
+        rebuilt_log: list | None = None,
+    ):
+        """Streaming incremental maintenance: each micro-batch's distinct
+        partition keys become the dirty set, and ONLY those partitions are
+        rebuilt (from the batch source, with the key predicate pushed into
+        the scan) — no key-discovery scan at all; the stream IS the
+        change-capture. foreachBatch + checkpoint make it exactly-once at
+        partition granularity: a replayed batch re-marks the same keys
+        dirty and the dynamic-partition overwrite is idempotent. This is
+        the serving loop a 100 TB dashboard runs: append-only log →
+        dirty-day detection from the stream → partition-pruned rebuild.
+
+        Returns the started StreamingQuery (caller awaits termination);
+        ``rebuilt_log`` (if given) collects the per-batch rebuilt keys.
+        """
+
+        def sink(batch_df: DataFrame, _batch_id: int) -> None:
+            dirty = sorted(
+                str(r[0])
+                for r in batch_df.select(key_expr.alias("k")).distinct().collect()
+            )
+            done = self.rebuild(spark, sf_dir, dirty)
+            if rebuilt_log is not None and done:
+                rebuilt_log.append(done)
+
+        return (
+            stream_df.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
 
     def read(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         """The materialized relation; the partition column comes back as

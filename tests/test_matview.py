@@ -98,3 +98,79 @@ def test_force_rebuilds_dirty_partition(spark):
     mv.refresh(spark, src)
     some_day = sorted(mv.materialized_keys(src))[0]
     assert mv.refresh(spark, src, force=[some_day]) == [some_day]
+
+
+def test_stream_refresh_maintains_view_across_appends(spark):
+    """foreachBatch incremental maintenance: the stream supplies the dirty
+    days (no discovery scan); a second availableNow run over the same
+    checkpoint processes ONLY the appended file and rebuilds only its
+    days — including the day split across both files (rebuilt from the
+    full source, so the split day's total is still exact)."""
+    from mapreduce_server_spark.streaming.twins import events_stream
+
+    def _dir_mv(name):
+        def keys(s, d):
+            ensure_confs(s)
+            ev = s.read.parquet(d).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+            return ev.select(F.to_date("ts").cast("string").alias("day")).distinct()
+
+        def build(s, d, days):
+            ensure_confs(s)
+            ev = s.read.parquet(d).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+            day = F.to_date("ts").cast("string")
+            if days is not None:
+                ev = ev.filter(day.isin(days))
+            return ev.groupBy(day.alias("day"), "event_type").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+
+        return MaterializedView(name, "day", keys, build)
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pandas as pd
+
+    src_dir = os.path.join(SCRATCH, "mv_stream_src")
+    ckpt = os.path.join(SCRATCH, "mv_stream_ckpt")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    os.makedirs(src_dir)
+    mv = _dir_mv("mv_stream")
+    shutil.rmtree(mv.path(src_dir), ignore_errors=True)
+
+    t = pq.read_table(f"{SF001}/events.parquet")
+    ts = pc.cast(t["ts"], pa.int64())
+    cut_ns = int(pd.Timestamp("2024-01-15 12:00:00").value)  # mid-day split
+    pq.write_table(t.filter(pc.less(ts, cut_ns)), os.path.join(src_dir, "a.parquet"))
+
+    key = F.to_date("ts").cast("string")
+    log1: list = []
+    q = mv.stream_refresh(
+        spark, src_dir, events_stream(spark, src_dir), key, ckpt, rebuilt_log=log1
+    )
+    q.awaitTermination(120)
+    assert "2024-01-15" in {d for batch in log1 for d in batch}
+
+    # append the rest; same checkpoint → only the new file is processed
+    pq.write_table(
+        t.filter(pc.greater_equal(ts, cut_ns)), os.path.join(src_dir, "b.parquet")
+    )
+    log2: list = []
+    q = mv.stream_refresh(
+        spark, src_dir, events_stream(spark, src_dir), key, ckpt, rebuilt_log=log2
+    )
+    q.awaitTermination(120)
+    rebuilt2 = {d for batch in log2 for d in batch}
+    assert min(rebuilt2) == "2024-01-15", rebuilt2  # split day re-marked dirty
+    assert len(rebuilt2) < len(mv.materialized_keys(src_dir))  # not a full rebuild
+
+    got = {(r.day, r.event_type): r.n for r in mv.read(spark, src_dir).collect()}
+    want = {
+        (r.day, r.event_type): r.n
+        for r in _dir_mv("mv_stream_direct").build(spark, src_dir, None).collect()
+    }
+    assert got == want
