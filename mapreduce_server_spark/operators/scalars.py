@@ -521,3 +521,51 @@ def scalar_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(".", o[0], o[1], o[2], F.lit("0/24")).alias("subnet24"),
         is_priv.alias("is_private"),
     )
+
+
+@query(
+    "scalar_map",
+    category="H.scalar",
+    oracle="""
+SELECT event_id,
+       'type,user' AS m_keys,
+       event_type AS type_val,
+       2 AS m_size,
+       3 AS merged_size,
+       value * 2 AS b_val,
+       concat('type=', event_type, ',user=', user_id) AS entries_csv
+FROM events
+""",
+)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map function bundle (the H-header's map family): construction
+    (create_map / map_from_arrays), lookup (element_at), introspection
+    (map_keys / size / map_entries), merge (map_concat). Outputs are
+    flattened to plain columns — map VALUES are verified through lookups
+    and entry renderings, while the comparator never has to canonicalize
+    a cross-engine map literal (Spark `{k -> v}` vs DuckDB `{k=v}`
+    renderings differ; flattening sidesteps the dialect gap the same way
+    scalar_array stringifies lists)."""
+    from ..sources.loader import Tables as _T
+
+    ev = _T(spark, sf_dir).events
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("user"), F.col("user_id").cast("string")
+    )
+    m2 = F.map_from_arrays(
+        F.array(F.lit("a"), F.lit("b")),
+        F.array(F.col("value"), F.col("value") * 2),
+    )
+    merged = F.map_concat(m, F.create_map(F.lit("id"), F.col("event_id").cast("string")))
+    entries = F.transform(
+        F.map_entries(m), lambda e: F.concat_ws("=", e["key"], e["value"])
+    )
+    return ev.select(
+        "event_id",
+        F.concat_ws(",", F.map_keys(m)).alias("m_keys"),
+        F.element_at(m, F.lit("type")).alias("type_val"),
+        F.size(m).cast("int").alias("m_size"),
+        F.size(merged).cast("int").alias("merged_size"),
+        F.element_at(m2, F.lit("b")).alias("b_val"),
+        F.concat_ws(",", entries).alias("entries_csv"),
+    )

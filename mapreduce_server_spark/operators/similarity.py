@@ -353,6 +353,19 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     return _IVF_CACHE[sf_dir]
 
 
+def _probe_cells(cents: list[list[float]], qv: list[float]) -> list[int]:
+    """The query's IVF_NPROBE nearest cells — a pure-Python double fold on
+    the rounded centroids (same arithmetic class as the JVM fold —
+    deterministic; ties resolve to the lowest cluster id via sort)."""
+    qdists = []
+    for k, c in enumerate(cents):
+        acc = 0.0
+        for x, y in zip(qv, c):
+            acc += (float(x) - y) * (float(x) - y)
+        qdists.append((acc, k))
+    return [k for _, k in sorted(qdists)[:IVF_NPROBE]]
+
+
 @query("knn_ivf", category="J.sim")
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via IVF (inverted-file) coarse quantization — the
@@ -369,15 +382,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Tables(spark, sf_dir).embeddings
     cents = _ivf_centroids(spark, sf_dir)
     qv = _query_vector(spark, sf_dir)
-    # query-side probe selection: pure-Python double fold on the rounded
-    # centroids (same arithmetic class as the JVM fold — deterministic)
-    qdists = []
-    for k, c in enumerate(cents):
-        acc = 0.0
-        for x, y in zip(qv, c):
-            acc += (float(x) - y) * (float(x) - y)
-        qdists.append((acc, k))
-    probes = [k for _, k in sorted(qdists)[:IVF_NPROBE]]
+    probes = _probe_cells(cents, qv)
     q = F.lit(qv).cast("array<float>")
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -457,4 +462,47 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x) / F.lit(64.0), 6
         ).alias("mean_abs_err"),
+    )
+
+
+@query("knn_ivf_pruned", category="J.sim")
+def knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_ivf's persisted form: the corpus is WRITTEN partitioned by its
+    IVF cell id, so the probe is a partition-pruned scan — Spark's file
+    index drops the 12 non-probed cell directories before any IO
+    (PartitionFilters in the scan node; tests/test_similarity.py asserts
+    inputFiles() touches only the 4 probed cells). This is the layout
+    that makes IVF an index at 100 TB: cell assignment is paid ONCE at
+    write time, and every query reads candidates ≈ n·NPROBE/K straight
+    off the file listing — the vector-search twin of sink_zorder's
+    data-skipping story. Scores and results are identical to knn_ivf
+    (same centroids, same JVM cosine fold)."""
+    import os as _os
+
+    from .sources_ops import SCRATCH
+
+    e = Tables(spark, sf_dir).embeddings
+    cents = _ivf_centroids(spark, sf_dir)
+    qv = _query_vector(spark, sf_dir)
+    probes = _probe_cells(cents, qv)
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    out = _os.path.join(SCRATCH, f"ivf_index_{tag}")
+    (
+        e.withColumn("cluster", _assign_cluster(F.col("embedding"), cents))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(out)
+    )
+    q = F.lit(qv).cast("array<float>")
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("cluster").isin(probes))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.round(cosine(F.col("embedding"), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
     )

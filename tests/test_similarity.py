@@ -125,3 +125,30 @@ def test_emb_quantize_error_bounded_by_half_step(spark):
         assert r.max_abs_err <= step_half + 1e-6
         assert r.mean_abs_err <= r.max_abs_err
         assert r.n_saturated >= 1  # the absmax element maps to ±127
+
+
+def test_knn_ivf_pruned_matches_and_prunes_partitions(spark):
+    """The persisted-IVF probe returns exactly knn_ivf's rows, its scan
+    carries a partition filter on the cell id, and the pruned file set
+    touches only the NPROBE probed cell directories."""
+    import re
+
+    from mapreduce_server_spark.operators.similarity import IVF_K, IVF_NPROBE
+
+    sf = "/root/testdata/sf0.01"
+    pruned = REGISTRY["knn_ivf_pruned"].fn(spark, sf)
+    base = REGISTRY["knn_ivf"].fn(spark, sf)
+    want = [(r.vec_id, r.cluster, r.cos_sim) for r in base.collect()]
+    got = [(r.vec_id, r.cluster, r.cos_sim) for r in pruned.collect()]
+    assert got == want
+
+    # the scan node itself must carry the cell-id partition filter, with
+    # exactly the NPROBE probed cells enumerated — pruning happens at the
+    # file index, before any IO
+    from mapreduce_server_spark.plans import plan_string
+
+    plan = plan_string(pruned, "formatted")
+    m = re.search(r"PartitionFilters: \[cluster#\d+ IN \(([\d,]+)\)\]", plan)
+    assert m, plan[:2000]
+    cells = {int(x) for x in m.group(1).split(",")}
+    assert len(cells) == IVF_NPROBE < IVF_K, cells
