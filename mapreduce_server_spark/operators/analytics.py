@@ -302,3 +302,75 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(z) > 2.4)
         .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
     )
+
+
+@query(
+    "ts_fill_forward",
+    category="E.window",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts::TIMESTAMP) AS h,
+         count(*) AS n,
+         sum(value::DECIMAL(18,2))::DOUBLE AS sv
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS g
+  FROM bounds
+)
+SELECT grid.user_id,
+       epoch_us(g) // 1000000 AS hour_s,
+       coalesce(n, 0) AS n_events,
+       last_value(sv IGNORE NULLS)
+         OVER (PARTITION BY grid.user_id ORDER BY g
+               ROWS UNBOUNDED PRECEDING) AS sum_filled,
+       (n IS NULL) AS is_filled
+FROM grid LEFT JOIN hourly ON grid.user_id = hourly.user_id AND g = h
+""",
+)
+def ts_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: each user's event stream becomes a
+    dense hourly grid (min..max hour per user), missing hours carry the
+    last observed hourly sum forward (is_filled marks them). The grid is
+    generated with `sequence()` per user (one row per user explodes to
+    its span — never a global calendar crossJoin), the fill is
+    `last(ignorenulls)` over rows-unbounded-preceding, and hourly sums
+    are exact decimal folds (fold-order-free). One shuffle for the
+    hourly agg; grid explode and left join stay on the same user_id
+    partitioning at scale. This is the batch form of what a streaming
+    gap-filler does with timers in transformWithState."""
+    ev = Tables(spark, sf_dir).events
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sv"),
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("mn"), F.col("mx"), F.expr("interval 1 hour"))
+            ).alias("g"),
+        )
+    )
+    joined = grid.join(
+        hourly,
+        (grid.user_id == hourly.user_id) & (grid.g == hourly.h),
+        "left",
+    ).select(grid.user_id, "g", "n", "sv")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.unix_seconds("g").alias("hour_s"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.last("sv", ignorenulls=True).over(w).alias("sum_filled"),
+        F.col("n").isNull().alias("is_filled"),
+    )

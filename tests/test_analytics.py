@@ -58,3 +58,22 @@ def test_anomaly_zscore_flags_are_tail_values(spark):
     # distribution — sanity-bound it well under 10% of events
     assert 0 < len(rows) < 0.1 * n_total
     assert all(abs(r.z) > 2.39 for r in rows)
+
+
+def test_ts_fill_forward_grid_dense_and_filled(spark):
+    rows = REGISTRY["ts_fill_forward"].fn(spark, SF001).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, grid in by_user.items():
+        grid.sort(key=lambda r: r.hour_s)
+        hours = [r.hour_s for r in grid]
+        assert hours == list(range(hours[0], hours[-1] + 1 * 3600, 3600))
+        assert not grid[0].is_filled  # grid starts at an observed hour
+        last_observed = None
+        for r in grid:
+            if r.is_filled:
+                assert r.n_events == 0 and r.sum_filled == last_observed
+            else:
+                assert r.n_events > 0
+                last_observed = r.sum_filled
