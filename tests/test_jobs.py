@@ -52,3 +52,68 @@ def test_kv_aggregate_and_histogram(spark):
     assert agg[0] == (4, 0 + 3 + 6 + 9)
     hist = {r.bucket: r.n for r in jobs.histogram(df, "v", 5.0).collect()}
     assert hist == {0: 5, 1: 5, 2: 2}
+
+
+def test_exact_dedup_min_survivor(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y")], "id long, body string"
+    )
+    got = {(r.id, r.body) for r in jobs.exact_dedup(df, ["body"], "id").collect()}
+    assert got == {(1, "x"), (2, "y")}
+
+
+def test_near_dedup_jaccard_generic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),   # exact copy of 1 → jaccard 1.0
+            (3, "a b c d e zzz"), # near copy
+            (4, "q r s t u v"),   # unrelated
+        ],
+        "id long, body string",
+    )
+    rows = {(r.id_a, r.id_b): r.jaccard for r in jobs.near_dedup_jaccard(df, "id", "body", 0.4).collect()}
+    assert rows[(1, 2)] == 1.0
+    assert (1, 3) in rows and (2, 3) in rows
+    assert not any(4 in pair for pair in rows)
+
+
+def test_sessionize_generic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:10:00"),
+            (1, "2024-01-01 11:30:00"),  # > 30 min gap → new session
+            (2, "2024-01-01 09:00:00"),
+        ],
+        "uid long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r.uid, r.ts.isoformat(), r.session_id)
+        for r in jobs.sessionize(df, "uid", "ts", "30 minutes").collect()
+    }
+    assert got == {
+        (1, "2024-01-01T10:00:00", 1),
+        (1, "2024-01-01T10:10:00", 1),
+        (1, "2024-01-01T11:30:00", 2),
+        (2, "2024-01-01T09:00:00", 1),
+    }
+
+
+def test_knn_topk_generic(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1]), (4, [-1.0, 0.0])],
+        "id long, vec array<double>",
+    )
+    rows = jobs.knn_topk(df, "id", "vec", [1.0, 0.0], k=2).collect()
+    assert [r.id for r in rows] == [1, 3]
+    assert rows[0].cos_sim == 1.0
+
+
+def test_forward_fill_generic(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, None), (1, 3, 30.0), (1, 4, None), (2, 1, None)],
+        "k long, o long, v double",
+    )
+    got = {(r.k, r.o): r.v for r in jobs.forward_fill(df, "k", "o", ["v"]).collect()}
+    assert got == {(1, 1): 10.0, (1, 2): 10.0, (1, 3): 30.0, (1, 4): 30.0, (2, 1): None}
