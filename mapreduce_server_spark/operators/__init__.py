@@ -3,6 +3,8 @@
 Module ↔ SURVEY.md §2 category map:
 - analytics.py    → composite analytics (co-occurrence, funnel, CDC merge,
                     SCD2, anomaly flagging)
+- curation.py     → corpus curation (hash sampling, mixture reweighting,
+                    repetition metrics)
 - relational.py   → B (filters/projections), C (joins)
 - aggregates.py   → D (aggregations)
 - windows.py      → E (window functions)
@@ -17,6 +19,7 @@ Module ↔ SURVEY.md §2 category map:
 
 from . import aggregates  # noqa: F401
 from . import analytics  # noqa: F401
+from . import curation  # noqa: F401
 from . import dedup  # noqa: F401
 from . import events_batch  # noqa: F401
 from . import graph  # noqa: F401

@@ -1,0 +1,168 @@
+"""Corpus-curation operators: deterministic sampling and repetition stats.
+
+These extend the north-star training-data surface (SURVEY.md §2 cat. J)
+with the sampling/reweighting and repetition-filter stages a pretraining
+pipeline runs between dedup and packing:
+
+- ``sample_hash``    — reproducible Bernoulli sampling by key hash.
+- ``sample_mixture`` — per-language mixture reweighting (downsample
+  over-represented slices to a target rate), same hash trick.
+- ``text_repetition``— Gopher-style repetition metrics (duplicate-token
+  fraction, top-bigram mass) per document; the repetition filter's input.
+
+Hash-based sampling beats ``df.sample`` for pipelines: the keep/drop
+decision is a pure function of the stable key (never the partition
+layout, seed plumbing, or engine), so reruns, backfills, and engine swaps
+select the same rows — which also makes it exactly oracle-checkable,
+unlike RNG sampling (``agg_sample`` stays rows-only for that reason).
+
+Scale: every operator here is one scan + narrow per-row work (md5 of the
+key, token stats); ``text_repetition`` adds one explode + partial-agg
+shuffle keyed by (doc_id, bigram) — the same shape as wordcount, and the
+per-doc key bounds any skew by document length, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import Tables
+
+
+def hash_bucket(key: F.Column) -> F.Column:
+    """First md5 hex byte of the stringified key — a uniform, engine-portable
+    2-hex-digit bucket ('00'..'ff'); compare lexicographically to keep a
+    k/256 fraction. Same discipline as split_deterministic."""
+    return F.substring(F.md5(key.cast("string").cast("binary")), 1, 2)
+
+
+@query(
+    "sample_hash",
+    category="J.pipeline",
+    oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substring(md5(doc_id::VARCHAR), 1, 2) < '1a'
+""",
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample ('1a' = 26/256 ≈ 10.2%): the kept
+    set is a pure function of doc_id, so it is stable across runs, engines
+    and cluster sizes — the property a training-data pipeline needs for
+    reproducible ablations and that RNG-based sample() cannot give. The
+    filter is a narrow per-row predicate: no shuffle, pushdown-friendly
+    scan, embarrassingly parallel at any scale."""
+    d = Tables(spark, sf_dir).documents
+    return d.filter(hash_bucket(F.col("doc_id")) < "1a").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "sample_mixture",
+    category="J.pipeline",
+    oracle="""
+WITH b AS (
+  SELECT lang, source,
+         substring(md5(doc_id::VARCHAR), 1, 2) AS hx
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_total,
+       count(*) FILTER (WHERE hx < CASE WHEN lang = 'en' THEN 'cd' ELSE '4d' END)
+         AS n_kept
+FROM b GROUP BY lang
+""",
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting: keep ~80% of 'en' ('cd' = 205/256) and ~30% of
+    every other language ('4d' = 77/256) — the standard downsample step
+    that shapes a corpus toward target domain/language proportions.
+    Per-row hash decision (no shuffle beyond the final small agg); the
+    per-language counts make the realized mixture auditable."""
+    d = Tables(spark, sf_dir).documents
+    hx = hash_bucket(F.col("doc_id"))
+    thresh = F.when(F.col("lang") == "en", F.lit("cd")).otherwise(F.lit("4d"))
+    kept = F.when(hx < thresh, 1).otherwise(0)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept).alias("n_kept"),
+    )
+
+
+@query(
+    "text_repetition",
+    category="J.text",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
+  FROM t
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+),
+topbg AS (
+  SELECT doc_id, max(n) AS top_bigram_n
+  FROM (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT s.doc_id,
+       s.n_tokens,
+       1.0 - s.n_distinct::DOUBLE / s.n_tokens AS dup_token_frac,
+       2.0 * topbg.top_bigram_n / s.n_tokens AS top_bigram_frac
+FROM s JOIN topbg USING (doc_id)
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document: duplicate-token
+    fraction (1 − distinct/total) and the token mass of the single most
+    frequent bigram (2·max_count/n_tokens) — the signals the Gopher/
+    MassiveText repetition filter thresholds on. One scan computes token
+    stats; the bigram mode is the wordcount shuffle keyed by
+    (doc_id, bigram) then a per-doc max — both partial-aggregate
+    map-side, so the shuffle carries only distinct per-doc bigrams.
+    Float discipline: both fractions are one correctly-rounded double
+    division of exact integers (plus one exact *2 / 1− step), so Spark
+    and DuckDB agree bitwise. 1-token docs are excluded on both sides
+    (no bigram ⇒ inner join drops them; sequence clamp per ADVICE r1)."""
+    d = Tables(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    base = d.select("doc_id", toks.alias("toks"))
+    stats = base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    idx = F.sequence(F.lit(1), F.size(F.col("toks")) - 1)
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+        ),
+    )
+    top = (
+        base.where(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_bigram_n"))
+    )
+    return stats.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        (F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+            "dup_token_frac"
+        ),
+        (F.lit(2.0) * F.col("top_bigram_n") / F.col("n_tokens")).alias(
+            "top_bigram_frac"
+        ),
+    )

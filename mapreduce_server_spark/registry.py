@@ -20,6 +20,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class QuerySpec:
     key: str
     fn: QueryFn
+    #: the undecorated builder — always constructs a FRESH logical plan.
+    #: Callers that must re-plan under changed session state (e.g. the
+    #: shared-scan scheduler pinning a table after `fn`'s memoized plan
+    #: was already physically planned) use this instead of `fn`.
+    raw_fn: QueryFn
     #: ANSI SQL equivalent runnable by DuckDB over the same parquet views;
     #: ``None`` for non-SQL-expressible ops (driver falls back to rows-only).
     oracle: str | None
@@ -72,7 +77,12 @@ def query(
         cached.__name__ = fn.__name__
         cached.__doc__ = fn.__doc__
         REGISTRY[key] = QuerySpec(
-            key=key, fn=cached, oracle=oracle, category=category, tags=tuple(tags)
+            key=key,
+            fn=cached,
+            raw_fn=fn,
+            oracle=oracle,
+            category=category,
+            tags=tuple(tags),
         )
         return fn
 
