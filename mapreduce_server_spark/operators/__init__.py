@@ -5,6 +5,8 @@ Module ↔ SURVEY.md §2 category map:
                     SCD2, anomaly flagging)
 - curation.py     → corpus curation (hash sampling, mixture reweighting,
                     repetition metrics)
+- quality.py      → data-quality gates (column profile, constraint
+                    validation, exact heavy hitters via candidate-prune)
 - relational.py   → B (filters/projections), C (joins)
 - aggregates.py   → D (aggregations)
 - windows.py      → E (window functions)
@@ -25,6 +27,7 @@ from . import events_batch  # noqa: F401
 from . import graph  # noqa: F401
 from . import multimodal_ops  # noqa: F401
 from . import pipeline  # noqa: F401
+from . import quality  # noqa: F401
 from . import relational  # noqa: F401
 from . import scalars  # noqa: F401
 from . import similarity  # noqa: F401

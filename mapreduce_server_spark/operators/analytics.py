@@ -374,3 +374,49 @@ def ts_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("sv", ignorenulls=True).over(w).alias("sum_filled"),
         F.col("n").isNull().alias("is_filled"),
     )
+
+
+@query(
+    "ts_ewma",
+    category="E.window",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       list_reduce(list(value ORDER BY ts, event_id),
+                   (s, x) -> x * 0.5 + s * 0.5) AS ewma_last
+FROM events
+GROUP BY user_id
+""",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user (s_t = α·x_t +
+    (1−α)·s_{t−1}, s_0 = x_0, α = 0.5), reporting the final smoothed
+    value — the classic recursive time-series fold that has no
+    order-free SQL form.
+
+    Float discipline (ARCHITECTURE.md §4): both engines LEFT-FOLD the
+    same (ts, event_id)-ordered list seeded with its first element
+    (Spark `aggregate(slice(vals, 2, …), vals[1], …)` ≡ DuckDB
+    `list_reduce`). α = 0.5 makes both multiplications EXACT in binary
+    (exponent decrement), so each step performs one identical rounded
+    addition — bit-identical results regardless of partitioning.
+
+    Scale: one shuffle keyed by user_id; per-group state is the user's
+    event list (bounded by per-user activity, not corpus size). For
+    unbounded keys the same fold runs incrementally as a streaming
+    stateful op (carry s_t in applyInPandasWithState) — this is its
+    batch twin."""
+    ev = Tables(spark, sf_dir).events
+    vals = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda e: e.getField("value"),
+    )
+    half = F.lit(0.5)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.aggregate(
+            F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+            F.element_at(vals, 1),
+            lambda s, x: x * half + s * half,
+        ).alias("ewma_last"),
+    )

@@ -1,0 +1,243 @@
+"""Data-quality operators: column profiling, constraint validation, and
+exact heavy hitters via bounded-memory candidate pruning.
+
+A 100 TB ingest pipeline gates every load on profile + constraint checks
+(the reference's test suite validates the same invariants query-side;
+SURVEY.md §5). These are first-class queries here so the checks are
+oracle-verified like any other operator:
+
+- ``dq_profile``     — per-column profile (rows/nulls/distincts/min/max)
+  of ``documents`` in ONE scan, unpivoted to a row per column.
+- ``dq_constraints`` — PK uniqueness, FK containment, range and not-null
+  rules over the star schema; one row per rule with a violation count.
+- ``heavy_hitters``  — all tokens with frequency > n/k, found with the
+  two-phase candidate-prune plan (local Misra-Gries-style threshold →
+  exact recount of candidates only). The result is EXACT (and therefore
+  DuckDB-checkable) while the plan keeps every stage's state bounded.
+
+Scale notes:
+- ``dq_profile`` is a single wide aggregate (Catalyst plans the five
+  count-distincts via one Expand ×6 — one scan, one shuffle of partial
+  aggregates). At 100 TB swap ``countDistinct`` for
+  ``approx_count_distinct`` (HLL partials, no Expand); exact here because
+  exactness is what the oracle gate can check.
+- ``dq_constraints`` does one aggregate pass per table plus two
+  broadcast anti-joins for the FK rules (dim side broadcast; no shuffle
+  of the fact table).
+- ``heavy_hitters``' candidate phase shuffles at most (distinct words ×
+  partitions) pre-combined rows and its per-task state is bounded by the
+  local vocabulary, never the global one; the recount phase semi-joins a
+  broadcast candidate list (≤ k·P rows by the pigeonhole bound) so the
+  big shuffle carries candidate words only. A plain groupBy(word) would
+  shuffle the full vocabulary — the classic skew/memory hazard this
+  sketch exists to avoid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import Tables
+from .text import tokens
+
+#: heavy-hitter parameter: report tokens with freq > n/K (strict, exact
+#: integer compare n_word·K > n — no float threshold).
+HH_K = 31
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def _profile_oracle() -> str:
+    branches = [
+        f"""SELECT '{c}' AS col_name,
+       count(*) AS n_rows,
+       count(*) - count({c}) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       min({c}::VARCHAR) AS min_str,
+       max({c}::VARCHAR) AS max_str
+FROM documents"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(branches)
+
+
+@query("dq_profile", category="L.quality", oracle=_profile_oracle())
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of ``documents`` — rows, nulls, distinct counts and
+    lexicographic min/max — computed in ONE scan as a single wide
+    aggregate, then unpivoted with ``stack`` to a row per column.
+
+    min/max are taken over the STRING rendering of each column (both
+    engines render BIGINT/VARCHAR identically, so '99' > '100'
+    lexicographically by design — it is a fingerprint, not an order
+    statistic; ``documents`` carries no doubles, whose rendering differs
+    between engines). The oracle spells the same profile as a 5-branch
+    UNION ALL; Spark's form is the scan-once plan you want at scale."""
+    d = Tables(spark, sf_dir).documents
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__mn"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__mx"),
+        ]
+    one = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args})"
+        " AS (col_name, n_notnull, n_distinct, min_str, max_str)",
+    ).select(
+        "col_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_notnull")).alias("n_null"),
+        "n_distinct",
+        "min_str",
+        "max_str",
+    )
+
+
+@query(
+    "dq_constraints",
+    category="L.quality",
+    oracle="""
+SELECT 'orders_pk_unique' AS rule,
+       count(*) - count(DISTINCT o_orderkey) AS n_violations FROM orders
+UNION ALL
+SELECT 'orders_totalprice_positive',
+       count(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+FROM orders
+UNION ALL
+SELECT 'lineitem_pk_unique',
+       count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_range',
+       count(*) FILTER (WHERE l_discount IS NULL
+                           OR l_discount < 0 OR l_discount > 1)
+FROM lineitem
+UNION ALL
+SELECT 'orders_fk_customer', count(*)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'lineitem_fk_orders', count(*)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+""",
+)
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation over the star schema: PK uniqueness, value
+    ranges (NULL counts as a violation — a NULL price is not a valid
+    positive price), and FK containment via broadcast ANTI joins (the dim
+    side broadcasts; the fact table is never shuffled). Per-table rules
+    share one scan each via a multi-aggregate + stack; the output is one
+    (rule, n_violations) row per rule. Five rules hold on the fixture;
+    lineitem's (l_orderkey, l_linenumber) pair genuinely repeats there,
+    so that rule reports a real nonzero count — evidence the gate
+    detects violations rather than emitting zeros."""
+    t = Tables(spark, sf_dir)
+    orders_rules = t.orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk"),
+        F.count(
+            F.when(F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1)
+        ).alias("price"),
+    ).selectExpr(
+        "stack(2, 'orders_pk_unique', pk, 'orders_totalprice_positive', price)"
+        " AS (rule, n_violations)"
+    )
+    li_rules = t.lineitem.agg(
+        (F.count(F.lit(1)) - F.countDistinct("l_orderkey", "l_linenumber")).alias(
+            "pk"
+        ),
+        F.count(
+            F.when(
+                F.col("l_discount").isNull()
+                | (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 1),
+                1,
+            )
+        ).alias("disc"),
+    ).selectExpr(
+        "stack(2, 'lineitem_pk_unique', pk, 'lineitem_discount_range', disc)"
+        " AS (rule, n_violations)"
+    )
+    fk_orders = (
+        t.orders.join(
+            F.broadcast(t.customer),
+            t.orders.o_custkey == t.customer.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("orders_fk_customer").alias("rule"), "n_violations")
+    )
+    fk_li = (
+        t.lineitem.join(
+            t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey, "left_anti"
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("lineitem_fk_orders").alias("rule"), "n_violations")
+    )
+    return orders_rules.unionAll(li_rules).unionAll(fk_orders).unionAll(fk_li)
+
+
+@query(
+    "heavy_hitters",
+    category="D.agg",
+    oracle=f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT word, count(*) AS n_word, (SELECT count(*) FROM w) AS n_total
+FROM w
+GROUP BY word
+HAVING count(*) * {HH_K} > (SELECT count(*) FROM w)
+""",
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (tokens with count·K > n, K=31 = HH_K) via the
+    two-phase candidate-prune plan:
+
+    1. Candidate phase — per input partition p, keep words with local
+       count·K > n_p. Pigeonhole: a globally heavy word must be locally
+       heavy in ≥1 partition (if c_p·K ≤ n_p everywhere, summing gives
+       c·K ≤ n), so the union of local survivors is a SUPERSET of the
+       answer with ≤ K candidates per partition — bounded no matter how
+       large the vocabulary. Expressed declaratively as
+       groupBy(spark_partition_id(), word): rows of one (pid, word) pair
+       already live in partition pid, and map-side partial aggregation
+       completes each count locally, so the exchange carries only
+       per-partition distinct words.
+    2. Recount phase — broadcast the candidate list, semi-join it into a
+       fresh scan (filter applied AT the scan), and count exactly; keep
+       count·K > n by exact integer compare (no float threshold). The
+       final filter makes the result independent of partitioning — the
+       candidate set varies with the physical layout, the answer never
+       does — which is what lets DuckDB check it with a plain HAVING.
+
+    The oracle's groupBy-everything plan shuffles the whole vocabulary;
+    this plan's big shuffle carries candidate words only — the difference
+    between O(vocabulary) and O(k·partitions) state at 100 TB.
+    """
+    d = Tables(spark, sf_dir).documents
+    toks = d.select(F.explode(tokens()).alias("word"))
+    local = toks.groupBy(
+        F.spark_partition_id().alias("pid"), "word"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    candidates = (
+        local.withColumn("n_p", F.sum("c").over(Window.partitionBy("pid")))
+        .where(F.col("c") * HH_K > F.col("n_p"))
+        .select("word")
+        .distinct()
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        toks.join(F.broadcast(candidates), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_word"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n_word") * HH_K > F.col("n_total"))
+        .select("word", "n_word", "n_total")
+    )

@@ -563,3 +563,56 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_mktsegment").alias("segment"),
         )
     )
+
+
+@query(
+    "join_salted",
+    category="C.join",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       sum(l_extendedprice::DECIMAL(18,2)
+           * (1 - l_discount)::DECIMAL(8,2))::DOUBLE AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join via key salting, semantically IDENTICAL to the
+    plain join (the oracle is the unsalted SQL): the build side (orders)
+    is replicated S=8× with an explicit salt column, the probe side
+    (lineitem) tags each row with a deterministic salt in [0, S), and
+    the join key becomes (orderkey, salt) — so one hot orderkey's probe
+    rows spread over 8 reducers instead of one.
+
+    This is the manual form of what AQE's skew-join split does at
+    runtime; it is spelled out as an operator because (a) static salting
+    also covers aggregations and sort-merge paths AQE may not split, and
+    (b) the parity gate proves the rewrite is result-transparent. Cost
+    model: build side ×S rows through the shuffle (fine when the build
+    side is the small table), probe side unchanged. The salt derives
+    from l_linenumber (stable, uniform 1..7 here) rather than rand() —
+    determinism is what makes the result reproducible and checkable.
+    """
+    t = Tables(spark, sf_dir)
+    S = 8
+    orders_salted = t.orders.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+    )
+    li_salted = t.lineitem.withColumn(
+        "salt", (F.col("l_linenumber") % S).cast("int")
+    )
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (1 - F.col("l_discount")).cast("decimal(8,2)")
+    return (
+        li_salted.join(
+            orders_salted,
+            (li_salted.l_orderkey == orders_salted.o_orderkey)
+            & (li_salted.salt == orders_salted.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(ep * disc).cast("double").alias("revenue"),
+        )
+    )
