@@ -342,3 +342,48 @@ def user_totals_tws(stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def ewma(stream: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Streaming twin of ``ts_ewma``: per-user recursive EWMA carried in
+    the state store (state = the single smoothed double + event count),
+    emitting the updated value once per (user, micro-batch).
+
+    Fold discipline mirrors the batch op exactly: within each batch rows
+    are sorted by (ts, event_id) before folding, and with in-order
+    sources (file order here; a partitioned log's per-key order in
+    production) the cross-batch fold concatenates to the batch fold —
+    ``test_ewma_twin_matches_batch`` asserts bit-equality with α = 0.5
+    (exact halvings ⇒ one identically rounded add per step). State is
+    O(1) per user — this is why the recursive form streams while the
+    order-free window form does not."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            s, n = state.get
+        else:
+            s, n = None, 0
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for x in pdf["value"]:
+                s = float(x) if s is None else float(x) * alpha + s * (1.0 - alpha)
+            n += len(pdf)
+            state.update((float(s), int(n)))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "ewma_last": [s]}
+            )
+
+    return (
+        stream.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType="user_id BIGINT, n_events BIGINT, ewma_last DOUBLE",
+            stateStructType="s DOUBLE, n BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

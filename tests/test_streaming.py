@@ -238,3 +238,18 @@ def test_transform_with_state_variant(spark):
         assert len(rows) > 0
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_ewma_twin_matches_batch(spark):
+    """One drain of the per-user stateful EWMA equals the batch ts_ewma
+    bit-for-bit (same (ts, event_id) fold order, α=0.5 exact halvings)."""
+    ckpt = os.path.join(SCRATCH, "ewma_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = twins.events_stream(spark, _events_dir())
+    rows = twins.run_collect(twins.ewma(stream), "update", ckpt)
+    batch = {
+        r.user_id: (r.n_events, r.ewma_last)
+        for r in REGISTRY["ts_ewma"].fn(spark, SF001).collect()
+    }
+    got = {r.user_id: (r.n_events, r.ewma_last) for r in rows}
+    assert got == batch and len(got) > 0
