@@ -420,3 +420,110 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s, x: x * half + s * half,
         ).alias("ewma_last"),
     )
+
+
+@query(
+    "concurrency_peak",
+    category="E.window",
+    oracle="""
+WITH deltas AS (
+  SELECT event_type, ts::TIMESTAMP AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT event_type, ts::TIMESTAMP + INTERVAL 5 MINUTE, -1 FROM events
+),
+running AS (
+  SELECT event_type,
+         sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS conc
+  FROM deltas
+)
+SELECT event_type,
+       max(conc) AS peak_concurrency,
+       count(*) // 2 AS n_intervals
+FROM running GROUP BY event_type
+""",
+)
+def concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type, treating each event as a
+    half-open 5-minute interval [ts, ts+5m): the classic sweep-line —
+    every interval contributes (+1 at start, −1 at end), a running sum
+    ordered by (t, d) walks the timeline (d sorts −1 before +1, so an
+    interval ending exactly when another starts never double-counts),
+    and the max of the running sum is the peak.
+
+    Determinism with ties: rows tied on (t, d) carry the SAME delta, so
+    the running sum visits the same value sequence whatever their
+    relative order — max is well-defined, which is what lets an exact
+    hash gate check a window over a non-unique ordering.
+
+    Scale: the union doubles rows but stays narrow (type, t, ±1); the
+    single shuffle partitions by event_type. For a hot single type,
+    range-partition by (type, time-bucket), take per-bucket peaks and
+    carry bucket-boundary offsets — the standard segmented sweep."""
+    ev = Tables(spark, sf_dir).events
+    starts = ev.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("d"))
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        starts.unionAll(ends)
+        .select("event_type", F.sum("d").over(w).alias("conc"))
+        .groupBy("event_type")
+        .agg(
+            F.max("conc").alias("peak_concurrency"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+        )
+    )
+
+
+@query(
+    "cohort_retention",
+    category="D.agg",
+    oracle="""
+WITH weeks AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts::TIMESTAMP) AS wk FROM events
+),
+cohorts AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM weeks GROUP BY user_id
+)
+SELECT epoch_us(cohort_wk) // 1000000 AS cohort_week_s,
+       date_diff('day', cohort_wk, wk) // 7 AS week_index,
+       count(*) AS n_users
+FROM weeks JOIN cohorts USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users are cohorted by their first
+    active week; each (cohort, weeks-since) cell counts users still
+    active — THE product-analytics query. Plan: one distinct
+    (user, week) reduction (the only pass over raw events), a per-user
+    min, then a join and a small agg — all three shuffles key on
+    user_id, so at scale they collapse onto one partitioning (Exchange
+    reuse), and the final cells are O(weeks²) regardless of user count.
+
+    Parity notes: both engines truncate weeks to Monday 00:00; the
+    week index divides a day difference that is an exact multiple of 7
+    (both operands are week-truncs) so integer //7 is exact; the week
+    itself crosses engines as an integer epoch (ARCHITECTURE.md §4 —
+    DuckDB's epoch() rounds, epoch_us // 1e6 truncates like Spark)."""
+    ev = Tables(spark, sf_dir).events
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    cohorts = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        weeks.join(cohorts, "user_id")
+        .groupBy(
+            F.unix_seconds("cohort_wk").alias("cohort_week_s"),
+            (F.datediff("wk", "cohort_wk") / 7).cast("long").alias("week_index"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -77,3 +77,37 @@ def test_ts_fill_forward_grid_dense_and_filled(spark):
             else:
                 assert r.n_events > 0
                 last_observed = r.sum_filled
+
+
+def test_concurrency_peak_matches_bruteforce(spark):
+    """Sweep-line peak equals the O(n²) definition: for each interval
+    start, count intervals of the same type covering it (half-open
+    [ts, ts+5m)); the max over starts is the peak (peaks occur at
+    starts)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_server_spark.sources.loader import Tables
+
+    from .conftest import SF0001
+
+    got = {
+        r.event_type: r.peak_concurrency
+        for r in REGISTRY["concurrency_peak"].fn(spark, SF0001).collect()
+    }
+    ev = Tables(spark, SF0001).events.select("event_type", "ts")
+    a, b = ev.alias("a"), ev.alias("b")
+    brute = {
+        r.event_type: r.peak
+        for r in a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.ts") <= F.col("a.ts"))
+            & (F.col("a.ts") < F.col("b.ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), F.col("a.ts"))
+        .agg(F.count(F.lit(1)).alias("conc"))
+        .groupBy("event_type")
+        .agg(F.max("conc").alias("peak"))
+        .collect()
+    }
+    assert got == brute and len(got) > 0
