@@ -238,3 +238,85 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         lag_s.alias("lag_s"),
     )
+
+
+@query(
+    "ts_rollup_multigrain",
+    category="I.stream",
+    oracle="""
+WITH b AS (
+  SELECT epoch_us(date_trunc('day', ts::TIMESTAMP)) // 1000000 AS day_s,
+         epoch_us(date_trunc('hour', ts::TIMESTAMP)) // 1000000 AS hour_s,
+         value
+  FROM events
+)
+SELECT day_s, hour_s,
+       count(*) AS n,
+       sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+FROM b
+GROUP BY ROLLUP (day_s, hour_s)
+""",
+)
+def ts_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate at THREE granularities in
+    one pass — per-hour cells, per-day subtotals, and the grand total —
+    via ROLLUP(day, hour): Spark's Expand operator emits each row once
+    per level and one shuffle aggregates all levels (a MapReduce engine
+    re-runs one job per granularity; a Timescale continuous aggregate
+    materializes each level separately). Sums are exact decimal so every
+    level is order-independent; buckets cross engines as integer epochs.
+    At scale this IS the rollup pattern to feed `matview_daily_rollup`'s
+    serving store: coarse grains come for free with the fine grain."""
+    ev = Tables(spark, sf_dir).events
+    b = ev.select(
+        F.unix_seconds(F.date_trunc("day", "ts")).alias("day_s"),
+        F.unix_seconds(F.date_trunc("hour", "ts")).alias("hour_s"),
+        "value",
+    )
+    return b.rollup("day_s", "hour_s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "stream_sliding_distinct",
+    category="I.stream",
+    oracle="""
+WITH g AS (
+  SELECT DISTINCT time_bucket(INTERVAL 15 MINUTE, ts::TIMESTAMP) AS tb, user_id
+  FROM events
+),
+e AS (
+  SELECT DISTINCT tb - k.k * INTERVAL 15 MINUTE AS ws, user_id
+  FROM g, (SELECT unnest([0, 1, 2, 3]) AS k) k
+)
+SELECT epoch(ws)::BIGINT AS ws_s, count(*) AS n_users
+FROM e GROUP BY 1
+""",
+)
+def stream_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per 1-hour window sliding every 15 minutes — the
+    sliding-window COUNT DISTINCT that plain sliding counts (stream_
+    sliding) cannot answer. Plan: reduce raw events to distinct
+    (15-min bucket, user) FIRST — the only pass over the fact table, so
+    the shuffle carries one row per (bucket, user) — then expand each
+    grid point into the 4 epoch-aligned windows containing it (starts
+    tb−{0,15,30,45}m: exactly Spark's sliding-window enumeration) and
+    distinct-count per window start. Dedup-before-expand keeps the 4×
+    expansion on the reduced grid instead of the raw stream. At 100 TB
+    the same two-level shape is how streaming distinct works: per-bucket
+    exact (or HLL) partials merged per window."""
+    ev = Tables(spark, sf_dir).events
+    grid = ev.select(
+        F.window("ts", "15 minutes").start.alias("tb"), "user_id"
+    ).distinct()
+    shifts = F.array(
+        *[F.col("tb") - F.expr(f"INTERVAL {m} MINUTES") for m in (0, 15, 30, 45)]
+    )
+    return (
+        grid.select(F.explode(shifts).alias("ws"), "user_id")
+        .distinct()
+        .groupBy(F.unix_seconds("ws").alias("ws_s"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
