@@ -387,3 +387,81 @@ def ewma(stream: DataFrame, alpha: float = 0.5) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def session_timer(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Timer-based sessionization via ``applyInPandasWithState`` +
+    EventTimeTimeout — the custom-stateful form of `session`, and the
+    pattern the native session_window cannot express variations of
+    (per-session enrichment, mid-session emission, dynamic gaps).
+
+    Per user the state is the open session (start_us, last_us, n,
+    cents). A new event either extends it or — if the gap exceeds
+    ``gap_minutes`` — closes it (emitted immediately) and starts the
+    next. When the event-time watermark passes last_us + gap, the
+    registered timer fires with NO new data and the open session is
+    emitted and cleared: idle sessions close themselves, which is
+    exactly what a batch job cannot do and the reason streaming
+    sessionization needs timers. State is one row per ACTIVE user;
+    watermark eviction bounds it.
+
+    Value discipline mirrors the batch op: sums accumulate as integer
+    cents, start/end cross as integer epoch seconds."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(key, pdf_iter, state: GroupState):
+        def emit(start_us, last_us, n, cents):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "start_s": [start_us // 1_000_000],
+                    "end_s": [last_us // 1_000_000],
+                    "n_events": [n],
+                    "sum_value": [cents / 100.0],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n, cents = state.get
+            state.remove()
+            yield emit(start_us, last_us, n, cents)
+            return
+
+        cur = state.get if state.exists else None
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+        cents_col = (pdf["value"] * 100).round().astype("int64").tolist()
+        for t_us, c in zip(ts_us, cents_col):
+            if cur is None:
+                cur = (t_us, t_us, 1, c)
+            elif t_us - cur[1] > gap_us:
+                yield emit(*cur)
+                cur = (t_us, t_us, 1, c)
+            else:
+                cur = (cur[0], max(cur[1], t_us), cur[2] + 1, cur[3] + c)
+        if cur is not None:
+            state.update(tuple(int(x) for x in cur))
+            # fire once the event-time watermark passes the gap boundary
+            state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60 * 1000)
+
+    return (
+        stream.select("user_id", "ts", "event_id", "value")
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessions,
+            outputStructType=(
+                "user_id BIGINT, start_s BIGINT, end_s BIGINT,"
+                " n_events BIGINT, sum_value DOUBLE"
+            ),
+            stateStructType=(
+                "start_us BIGINT, last_us BIGINT, n BIGINT, cents BIGINT"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

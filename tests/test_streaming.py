@@ -253,3 +253,53 @@ def test_ewma_twin_matches_batch(spark):
     }
     got = {r.user_id: (r.n_events, r.ewma_last) for r in rows}
     assert got == batch and len(got) > 0
+
+
+def test_session_timer_twin_flushes_all_sessions(spark):
+    """Timer-based sessionization: successor events close sessions
+    inline; EventTimeTimeout timers close idle ones as the watermark
+    advances (two far-future sentinel batches push it past every real
+    session). After the drain, emitted real-user sessions must equal the
+    batch stream_session output exactly."""
+    from pyspark.sql import functions as F
+
+    src = os.path.join(SCRATCH, "sess_timer_src")
+    ckpt = os.path.join(SCRATCH, "sess_timer_ckpt")
+    for d in (src, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    shutil.copyfile(f"{SF001}/events.parquet", os.path.join(src, "a_events.parquet"))
+
+    max_us = (
+        load_table(spark, SF001, "events")
+        .agg(F.max(F.unix_micros("ts")))
+        .first()[0]
+    )
+    for i, days in enumerate((10, 20)):
+        ts_ns = (max_us + days * 86_400 * 1_000_000) * 1000
+        tbl = pa.table(
+            {
+                "event_id": pa.array([10_000_000 + i], pa.int64()),
+                "ts": pa.array([ts_ns], pa.int64()),
+                "user_id": pa.array([-1 - i], pa.int64()),
+                "event_type": pa.array(["sentinel"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        )
+        path = os.path.join(src, f"b_sentinel_{i}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (2_000_000_000 + i, 2_000_000_000 + i))
+
+    stream = twins.events_stream(spark, src, max_files_per_trigger=1)
+    rows = twins.run_collect(twins.session_timer(stream), "append", ckpt)
+    got = {
+        (r.user_id, r.start_s, r.end_s, r.n_events, r.sum_value)
+        for r in rows
+        if r.user_id >= 0
+    }
+    batch = {
+        (r.user_id, r.start_s, r.end_s, r.n_events, r.sum_value)
+        for r in REGISTRY["stream_session"].fn(spark, SF001).collect()
+    }
+    assert got == batch and len(got) > 0
