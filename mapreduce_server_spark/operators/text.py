@@ -414,3 +414,75 @@ def text_term_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("source", "word", "tf")
     )
+
+
+@query(
+    "text_bigram_lm",
+    category="J.text",
+    oracle="""
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> [t[i], t[i + 1]])) AS p
+  FROM toks WHERE len(t) >= 2
+),
+bg AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+heads AS (SELECT w1, sum(c12) AS c1 FROM bg GROUP BY w1),
+vocab AS (
+  SELECT count(DISTINCT word) AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+)
+SELECT w1, w2, c12,
+       (c12 + 1)::DOUBLE / (c1 + v) AS p_smooth
+FROM bg JOIN heads USING (w1) CROSS JOIN vocab
+""",
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language model with add-1 (Laplace) smoothing:
+    P(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+|V|) — the count-based LM
+    estimation step of a text pipeline, all in three aggregates:
+    bigram counts (the wordcount shuffle over pair keys), head
+    marginals (sum over the already-reduced bigram table — never a
+    second pass over the corpus), and |V| as a broadcast scalar.
+
+    Float discipline: the probability is ONE correctly-rounded double
+    division of exact integers — bit-identical across engines and
+    partitionings, no rounding step needed. Scale: output is the
+    observed-bigram table (≤ |V|·avg-successors rows); the marginal
+    join keys on w1, the same partitioning the bigram groupBy already
+    produced, so AQE plans it shuffle-free on the reduced side."""
+    d = Tables(spark, sf_dir).documents
+    toks = tokens()
+    idx = F.sequence(F.lit(1), F.size(F.col("t")) - 1)
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(F.col("t"), i).alias("w1"),
+            F.element_at(F.col("t"), i + 1).alias("w2"),
+        ),
+    )
+    bg = (
+        d.select(toks.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    heads = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        d.select(F.explode(toks).alias("word"))
+        .agg(F.countDistinct("word").alias("v"))
+    )
+    return (
+        bg.join(heads, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            ((F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v"))).alias(
+                "p_smooth"
+            ),
+        )
+    )
