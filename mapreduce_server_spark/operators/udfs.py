@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType
 
 from ..registry import query
-from ..sources.loader import Tables
+from ..sources.loader import Tables, load_table_fresh
 
 
 @query(
@@ -145,4 +145,69 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.first_token "
         "FROM __mrss_udtf_docs d, LATERAL mrss_chunk_doc(d.text) c"
+    )
+
+
+@query(
+    "udf_cogroup_asof",
+    category="K.udf",
+    oracle="""
+SELECT p.event_id, p.user_id, epoch_us(c.ts::TIMESTAMP) AS last_click_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def udf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas`` — the two-sided Arrow UDF surface:
+    both inputs are co-partitioned by user_id and each pair of per-key
+    pandas frames is merged with ``pd.merge_asof`` (backward, inclusive
+    — the exact ASOF semantics the DuckDB oracle executes natively, and
+    the same result as the declarative ``join_asof`` row_number form).
+
+    Where built-ins express the semantics (they do here — see
+    join_asof), they win; cogroup earns its keep when the per-key merge
+    logic is genuinely imperative (bid/ask book replay, trajectory
+    alignment). Scale shape: ONE co-partitioned shuffle of each side —
+    candidate pairs never materialize (the row_number form builds all
+    (purchase × earlier-click) pairs before pruning; merge_asof walks
+    the two sorted frames linearly), per-key memory is the two group
+    frames, and ties on identical click ts collapse to the same output
+    row either way.
+
+    The click side reads a FRESH scan (load_table_fresh): a self-cogroup
+    sharing one scan lineage gets its re-aliased right side mis-pruned to
+    the grouping keys under count() (Spark 4.1; see loader docstring)."""
+    ev = Tables(spark, sf_dir).events
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    c = load_table_fresh(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    ).select("user_id", "ts")
+
+    def merge(pl: pd.DataFrame, cl: pd.DataFrame) -> pd.DataFrame:
+        if pl.empty:
+            return pd.DataFrame(
+                {"event_id": [], "user_id": [], "last_click_us": []}
+            ).astype({"event_id": "int64", "user_id": "int64", "last_click_us": "int64"})
+        cl = cl.sort_values("ts").assign(c_ts=lambda d: d["ts"])
+        out = pd.merge_asof(
+            pl.sort_values("ts"), cl, on="ts", by="user_id", direction="backward"
+        )
+        out = out.dropna(subset=["c_ts"])
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"].astype("int64"),
+                "user_id": out["user_id"].astype("int64"),
+                "last_click_us": out["c_ts"].astype("int64") // 1000,
+            }
+        )
+
+    return (
+        p.groupBy("user_id")
+        .cogroup(c.groupBy("user_id"))
+        .applyInPandas(
+            merge, schema="event_id long, user_id long, last_click_us long"
+        )
     )

@@ -78,6 +78,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_fresh(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Unmemoized variant of :func:`load_table` — a genuinely distinct scan
+    lineage each call. Required when a plan COGROUPS a table with itself:
+    with both sides sharing one scan, DeduplicateRelations re-aliases the
+    right side and column pruning then strips it down to its grouping keys
+    (observed under ``count()`` on Spark 4.1 — the right-side pandas frame
+    arrives without its payload columns). Distinct lineages sidestep the
+    mis-pruning; plain self-JOINs are unaffected."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    ensure_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 class Tables:
     """Attribute-style access to the fixture tables of one scale factor.
 
