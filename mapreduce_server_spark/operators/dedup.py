@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import DUCK_DOT, DUCK_NORM, cosine
-from ..registry import query
+from ..registry import REGISTRY, query
 from ..sources.loader import Tables
 
 N_HASHES = 16  # minhash permutations
@@ -468,4 +468,71 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tb, "doc_b")
         .where(lev * 5 <= F.greatest(F.length("text_a"), F.length("text_b")))
         .select("doc_a", "doc_b", lev.cast("long").alias("edit_dist"))
+    )
+
+
+#: dedup_jaccard_prefix shares dedup_ngram_jaccard's oracle verbatim — the
+#: prefix filter is a candidate-pruning rewrite, not a semantics change.
+_JACCARD_ORACLE = REGISTRY["dedup_ngram_jaccard"].oracle
+
+
+@query("dedup_jaccard_prefix", category="J.dedup", oracle=_JACCARD_ORACLE)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (AllPairs/PPJoin family) —
+    same result set as ``dedup_ngram_jaccard`` (IDENTICAL oracle), with
+    the candidate join shrunk by the prefix theorem: order every doc's
+    shingles canonically (ascending document frequency, rarest first,
+    tie-break lexicographic) and index only the first
+    n − ⌈t·n⌉ + 1 of them; two docs with J ≥ t MUST share a prefix
+    shingle (if all shared shingles sat outside both prefixes, the
+    intersection would be too small to reach t). Verification recomputes
+    exact Jaccard per candidate via array_intersect of the full shingle
+    sets.
+
+    Scale shape vs the full inverted-index join: the index (and thus the
+    quadratic per-bucket pair generation) drops to ~(1−t) of all
+    postings, with the rarest — least-colliding — shingles kept, so hot
+    buckets shrink the most. At t=0.9 the index is 10% of postings; the
+    pytest proves result-equality and measures the pruning. Next rung on
+    the same ladder: dedup_minhash (probabilistic candidates)."""
+    t = 0.5
+    d = Tables(spark, sf_dir).documents
+    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(df_counts, "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+    )
+    prefix = ranked.where(
+        F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+    ).select("doc_id", "shingle")
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = d.select(
+        "doc_id", F.array_sort(_shingles()).alias("sh_set")
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
+    n_common = F.size(F.array_intersect("set_a", "set_b"))
+    jac = n_common / (F.size("set_a") + F.size("set_b") - n_common)
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= t)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

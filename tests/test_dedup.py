@@ -91,3 +91,38 @@ def test_dedup_levenshtein_finds_planted_pairs_at_zero_distance(spark, planted_p
     found = {(r.doc_a, r.doc_b): r.edit_dist for r in rows}
     for pair in planted_pairs:
         assert found.get(pair) == 0  # exact copies → edit distance 0
+
+
+def test_jaccard_prefix_equals_full_join_and_prunes(spark):
+    """Prefix filtering is a pure candidate-pruning rewrite: identical
+    pairs to the full inverted-index join, from a measurably smaller
+    index (≤ ~(1−t)+1/n of postings at t=0.5)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_server_spark.operators.dedup import _shingles
+    from mapreduce_server_spark.sources.loader import Tables
+
+    full = sorted(
+        map(tuple, REGISTRY["dedup_ngram_jaccard"].fn(spark, SF01).collect())
+    )
+    pref = sorted(
+        map(tuple, REGISTRY["dedup_jaccard_prefix"].fn(spark, SF01).collect())
+    )
+    assert pref == full and len(pref) > 0
+
+    d = Tables(spark, SF01).documents
+    n_postings = d.select(F.explode(_shingles()).alias("s")).count()
+    n_docs = d.count()
+    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    ranked = sh.join(dfc, "shingle").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")),
+    ).withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    n_prefix = ranked.where(
+        F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(0.5) * F.col("n_sh")) + 1
+    ).count()
+    # t=0.5 keeps n−⌈n/2⌉+1 ≈ half the postings (+1 per doc)
+    assert n_prefix <= 0.5 * n_postings + n_docs
