@@ -569,3 +569,32 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m2, F.lit("b")).alias("b_val"),
         F.concat_ws(",", entries).alias("entries_csv"),
     )
+
+
+@query(
+    "scalar_variant",
+    category="H.scalar",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k')::BIGINT AS k,
+       json_extract_string(props, '$.k')::BIGINT % 7 AS k_mod
+FROM events
+WHERE json_extract_string(props, '$.k')::BIGINT > 90
+""",
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: ``parse_json`` once
+    into the binary Variant encoding, then typed ``variant_get`` paths —
+    unlike ``get_json_object`` (which re-parses the JSON string per
+    extraction), the parse cost is paid once and every subsequent path
+    access is a cheap binary probe, the right trade at 100 TB where
+    telemetry blobs carry many fields read many times. The filter on the
+    extracted value stays a Catalyst predicate. Oracle extracts the same
+    typed paths from the raw JSON text."""
+    ev = Tables(spark, sf_dir).events
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_id", k.alias("k"), (k % 7).alias("k_mod"))
+        .where(F.col("k") > 90)
+    )

@@ -1,0 +1,88 @@
+"""Custom data source via the Spark 4 Python DataSource API.
+
+The reference reads records from user-provided input formats; Spark's
+modern extension point for "my data lives somewhere Spark has no reader
+for" is ``pyspark.sql.datasource`` — schema + partition planning on the
+driver, per-partition generators on executors, Arrow-batched back to the
+JVM. This module implements a deterministic synthetic-corpus source
+(``synthdocs``) exercising the full reader contract:
+
+- ``partitions()`` declares N independent splits → Spark schedules one
+  task per split (the parallelism contract — a source without it reads
+  on a single task);
+- ``read(partition)`` yields rows for one split only, derived purely
+  from (doc_id, literal seeds) via md5 — NO RNG, so any split is
+  reproducible on retry/speculation, the same property every operator
+  here relies on for the exact-hash gate;
+- pushdown note: this simple source declares none, so Catalyst applies
+  filters after the scan; a production source would implement the
+  filter-pushdown hooks the parquet reader gets for free.
+
+Registered per-session with ``spark.dataSource.register(SynthDocs)``;
+used by tests/test_pysource.py. A write path would subclass
+DataSourceWriter symmetrically."""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+).split()
+_LANGS = ("en", "de", "fr", "ja")
+_TOKENS_PER_DOC = 12
+
+
+def _h(*parts: object) -> int:
+    """Deterministic 64-bit hash of the parts (md5 prefix — stable across
+    processes, unlike Python's salted builtin hash)."""
+    raw = ":".join(str(p) for p in parts).encode()
+    return int.from_bytes(hashlib.md5(raw).digest()[:8], "big")
+
+
+def doc_row(doc_id: int) -> tuple[int, str, str]:
+    """The synthetic document for one id — pure function, shared by the
+    source and by tests asserting reproducibility."""
+    words = [
+        _WORDS[_h("w", doc_id, i) % len(_WORDS)] for i in range(_TOKENS_PER_DOC)
+    ]
+    return doc_id, " ".join(words), _LANGS[_h("l", doc_id) % len(_LANGS)]
+
+
+@dataclass
+class _Split(InputPartition):
+    start: int
+    end: int
+
+
+class SynthDocsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.parts = int(options.get("parts", 4))
+
+    def partitions(self):
+        step = -(-self.rows // self.parts)  # ceil
+        return [
+            _Split(lo, min(lo + step, self.rows))
+            for lo in range(0, self.rows, step)
+        ]
+
+    def read(self, partition: _Split):
+        for doc_id in range(partition.start, partition.end):
+            yield doc_row(doc_id)
+
+
+class SynthDocs(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocs"
+
+    def schema(self) -> str:
+        return "doc_id bigint, text string, lang string"
+
+    def reader(self, schema) -> SynthDocsReader:
+        return SynthDocsReader(self.options)

@@ -149,3 +149,36 @@ def test_dq_profile_shape(spark):
     assert all(r.n_rows == n_docs and r.n_null == 0 for r in rows.values())
     assert rows["doc_id"].n_distinct == n_docs
     assert pd.notna(rows["lang"].min_str)
+
+
+def test_observation_collects_dq_metrics_in_one_pass(spark):
+    """`df.observe` attaches DQ counters to a query already running for
+    another purpose — row count, violation count and an exact-decimal
+    checksum arrive with the action, no second scan (at 100 TB the
+    difference between auditing a load and re-reading it). Metrics must
+    equal independently computed aggregates."""
+    from pyspark.sql import Observation
+
+    orders = Tables(spark, SF0001).orders
+    obs = Observation("dq_load_audit")
+    audited = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("bad_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("checksum"),
+    )
+    # the "real" job: something unrelated downstream of the audit point
+    n_f = audited.where(F.col("o_orderstatus") == "F").count()
+    metrics = obs.get
+    direct = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("checksum"),
+    ).first()
+    assert metrics["n_rows"] == direct["n_rows"]
+    assert metrics["bad_price"] == 0
+    assert metrics["checksum"] == direct["checksum"]
+    assert 0 < n_f < metrics["n_rows"]  # downstream filter really filtered
