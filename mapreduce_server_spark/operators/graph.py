@@ -103,3 +103,67 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             # cut lineage: the uncut plan is i joins deep by now
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+@query(
+    "graph_triangles",
+    category="J.graph",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+tri AS (
+  SELECT ab.pa AS a, ab.pb AS b, bc.pb AS c
+  FROM e ab
+  JOIN e bc ON ab.pb = bc.pa
+  JOIN e ac ON ac.pa = ab.pa AND ac.pb = bc.pb
+)
+SELECT part, count(*) AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS part FROM tri)
+GROUP BY part
+""",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the part co-occurrence graph (edges =
+    part pairs sharing ≥2 orders, the cooccur_parts support threshold) —
+    the canonical one-round "beyond wordcount" graph workload, exactly
+    checkable unlike the fixed-point ops above.
+
+    Plan: with edges oriented a<b (already the cooccur convention), every
+    triangle a<b<c is found exactly once by the two-hop join
+    (a,b)⋈(b,c)⋈(a,c) — the orientation is the classic dedup trick that
+    also bounds the join fan-out by out-degree, not total degree. Each
+    triangle then credits its three corners via explode → groupBy.
+
+    Scale: the dominant cost is the (a,b)⋈(b,c) hop, shuffling edges by
+    their endpoint; hub vertices fan out quadratically, and the standard
+    mitigation (degree-ordered orientation: point every edge low→high
+    DEGREE, not low→high id, so hubs get small out-degree) drops the
+    worst case to O(m^1.5) — noted, not needed at fixture density. The
+    (a,c) closure check joins on the composite key, AQE-broadcast here."""
+    li = Tables(spark, sf_dir).lineitem
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .select("pa", "pb")
+    )
+    ab = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    bc = e.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    ac = e.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
