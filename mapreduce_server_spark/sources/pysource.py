@@ -18,6 +18,14 @@ JVM. This module implements a deterministic synthetic-corpus source
   filters after the scan; a production source would implement the
   filter-pushdown hooks the parquet reader gets for free.
 
+The same source also implements the STREAMING contract
+(``SimpleDataSourceStreamReader``): offsets are plain dicts checkpointed
+by the engine, each micro-batch emits the id range [start, end) at
+``rowsPerBatch``, and because rows derive purely from ids, replaying a
+batch after failure reproduces identical rows — exactly-once via
+deterministic replay, the property Kafka-offset sources provide and every
+custom source must.
+
 Registered per-session with ``spark.dataSource.register(SynthDocs)``;
 used by tests/test_pysource.py. A write path would subclass
 DataSourceWriter symmetrically."""
@@ -27,7 +35,12 @@ from __future__ import annotations
 import hashlib
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _WORDS = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
@@ -76,6 +89,29 @@ class SynthDocsReader(DataSourceReader):
             yield doc_row(doc_id)
 
 
+class SynthDocsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader: offset = {"id": next_unread}; each batch emits
+    up to rowsPerBatch ids until maxRows, then goes idle (empty batches).
+    read() returns (rows, next_offset); readBetweenOffsets() replays a
+    committed range deterministically for recovery."""
+
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rowsPerBatch", 100))
+        self.max_rows = int(options.get("maxRows", 1000))
+
+    def initialOffset(self) -> dict:
+        return {"id": 0}
+
+    def read(self, start: dict):
+        lo = start["id"]
+        hi = min(lo + self.rows_per_batch, self.max_rows)
+        rows = [doc_row(i) for i in range(lo, hi)]
+        return rows, {"id": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return [doc_row(i) for i in range(start["id"], end["id"])]
+
+
 class SynthDocs(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -86,3 +122,6 @@ class SynthDocs(DataSource):
 
     def reader(self, schema) -> SynthDocsReader:
         return SynthDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SynthDocsStreamReader:
+        return SynthDocsStreamReader(self.options)
