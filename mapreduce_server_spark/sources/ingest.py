@@ -64,3 +64,10 @@ def write_partitioned(
     """The MR sink (R reducers → R output files [MR04 §3.1]) as a
     partitioned columnar layout — the write side of partition pruning."""
     df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other columnar format with embedded schema and
+    min/max stripe statistics (predicate pushdown works like parquet's
+    row groups; no DDL needed, the footer carries the types)."""
+    return spark.read.orc(path)

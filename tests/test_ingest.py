@@ -103,3 +103,22 @@ def test_compaction_reduces_file_count(spark):
     assert n_frag == 64
     assert n_compact == max(1, -(-frag_bytes // COMPACT_TARGET_BYTES))
     assert n_compact < n_frag
+
+
+def test_orc_roundtrip_with_pushdown(spark):
+    """ORC round-trip preserves rows AND the scan supports predicate
+    pushdown (PushedFilters in the plan, like parquet stripes)."""
+    orders = load_table(spark, SF001, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = os.path.join(SCRATCH, "orders_orc")
+    orders.write.mode("overwrite").orc(path)
+    back = ingest.read_orc(spark, path)
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema
+    filtered = back.where("o_orderkey = 42")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderkey" in plan
+    assert sorted(map(tuple, filtered.collect())) == sorted(
+        map(tuple, orders.where("o_orderkey = 42").collect())
+    )
