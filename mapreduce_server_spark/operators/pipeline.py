@@ -205,3 +205,89 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+@query(
+    "pipeline_pretrain",
+    category="J.pipeline",
+    tags=("showcase",),
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lang, source, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM documents
+),
+quality AS (
+  SELECT * FROM base
+  WHERE n_tokens BETWEEN 10 AND 90 AND n_distinct * 3 >= n_tokens
+),
+deduped AS (
+  SELECT doc_id, lang, source, n_tokens
+  FROM (SELECT doc_id, lang, source, n_tokens,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM quality)
+  WHERE rn = 1
+),
+sampled AS (
+  SELECT * FROM deduped
+  WHERE substring(md5(doc_id::VARCHAR), 1, 2)
+        < CASE WHEN lang = 'en' THEN 'cd' ELSE '4d' END
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       sum((n_tokens + 63) // 64) AS n_chunks,
+       sum(n_tokens)::DOUBLE / count(*) AS avg_tokens
+FROM sampled
+GROUP BY lang, source
+""",
+)
+def pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining-data pipeline END TO END as ONE Catalyst plan:
+    token-length gate → repetition gate (distinct-token ratio ≥ 1/3,
+    integer compare — Gopher-style, no float threshold) → deterministic
+    exact dedup → per-language mixture downsampling (md5-hash keep:
+    ~80% en / ~30% other, reproducible and engine-portable) → corpus
+    accounting per (lang, source): docs, tokens, 64-token training
+    chunks (per-doc ceil — exact), average length.
+
+    The point of composing it: Catalyst fuses every row-local gate into
+    the adjacent stage (length + repetition run inside the scan's
+    codegen; the sample filter runs inside the dedup-window stage — it
+    must stay post-dedup, since dropping a doc before the window could
+    change which duplicate survives), so the whole pipeline is one scan
+    plus two shuffles (window, final agg) — adding a stage costs an
+    expression, not a pass; on 100 TB the difference between one read
+    and five. Stage thresholds are the
+    registry's curation ops (text_repetition, sample_mixture) — this is
+    their composition, oracle-checked as a whole."""
+    t = Tables(spark, sf_dir)
+    toks = F.split("text", " ")
+    base = t.documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    quality = base.where(
+        F.col("n_tokens").between(10, 90)
+        & (F.col("n_distinct") * 3 >= F.col("n_tokens"))
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_tokens")
+    )
+    hx = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    thresh = F.when(F.col("lang") == "en", F.lit("cd")).otherwise(F.lit("4d"))
+    sampled = deduped.where(hx < thresh)
+    return sampled.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.floor((F.col("n_tokens") + 63) / 64)).alias("n_chunks"),
+        (F.sum("n_tokens") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
