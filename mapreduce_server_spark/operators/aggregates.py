@@ -13,7 +13,7 @@ input size; this shape survives 100 TB unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import davg, dsum
@@ -543,3 +543,43 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..jobs import histogram
 
     return histogram(Tables(spark, sf_dir).orders, "o_totalprice", 50000.0)
+
+
+@query(
+    "agg_mode",
+    category="D.agg",
+    oracle="""
+SELECT o_orderstatus, mode_priority, n
+FROM (
+  SELECT o_orderstatus, o_orderpriority AS mode_priority, count(*) AS n,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY count(*) DESC, o_orderpriority) AS rn
+  FROM orders
+  GROUP BY o_orderstatus, o_orderpriority
+)
+WHERE rn = 1
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with a DETERMINISTIC tie rule (highest
+    count, then lexicographically smallest value) — Spark's builtin
+    ``mode()`` is explicitly non-deterministic on ties, which an exact
+    value-hash gate cannot tolerate, so the operator is the count →
+    window-top-1 form. Two aggregations but one data-sized shuffle: the
+    window runs over the already-reduced (status, priority) table."""
+    o = Tables(spark, sf_dir).orders
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )
