@@ -616,3 +616,42 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(ep * disc).cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "join_lateral",
+    category="C.join",
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+     LATERAL (SELECT o_orderkey, o_totalprice
+              FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey
+              LIMIT 2) t
+""",
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the SQL front end — top-2
+    orders per customer, the per-row-subquery shape (ANSI lateral
+    derived table; Spark 4 supports it natively). Catalyst decorrelates
+    it into the same window-top-k physical plan win_rownum_topk builds
+    by hand (ARCHITECTURE.md §9's table gains its LATERAL row) — proof
+    that the declarative rewrite, not the syntax, is what executes.
+    Deterministic tiebreak (o_orderkey) because LIMIT under ties is
+    engine-arbitrary otherwise. Customers with no orders vanish (inner
+    lateral, matching the oracle)."""
+    t = Tables(spark, sf_dir)
+    t.customer.createOrReplaceTempView("mrss_customer")
+    t.orders.createOrReplaceTempView("mrss_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM mrss_customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice
+                      FROM mrss_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      LIMIT 2) t
+        """
+    )
