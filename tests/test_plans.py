@@ -241,3 +241,33 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert got == {(r.s_nationkey, r.n) for r in ref.collect()}
+
+
+def test_join_strategy_hints_select_physical_operators(spark):
+    """The hint surface maps to physical strategies: broadcast →
+    BroadcastHashJoin, merge → SortMergeJoin, shuffle_hash →
+    ShuffledHashJoin — the per-query escape hatch when statistics (or
+    AQE) pick wrong at scale. Results are strategy-invariant; only the
+    operator changes."""
+    from mapreduce_server_spark.plans import plan_string
+    from mapreduce_server_spark.sources.loader import Tables
+
+    t = Tables(spark, SF001)
+    o, c = t.orders, t.customer
+    cond = o.o_custkey == c.c_custkey
+
+    def planned(hinted):
+        return plan_string(o.join(hinted, cond).select("o_orderkey"), "simple")
+
+    assert "BroadcastHashJoin" in planned(c.hint("broadcast"))
+    assert "SortMergeJoin" in planned(c.hint("merge"))
+    assert "ShuffledHashJoin" in planned(c.hint("shuffle_hash"))
+
+
+def test_lateral_decorrelates_to_window_topk(spark):
+    """The LATERAL top-2-per-customer subquery must decorrelate: no
+    nested-loop execution of the inner query per outer row — the plan is
+    the same window/filter shape win_rownum_topk builds by hand."""
+    plan = _plan(spark, "join_lateral", "simple")
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
