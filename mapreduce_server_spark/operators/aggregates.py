@@ -583,3 +583,64 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "agg_corr",
+    category="D.agg",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         count(*)::DOUBLE AS n,
+         sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sx,
+         sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sy,
+         sum((l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)))::DOUBLE
+           AS sxx,
+         sum((l_extendedprice::DECIMAL(18,2)
+              * l_extendedprice::DECIMAL(18,2)))::DOUBLE AS syy,
+         sum((l_quantity::DECIMAL(18,2)
+              * l_extendedprice::DECIMAL(18,2)))::DOUBLE AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n::BIGINT AS n_rows,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+         AS corr_qty_price
+FROM m
+""",
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group from EXACT decimal moments — the
+    engine's answer to order-dependent statistical aggregates. Spark's
+    builtin ``corr`` (and DuckDB's) accumulate doubles in partition
+    order, so their last ulps differ run to run and engine to engine;
+    instead the five moments (Σx, Σy, Σx², Σy², Σxy) are summed as
+    exact decimals (2-dp inputs ⇒ 4-dp products, exact), and the final
+    correlation is ONE identical scalar expression over identical exact
+    operands on both engines — the anomaly_zscore moments pattern
+    (ARCHITECTURE.md §4) extended to a two-variable statistic. The
+    result rounds to 9 dp only to absorb the final expression's
+    engine-shared rounding, not cross-engine drift: same ops, same
+    order, same doubles. One map-side-combined aggregation — moments
+    are the textbook distributive aggregate, O(groups) shuffle."""
+    li = Tables(spark, sf_dir).lineitem
+    qx = F.col("l_quantity").cast("decimal(18,2)")
+    py = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(qx).cast("double").alias("sx"),
+        F.sum(py).cast("double").alias("sy"),
+        F.sum(qx * qx).cast("double").alias("sxx"),
+        F.sum(py * py).cast("double").alias("syy"),
+        F.sum(qx * py).cast("double").alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(corr, 9).alias("corr_qty_price"),
+    )

@@ -202,3 +202,65 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w).alias("last_type"),
         F.nth_value("event_type", 2).over(w).alias("second_type"),
     )
+
+
+@query(
+    "win_gaps_islands",
+    category="E.window",
+    oracle="""
+WITH hours AS (
+  SELECT DISTINCT user_id,
+         epoch_us(date_trunc('hour', ts::TIMESTAMP)) // 1000000 AS h_s
+  FROM events
+),
+grp AS (
+  SELECT user_id, h_s,
+         h_s - 3600 * row_number() OVER (PARTITION BY user_id ORDER BY h_s)
+           AS island_key
+  FROM hours
+),
+islands AS (
+  SELECT user_id, island_key,
+         count(*) AS len_hours, min(h_s) AS island_start_s
+  FROM grp GROUP BY user_id, island_key
+)
+SELECT user_id,
+       count(*) AS n_islands,
+       max(len_hours) AS longest_hours,
+       min(island_start_s) AS first_start_s
+FROM islands GROUP BY user_id
+""",
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active hours per
+    user — the canonical window puzzle (uptime stretches, streak
+    detection). The trick: for hours ranked k = 1,2,… within a user,
+    `hour − k·3600` is constant exactly along a consecutive run, so one
+    row_number plus a groupBy finds every island with no self-join —
+    all arithmetic on integer epochs, nothing for engines to round.
+
+    Scale: distinct-(user, hour) first (the only pass over raw events),
+    then the window and both aggregates all key on user_id — one
+    partitioning reused; per-user state is the hour grid, bounded by
+    the time span, not the event volume."""
+    ev = Tables(spark, sf_dir).events
+    hours = ev.select(
+        "user_id",
+        F.unix_seconds(F.date_trunc("hour", "ts")).alias("h_s"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("h_s")
+    islands = (
+        hours.withColumn(
+            "island_key", F.col("h_s") - 3600 * F.row_number().over(w)
+        )
+        .groupBy("user_id", "island_key")
+        .agg(
+            F.count(F.lit(1)).alias("len_hours"),
+            F.min("h_s").alias("island_start_s"),
+        )
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("len_hours").alias("longest_hours"),
+        F.min("island_start_s").alias("first_start_s"),
+    )
