@@ -598,3 +598,38 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_id", k.alias("k"), (k % 7).alias("k_mod"))
         .where(F.col("k") > 90)
     )
+
+
+@query(
+    "scalar_try",
+    category="H.scalar",
+    oracle="""
+SELECT event_id,
+       CASE WHEN (event_id % 5) = 0 THEN NULL
+            ELSE value / (event_id % 5) END AS safe_div,
+       try_cast(substring(props, 8, 2) AS BIGINT) AS maybe_num,
+       CASE WHEN len(string_split(props, ' ')) >= 3
+            THEN string_split(props, ' ')[3] END AS maybe_elem
+FROM events
+""",
+)
+def scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe scalar arithmetic — Spark 4 runs ANSI mode by DEFAULT,
+    so division by zero, bad casts and out-of-range array access THROW
+    at runtime unless the ``try_``-family forms are used. One malformed
+    row among 10¹² killing a 6-hour job is the scale failure mode this
+    family exists for: ``try_divide`` / ``try_cast`` / ``try_element_at``
+    return NULL where the plain forms raise, keeping errors row-local
+    data, not job outcomes. The oracle spells the same NULL semantics
+    with guards (DuckDB divides-by-zero to inf/NaN rather than raising,
+    so the CASE makes both engines emit NULL)."""
+    ev = Tables(spark, sf_dir).events
+    toks = F.split("props", " ")
+    return ev.select(
+        "event_id",
+        F.try_divide("value", F.col("event_id") % 5).alias("safe_div"),
+        F.try_to_number(
+            F.substring("props", 8, 2), F.lit("99")
+        ).cast("long").alias("maybe_num"),
+        F.try_element_at(toks, F.lit(3)).alias("maybe_elem"),
+    )
