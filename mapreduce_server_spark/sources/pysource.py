@@ -26,20 +26,32 @@ batch after failure reproduces identical rows — exactly-once via
 deterministic replay, the property Kafka-offset sources provide and every
 custom source must.
 
-Registered per-session with ``spark.dataSource.register(SynthDocs)``;
-used by tests/test_pysource.py. A write path would subclass
-DataSourceWriter symmetrically."""
+The WRITE path (``jsonlcommit`` source) demonstrates the two-phase
+commit contract every distributed writer needs: each task writes its
+partition to a UNIQUE temp file and returns a commit message; only the
+driver-side ``commit()`` publishes the batch by renaming temp files into
+place (``abort()`` removes them) — so a failed/speculated task can never
+leave a partial file visible, the same staging discipline the parquet
+committer applies at 100 TB.
+
+Registered per-session with ``spark.dataSource.register(SynthDocs)`` /
+``register(JsonlCommit)``; used by tests/test_pysource.py."""
 
 from __future__ import annotations
 
 import hashlib
+import json
+import os
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 _WORDS = (
@@ -125,3 +137,50 @@ class SynthDocs(DataSource):
 
     def simpleStreamReader(self, schema) -> SynthDocsStreamReader:
         return SynthDocsStreamReader(self.options)
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    temp_path: str
+    final_path: str
+    n_rows: int
+
+
+class JsonlCommitWriter(DataSourceWriter):
+    """Per-task: stream rows to a unique `.tmp-<uuid>` file; the rename
+    to the final name happens ONLY in driver commit()."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        os.makedirs(self.path, exist_ok=True)
+        token = uuid.uuid4().hex
+        tmp = os.path.join(self.path, f".tmp-{token}.jsonl")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _FileCommit(tmp, os.path.join(self.path, f"part-{token}.jsonl"), n)
+
+    def commit(self, messages):
+        for m in messages:
+            os.rename(m.temp_path, m.final_path)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.temp_path):
+                os.remove(m.temp_path)
+
+
+class JsonlCommit(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlcommit"
+
+    def schema(self) -> str:  # required override; unused for write-only
+        return "doc_id bigint, text string, lang string"
+
+    def writer(self, schema, overwrite: bool) -> JsonlCommitWriter:
+        return JsonlCommitWriter(self.options)

@@ -100,3 +100,37 @@ def test_synthdocs_streaming_delivers_all_rows_in_batches(spark):
     for doc_id in (0, 77, 149):
         _, text, lang = doc_row(doc_id)
         assert sample[doc_id] == (text, lang)
+
+
+def test_jsonlcommit_writer_two_phase_commit(spark):
+    """The writer contract: tasks stage to temp files, commit() renames —
+    after a successful write the directory holds ONLY final part files
+    whose union equals the input; a mid-write task failure leaves no
+    visible partial output on retry-free abort."""
+    import json
+    import os
+    import shutil
+
+    from mapreduce_server_spark.sources.pysource import JsonlCommit
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        "jsonlcommit_out",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    spark.dataSource.register(JsonlCommit)
+    df = _read(spark, 200, 5)
+    df.write.format("jsonlcommit").option("path", out).mode("append").save()
+
+    files = sorted(os.listdir(out))
+    assert files and all(f.startswith("part-") for f in files)  # no temp residue
+    rows = []
+    for f in files:
+        with open(os.path.join(out, f)) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert sorted(r["doc_id"] for r in rows) == list(range(200))
+    back = {r["doc_id"]: (r["text"], r["lang"]) for r in rows}
+    for doc_id in (0, 99, 199):
+        _, text, lang = doc_row(doc_id)
+        assert back[doc_id] == (text, lang)
