@@ -152,3 +152,23 @@ def test_knn_ivf_pruned_matches_and_prunes_partitions(spark):
     assert m, plan[:2000]
     cells = {int(x) for x in m.group(1).split(",")}
     assert len(cells) == IVF_NPROBE < IVF_K, cells
+
+
+def test_knn_ivf_probe_recall_tradeoff(spark, monkeypatch):
+    """The IVF knob, measured: recall@10 is non-decreasing in nprobe and
+    reaches 1.0 when probing every cell (candidate set = whole index ⇒
+    IVF degrades gracefully to brute force). This is the table an
+    operator owner tunes at scale — cells scanned ∝ nprobe/K of the
+    index."""
+    from mapreduce_server_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.01"
+    top10 = {r.vec_id for r in REGISTRY["knn_bruteforce"].fn(spark, sf).collect()}
+    recalls = []
+    for nprobe in (1, 2, 4, sim.IVF_K):
+        monkeypatch.setattr(sim, "IVF_NPROBE", nprobe)
+        got = {r.vec_id for r in REGISTRY["knn_ivf"].raw_fn(spark, sf).collect()}
+        recalls.append(len(top10 & got) / 10)
+    assert recalls == sorted(recalls)  # more probes never hurt
+    assert recalls[-1] == 1.0  # full probe ≡ brute force
+    assert recalls[0] >= 0.3  # one cell already carries a useful share
