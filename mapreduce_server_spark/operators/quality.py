@@ -241,3 +241,43 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_word") * HH_K > F.col("n_total"))
         .select("word", "n_word", "n_total")
     )
+
+
+@query(
+    "dq_freshness",
+    category="L.quality",
+    oracle="""
+WITH per_type AS (
+  SELECT event_type,
+         count(*) AS n_events,
+         epoch_us(max(ts)::TIMESTAMP) AS max_us
+  FROM events GROUP BY event_type
+),
+anchor AS (SELECT max(max_us) AS global_max_us FROM per_type)
+SELECT event_type, n_events,
+       (global_max_us - max_us) // 1000000 AS lag_s
+FROM per_type CROSS JOIN anchor
+""",
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness audit — the third leg of the DQ triad (profile /
+    constraints / freshness): per event type, how far its newest event
+    lags the newest event anywhere. A silently-stalled upstream
+    partition shows up as a growing lag long before row counts drift.
+    Lag is RELATIVE to the in-data anchor (never wall clock — the gate
+    must be deterministic and replayable), computed in integer
+    microseconds then floored to seconds identically on both engines.
+    One scan, partial-aggregated; the anchor is a 1-row broadcast."""
+    ev = Tables(spark, sf_dir).events
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.unix_micros("ts")).alias("max_us"),
+    )
+    anchor = per_type.agg(F.max("max_us").alias("global_max_us"))
+    return per_type.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        "n_events",
+        F.floor((F.col("global_max_us") - F.col("max_us")) / 1_000_000)
+        .cast("long")
+        .alias("lag_s"),
+    )
