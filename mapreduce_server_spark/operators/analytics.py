@@ -438,7 +438,7 @@ running AS (
   FROM deltas
 )
 SELECT event_type,
-       max(conc) AS peak_concurrency,
+       max(conc)::BIGINT AS peak_concurrency,
        count(*) // 2 AS n_intervals
 FROM running GROUP BY event_type
 """,

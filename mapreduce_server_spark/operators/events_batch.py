@@ -101,7 +101,7 @@ sessions AS (
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
        epoch_us(min(ts)::TIMESTAMP) // 1000000 AS start_s,
        epoch_us(max(ts)::TIMESTAMP) // 1000000 AS end_s,
        sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
@@ -172,7 +172,7 @@ per_day AS (
   SELECT first_day::VARCHAR AS day, count(*) AS new_users FROM first_seen GROUP BY 1
 )
 SELECT day, new_users,
-       sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+       sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT
            AS cum_users
 FROM per_day
 """,

@@ -45,7 +45,7 @@ joined AS (
 )
 SELECT lang, label,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       sum(n_tokens)::BIGINT AS total_tokens,
        sum(n_tokens)::DOUBLE / count(*) AS avg_tokens
 FROM joined
 GROUP BY lang, label
@@ -89,8 +89,8 @@ c AS (
                              ROWS UNBOUNDED PRECEDING) AS cum
   FROM t
 )
-SELECT source, (cum - n_tokens) // 256 AS seq_id,
-       count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+SELECT source, ((cum - n_tokens) // 256)::BIGINT AS seq_id,
+       count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM c GROUP BY 1, 2
 """,
@@ -236,8 +236,8 @@ sampled AS (
 )
 SELECT lang, source,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
-       sum((n_tokens + 63) // 64) AS n_chunks,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       sum((n_tokens + 63) // 64)::BIGINT AS n_chunks,
        sum(n_tokens)::DOUBLE / count(*) AS avg_tokens
 FROM sampled
 GROUP BY lang, source

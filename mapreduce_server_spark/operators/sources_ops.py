@@ -128,7 +128,7 @@ COMPACT_TARGET_BYTES = 256 * 1024
     "sink_compacted",
     category="A.sink",
     oracle="""
-SELECT lang, count(*) AS n, sum(n_chars) AS total_chars
+SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS total_chars
 FROM documents GROUP BY lang
 """,
 )

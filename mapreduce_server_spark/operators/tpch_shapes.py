@@ -121,7 +121,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
-                THEN 1 ELSE 0 END) AS late_count,
+                THEN 1 ELSE 0 END)::BIGINT AS late_count,
        count(*) AS total_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority

@@ -47,6 +47,38 @@ def _multiset(cols: list[str], rows) -> Counter:
     return Counter(tuple(_norm(row[i]) for i in order) for row in rows)
 
 
+def _pd_kind(dtype) -> str:
+    k = getattr(dtype, "kind", "O")
+    return "i" if k in "iu" else k
+
+
+def assert_fetch_dtypes(spark_df, duck_con, sql: str, key: str = "?") -> None:
+    """Guard against driver fetch-path dtype drift that fetchall() hides.
+
+    The driver hashes *pandas/arrow-fetched* values on both sides. DuckDB
+    types a sum of integers as HUGEINT (and a windowed sum likewise), which
+    survives ``fetchall()`` as a Python int — passing the value compare —
+    but degrades to float64 in the pandas fetch, while Spark's long stays
+    int64: the driver hash then fails on 4 vs 4.0 even though values are
+    identical (round-2 `concurrency_peak` red row). Compare the
+    pandas-fetched numeric kind per column on both engines and fail any
+    int-vs-float divergence loudly.
+    """
+    spd = spark_df.toPandas()
+    dpd = duck_con.execute(sql).df()
+    for c in spd.columns:
+        if c not in dpd.columns:
+            continue  # column-set mismatch is assert_parity's job
+        sk, dk = _pd_kind(spd[c].dtype), _pd_kind(dpd[c].dtype)
+        if {sk, dk} == {"i", "f"}:
+            raise AssertionError(
+                f"[{key}] fetched-dtype mismatch on '{c}': spark kind "
+                f"'{sk}' ({spd[c].dtype}) vs duckdb kind '{dk}' "
+                f"({dpd[c].dtype}) — likely an un-cast integer sum "
+                f"(DuckDB HUGEINT→float64). Add ::BIGINT in the oracle."
+            )
+
+
 def assert_parity(spark_df, duck_con, sql: str, key: str = "?") -> None:
     srows = spark_df.collect()
     scols = list(spark_df.columns)

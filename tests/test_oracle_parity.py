@@ -9,7 +9,7 @@ import pytest
 from mapreduce_server_spark import REGISTRY
 
 from .conftest import SF001
-from .parity import assert_parity
+from .parity import assert_fetch_dtypes, assert_parity
 
 KEYS = sorted(REGISTRY)
 
@@ -27,6 +27,9 @@ def test_parity(spark, duck, key):
         assert df.count() >= 0
         return
     assert_parity(df, duck, spec.oracle, key=key)
+    # driver fetch-path twin: catches DuckDB HUGEINT→float64 drift that
+    # fetchall()-based value compare cannot see (round-2 concurrency_peak)
+    assert_fetch_dtypes(df, duck, spec.oracle, key=key)
 
 
 def test_entry_smoke(spark):

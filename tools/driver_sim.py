@@ -24,7 +24,7 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
     from mapreduce_server_spark.sources.loader import TABLE_NAMES
-    from parity import assert_parity
+    from parity import assert_fetch_dtypes, assert_parity
 
     master = os.environ.get("MRSS_MASTER", "local[8]")
     spark = SparkSession.builder.master(master).appName("driver-sim").getOrCreate()
@@ -50,6 +50,7 @@ def main() -> int:
                 rows_only.append((key, df.count()))
             else:
                 assert_parity(df, con, sql, key=key)
+                assert_fetch_dtypes(df, con, sql, key=key)
         except Exception as exc:  # noqa: BLE001 - report, don't abort
             bad.append((key, str(exc)[:200]))
 
