@@ -407,6 +407,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    else:
+        # diameter > CC_MAX_ITERS: labels have NOT reached the closure, and
+        # returning them would silently mis-assign components. Fail loudly —
+        # the caller can raise CC_MAX_ITERS or switch to the O(log n)-round
+        # large-star/small-star loop for long-chain graphs.
+        raise RuntimeError(
+            f"dedup_components did not converge in {CC_MAX_ITERS} rounds "
+            f"({changed} labels still changing); graph diameter exceeds the "
+            "iteration budget — use the large-star/small-star variant"
+        )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("comp").alias("component_id"),

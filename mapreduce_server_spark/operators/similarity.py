@@ -366,7 +366,7 @@ def _probe_cells(cents: list[list[float]], qv: list[float]) -> list[int]:
     return [k for _, k in sorted(qdists)[:IVF_NPROBE]]
 
 
-@query("knn_ivf", category="J.sim")
+@query("knn_ivf", category="J.sim", tags=("side_effects",))
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via IVF (inverted-file) coarse quantization — the
     other canonical ANN scale path next to knn_lsh. Corpus vectors are
@@ -465,7 +465,7 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_ivf_pruned", category="J.sim")
+@query("knn_ivf_pruned", category="J.sim", tags=("side_effects",))
 def knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """knn_ivf's persisted form: the corpus is WRITTEN partitioned by its
     IVF cell id, so the probe is a partition-pruned scan — Spark's file

@@ -42,6 +42,7 @@ def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sink_partitioned",
     category="A.sink",
+    tags=("side_effects",),
     oracle="""
 SELECT l_returnflag, count(*) AS n,
        sum(l_quantity)::DOUBLE AS sum_qty
@@ -99,6 +100,7 @@ def _daily_rollup_view() -> "MaterializedView":
 @query(
     "matview_daily_rollup",
     category="A.sink",
+    tags=("side_effects",),
     oracle="""
 SELECT ts::TIMESTAMP::DATE::VARCHAR AS day, event_type,
        count(*) AS n,
@@ -127,6 +129,7 @@ COMPACT_TARGET_BYTES = 256 * 1024
 @query(
     "sink_compacted",
     category="A.sink",
+    tags=("side_effects",),
     oracle="""
 SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS total_chars
 FROM documents GROUP BY lang
@@ -181,6 +184,7 @@ def zorder_value(a, b, bits: int = 16):
 @query(
     "sink_zorder",
     category="A.sink",
+    tags=("side_effects",),
     oracle="""
 SELECT l_returnflag, l_linestatus, count(*) AS n,
        sum(l_quantity)::DOUBLE AS sum_qty

@@ -29,6 +29,7 @@ only the new partitions' rows, once, on the aggregate's group keys.
 from __future__ import annotations
 
 import os
+import urllib.parse
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,17 +63,27 @@ class MaterializedView:
         tag = os.path.basename(os.path.normpath(sf_dir))
         return os.path.join(SCRATCH, "matviews", f"{self.name}_{tag}")
 
+    #: directory name Spark writes for a NULL partition value — never a
+    #: source key string, so it must not enter the set difference
+    _NULL_SENTINEL = "__HIVE_DEFAULT_PARTITION__"
+
     def materialized_keys(self, sf_dir: str) -> set[str]:
         """Partition keys already materialized — from the partition
-        directory names (no data IO)."""
+        directory names (no data IO). Directory names carry Hive
+        partition-value escaping (':' → '%3A', etc.), so unquote before
+        comparing against source-key strings — otherwise any escaped key
+        never matches and refresh() rebuilds it every call (correct but
+        never incremental)."""
         out = self.path(sf_dir)
         if not os.path.isdir(out):
             return set()
         prefix = f"{self.partition_col}="
         return {
-            d[len(prefix):]
-            for d in os.listdir(out)
-            if d.startswith(prefix)
+            urllib.parse.unquote(raw)
+            for raw in (
+                d[len(prefix):] for d in os.listdir(out) if d.startswith(prefix)
+            )
+            if raw != self._NULL_SENTINEL
         }
 
     def refresh(

@@ -83,7 +83,16 @@ def run_shared(
     plans actually read the pinned relation (observable as an
     InMemoryTableScan node).
     """
-    usage = table_usage({k: REGISTRY[k].fn(spark, sf_dir) for k in keys}, sf_dir)
+    # the usage probe BUILDS each plan, and for side-effecting queries
+    # (sink_*, matview refresh, persisted-index builds — tagged
+    # 'side_effects' in the registry) building IS writing: probing them
+    # would perform every write twice per batch. They are excluded from
+    # scan-share detection (their cost is the write, not a shareable scan)
+    # and run once in the execution loop below.
+    probe_keys = [k for k in keys if "side_effects" not in REGISTRY[k].tags]
+    usage = table_usage(
+        {k: REGISTRY[k].fn(spark, sf_dir) for k in probe_keys}, sf_dir
+    )
     report = SharedRunReport(
         shared_tables=sorted(t for t, n in usage.items() if n >= min_share)
     )

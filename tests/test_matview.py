@@ -100,6 +100,34 @@ def test_force_rebuilds_dirty_partition(spark):
     assert mv.refresh(spark, src, force=[some_day]) == [some_day]
 
 
+def test_escaped_partition_keys_stay_incremental(spark):
+    """Partition values Spark must Hive-escape on disk (':' → '%3A') still
+    round-trip through materialized_keys: a second refresh() is a no-op
+    instead of rebuilding the escaped partitions forever."""
+
+    def keys(s, d):
+        return s.createDataFrame(
+            [("2024-01-01T00:00",), ("2024-01-02T06:30",)], ["hour"]
+        )
+
+    def build(s, d, hours):
+        rows = [("2024-01-01T00:00", 1), ("2024-01-02T06:30", 2)]
+        df = s.createDataFrame(rows, ["hour", "n"])
+        if hours is not None:
+            df = df.filter(F.col("hour").isin(hours))
+        return df
+
+    mv = MaterializedView("mv_escape", "hour", keys, build)
+    src = os.path.join(SCRATCH, "mv_escape_src")
+    shutil.rmtree(mv.path(src), ignore_errors=True)
+
+    assert sorted(mv.refresh(spark, src)) == ["2024-01-01T00:00", "2024-01-02T06:30"]
+    # on-disk dirs are escaped; unescaped keys must still match the source
+    raw_dirs = {d for d in os.listdir(mv.path(src)) if d.startswith("hour=")}
+    assert any("%3A" in d for d in raw_dirs), raw_dirs
+    assert mv.refresh(spark, src) == []  # incremental, not a perpetual rebuild
+
+
 def test_stream_refresh_maintains_view_across_appends(spark):
     """foreachBatch incremental maintenance: the stream supplies the dirty
     days (no discovery scan); a second availableNow run over the same
