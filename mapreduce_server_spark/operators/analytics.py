@@ -208,15 +208,17 @@ WITH ordered AS (
   FROM events
 ),
 changes AS (
-  SELECT user_id, event_type,
+  SELECT user_id, event_type, event_id,
          epoch_us(ts::TIMESTAMP) AS valid_from_us
   FROM ordered
   WHERE prev_type IS NULL OR event_type <> prev_type
 )
 SELECT user_id, event_type, valid_from_us,
-       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us)
+       lead(valid_from_us)
+         OVER (PARTITION BY user_id ORDER BY valid_from_us, event_id)
          AS valid_to_us,
-       (lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us)
+       (lead(valid_from_us)
+          OVER (PARTITION BY user_id ORDER BY valid_from_us, event_id)
           IS NULL) AS is_current
 FROM changes
 """,
@@ -239,10 +241,13 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "event_type",
+            "event_id",
             F.unix_micros("ts").alias("valid_from_us"),
         )
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from_us")
+    # valid_from_us alone can tie (two same-µs type-changes for one user);
+    # event_id makes the lead() ordering total on both engines
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
     nxt = F.lead("valid_from_us").over(w2)
     return changes.select(
         "user_id",
