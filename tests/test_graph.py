@@ -45,6 +45,52 @@ def _numpy_pagerank(sf_dir: str) -> dict[int, float]:
     return {v: r[idx[v]] for v in nodes}
 
 
+def test_degree_orientation_bounds_hub_wedges(spark):
+    """The measured claim behind graph_triangles_ordered: on a star graph
+    (hub 0 with the LOWEST id, d leaves), id-orientation points every edge
+    out of the hub → d·(d−1)/2 wedge candidates; degree-orientation points
+    every edge INTO the hub → zero. Same triangle answer (a star has
+    none)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_server_spark.operators.graph import (
+        orient_by_degree,
+        triangles_from_edges,
+        wedges_ordered,
+    )
+
+    d = 40
+    star = spark.createDataFrame([(0, i) for i in range(1, d + 1)], ["pa", "pb"])
+
+    # id-orientation (pa < pb, as given): the hub owns every out-edge
+    id_wedges = (
+        star.alias("l")
+        .join(star.alias("r"), F.col("l.pa") == F.col("r.pa"))
+        .where(F.col("l.pb") < F.col("r.pb"))
+        .count()
+    )
+    assert id_wedges == d * (d - 1) // 2
+
+    oriented = orient_by_degree(star)
+    # every leaf (deg 1) points at the hub (deg d); hub has out-degree 0
+    assert oriented.where(F.col("dst") != 0).count() == 0
+    assert wedges_ordered(oriented).count() == 0
+
+    assert triangles_from_edges(star).count() == 0
+
+
+def test_triangles_ordered_matches_plain_on_clique_plus_tail(spark):
+    """K4 ∪ chain: both plans agree with the hand answer — each K4 vertex
+    closes C(3,2) = 3 triangles; chain vertices none."""
+    from mapreduce_server_spark.operators.graph import triangles_from_edges
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    chain = [(10, 11), (11, 12), (12, 13)]
+    edges = spark.createDataFrame(k4 + chain, ["pa", "pb"])
+    got = {r.part: r.n_triangles for r in triangles_from_edges(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
 def test_pagerank_matches_numpy_reference(spark):
     got = {r.node: r.rank for r in graph_pagerank(spark, SF001).collect()}
     want = _numpy_pagerank(SF001)
