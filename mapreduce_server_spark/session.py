@@ -6,9 +6,11 @@ Scale notes (100 TB target, SURVEY.md §4):
 - ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound; on a
   real cluster set it ≈ 2-3× total cores and let AQE coalesce.
 - Arrow enabled for the pandas-UDF operators (vectorized Python exchange).
-- The legacy nanos conf is required to read the ``events`` parquet
-  (TIMESTAMP(NANOS)); see sources/loader.py which also pins it at runtime
-  for sessions we did not build (the driver's own session).
+- The legacy nanos conf is kept so a TIMESTAMP(NANOS)-era ``events``
+  fixture still reads (as int64 nanos); the current fixture is
+  TIMESTAMP(MICROS) and needs no conf. sources/loader.py dispatches on
+  the dtype actually read and also pins the confs at runtime for
+  sessions we did not build (the driver's own session).
 """
 
 from __future__ import annotations

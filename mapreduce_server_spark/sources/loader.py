@@ -5,12 +5,16 @@ splits [MR04 §3.1]; Spark's parquet source subsumes it (splits ≙ partitions,
 vectorized reader, predicate pushdown). This module adds the two things the
 fixtures need on top of ``spark.read.parquet``:
 
-1. **events nanos fix** (SURVEY.md §1.3): ``events.parquet`` stores
-   TIMESTAMP(NANOS), which Spark 4.x refuses to read natively. With
-   ``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as int64
-   nanos; we truncate to microseconds with *integer* division (``ts div
-   1000`` — exact; the data is µs-granular so truncation is lossless) and
-   rebuild a proper TimestampType via ``timestamp_micros``.
+1. **events ts normalization** (SURVEY.md §1.3, updated round 6): the
+   fixture's ``events.parquet`` timestamp encoding has drifted across
+   driver regenerations — originally TIMESTAMP(NANOS) (which Spark 4.x
+   reads as int64 nanos under ``spark.sql.legacy.parquet.nanosAsLong``),
+   currently TIMESTAMP(MICROS) (which Spark reads as TIMESTAMP_NTZ).
+   :func:`_normalize_events_ts` dispatches on the dtype actually read:
+   int64 → ``timestamp_micros(ts div 1000)`` (exact — data is µs-granular);
+   TIMESTAMP_NTZ → ``cast('timestamp')`` (exact under the pinned UTC
+   session tz; the cast matters because ``unix_micros``/``unix_seconds``
+   reject NTZ); TimestampType → pass-through. Never assume one encoding.
 2. **conf pinning**: the driver calls our queries with *its own*
    SparkSession, which may lack the nanos conf or run in a non-UTC session
    timezone. Both are runtime-settable SQL confs, so we pin them here on
@@ -25,6 +29,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 TABLE_NAMES = (
     "region",
@@ -46,10 +51,37 @@ _RUNTIME_CONFS = {
 
 
 _CONFS_DONE: set[str] = set()
-#: table-scan cache: (applicationId, sf_dir, name) → DataFrame. Scans are
-#: immutable plans over read-only paths; caching skips the per-call
-#: parquet footer read and schema inference (~80 ms/table).
-_SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+#: table-scan cache: (applicationId, sf_dir, name, mtime) → DataFrame.
+#: Scans are immutable plans over read-only paths; caching skips the
+#: per-call parquet footer read and schema inference (~80 ms/table).
+#: The file mtime in the key makes the cache drift-safe: if the fixture
+#: is regenerated under a live process (it happened — the events
+#: timestamp encoding changed between rounds), the stale plan is simply
+#: never hit again and the dtype dispatch re-runs on the fresh schema.
+_SCAN_CACHE: dict[tuple[str, str, str, float], DataFrame] = {}
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TimestampType, dispatching on the dtype
+    the parquet reader actually produced (see module docstring — the
+    fixture's encoding has changed across driver regenerations):
+
+    - ``LongType``: int64 nanos (TIMESTAMP(NANOS) fixture under the
+      ``nanosAsLong`` conf) → exact integer truncation to µs, then
+      ``timestamp_micros``.
+    - ``TimestampNTZType``: TIMESTAMP(MICROS) fixture → cast to
+      TimestampType (exact under the pinned UTC session timezone; needed
+      because ``unix_micros``/``unix_seconds`` reject NTZ inputs).
+    - ``TimestampType``: already normalized — pass through.
+    """
+    dtype = df.schema["ts"].dataType
+    if isinstance(dtype, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dtype, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if isinstance(dtype, TimestampType):
+        return df
+    raise TypeError(f"events.ts has unexpected parquet-read dtype {dtype}")
 
 
 def ensure_confs(spark: SparkSession) -> None:
@@ -67,13 +99,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     ensure_confs(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    key = (spark.sparkContext.applicationId, sf_dir, name, mtime)
     df = _SCAN_CACHE.get(key)
     if df is None:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = spark.read.parquet(path)
         if name == "events":
-            # int64 nanos → µs (exact integer division) → TimestampType.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = _normalize_events_ts(df)
         _SCAN_CACHE[key] = df
     return df
 
@@ -91,7 +127,7 @@ def load_table_fresh(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _normalize_events_ts(df)
     return df
 
 

@@ -22,43 +22,30 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
-from ..sources.loader import ensure_confs
-
-#: schema of events.parquet as stored (ts = int64 nanos under the
-#: nanosAsLong conf — the stream source must declare the storage schema).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from ..sources.loader import _normalize_events_ts, ensure_confs
 
 
 def events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-source stream of events with the same ts normalization as the
-    batch loader (nanos-long → µs TimestampType)."""
+    batch loader (:func:`~..sources.loader._normalize_events_ts`).
+
+    A file stream must declare its schema up front, and the fixture's
+    ``ts`` storage encoding has drifted across driver regenerations
+    (int64-nanos → TIMESTAMP(MICROS)), so we sniff the storage schema
+    with a one-off batch read of the directory (metadata-only — no data
+    scan) instead of hardcoding either encoding."""
     ensure_confs(spark)
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if not os.path.isdir(path):
         raise ValueError("file stream source requires a directory of files")
+    storage_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(storage_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_events_ts(df)
 
 
 def tumbling(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:

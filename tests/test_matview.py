@@ -10,7 +10,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
 from mapreduce_server_spark.serving.matview import MaterializedView
-from mapreduce_server_spark.sources.loader import ensure_confs
+from mapreduce_server_spark.sources.loader import _normalize_events_ts, ensure_confs
 
 from .conftest import SF001
 from .test_streaming import SCRATCH
@@ -29,9 +29,18 @@ def _stage(name: str, frac_days: tuple[str, str] | None) -> str:
 
         lo_ns = int(__import__("pandas").Timestamp(frac_days[0]).value)
         hi_ns = int(__import__("pandas").Timestamp(frac_days[1]).value)
+        ts_type = t.schema.field("ts").type
+        if pa.types.is_timestamp(ts_type):
+            # casting timestamp→int64 yields values in the column's own
+            # unit; scale the ns bounds to match (fixture drifted ns→µs)
+            div = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[ts_type.unit]
+        else:
+            div = 1  # nanos-era fixture stored int64 ns directly
         ts = pc.cast(t["ts"], pa.int64())
         t = t.filter(
-            pc.and_(pc.greater_equal(ts, lo_ns), pc.less(ts, hi_ns))
+            pc.and_(
+                pc.greater_equal(ts, lo_ns // div), pc.less(ts, hi_ns // div)
+            )
         )
     pq.write_table(t, os.path.join(src_dir, "events.parquet"))
     return src_dir
@@ -40,15 +49,15 @@ def _stage(name: str, frac_days: tuple[str, str] | None) -> str:
 def _mv(name: str) -> MaterializedView:
     def keys(spark, sf_dir):
         ensure_confs(spark)
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ev = _normalize_events_ts(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
         )
         return ev.select(F.to_date("ts").cast("string").alias("day")).distinct()
 
     def build(spark, sf_dir, days):
         ensure_confs(spark)
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ev = _normalize_events_ts(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
         )
         day = F.to_date("ts").cast("string")
         if days is not None:
@@ -139,16 +148,12 @@ def test_stream_refresh_maintains_view_across_appends(spark):
     def _dir_mv(name):
         def keys(s, d):
             ensure_confs(s)
-            ev = s.read.parquet(d).withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+            ev = _normalize_events_ts(s.read.parquet(d))
             return ev.select(F.to_date("ts").cast("string").alias("day")).distinct()
 
         def build(s, d, days):
             ensure_confs(s)
-            ev = s.read.parquet(d).withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+            ev = _normalize_events_ts(s.read.parquet(d))
             day = F.to_date("ts").cast("string")
             if days is not None:
                 ev = ev.filter(day.isin(days))
@@ -171,8 +176,14 @@ def test_stream_refresh_maintains_view_across_appends(spark):
     shutil.rmtree(mv.path(src_dir), ignore_errors=True)
 
     t = pq.read_table(f"{SF001}/events.parquet")
+    ts_type = t.schema.field("ts").type
+    if pa.types.is_timestamp(ts_type):
+        div = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[ts_type.unit]
+    else:
+        div = 1  # nanos-era fixture stored int64 ns directly
     ts = pc.cast(t["ts"], pa.int64())
-    cut_ns = int(pd.Timestamp("2024-01-15 12:00:00").value)  # mid-day split
+    # mid-day split, in the fixture's own unit (encoding drifted ns→µs)
+    cut_ns = int(pd.Timestamp("2024-01-15 12:00:00").value) // div
     pq.write_table(t.filter(pc.less(ts, cut_ns)), os.path.join(src_dir, "a.parquet"))
 
     key = F.to_date("ts").cast("string")

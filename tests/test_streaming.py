@@ -64,13 +64,33 @@ def test_dedup_twin_keeps_unique_ids(spark):
     assert got.count() == n_src  # fixture event_ids are unique
 
 
+def _fixture_ts_type() -> pa.DataType:
+    """The fixture's current ts storage type — it has drifted across
+    driver regenerations (int64 nanos → timestamp[us]), so hand-written
+    event files must sniff it rather than assume an encoding (otherwise
+    a directory mixing staged fixture files with written ones has two
+    incompatible schemas)."""
+    return pq.read_schema(f"{SF001}/events.parquet").field("ts").type
+
+
+def _ts_array_us(us_values: list[int]) -> pa.Array:
+    """Build a ts column from epoch-µs values, in the fixture's encoding."""
+    t = _fixture_ts_type()
+    if pa.types.is_timestamp(t):
+        scale = {"s": None, "ms": None, "us": 1, "ns": 1000}[t.unit]
+        assert scale, f"unsupported fixture ts unit {t.unit}"
+        return pa.array([v * scale for v in us_values], pa.int64()).cast(t)
+    assert t == pa.int64()  # nanos-era fixture
+    return pa.array([v * 1000 for v in us_values], pa.int64())
+
+
 def _write_events_file(path: str, rows: list[tuple[int, int]]) -> None:
     """(event_id, ts_seconds) rows → one parquet file with the fixture's
-    storage schema (ts = int64 nanos)."""
+    storage schema (ts encoding sniffed from the fixture)."""
     table = pa.table(
         {
             "event_id": pa.array([r[0] for r in rows], pa.int64()),
-            "ts": pa.array([r[1] * 1_000_000_000 for r in rows], pa.int64()),
+            "ts": _ts_array_us([r[1] * 1_000_000 for r in rows]),
             "user_id": pa.array([1] * len(rows), pa.int64()),
             "event_type": pa.array(["click"] * len(rows)),
             "value": pa.array([1.0] * len(rows), pa.float64()),
@@ -276,11 +296,11 @@ def test_session_timer_twin_flushes_all_sessions(spark):
         .first()[0]
     )
     for i, days in enumerate((10, 20)):
-        ts_ns = (max_us + days * 86_400 * 1_000_000) * 1000
+        ts_us = max_us + days * 86_400 * 1_000_000
         tbl = pa.table(
             {
                 "event_id": pa.array([10_000_000 + i], pa.int64()),
-                "ts": pa.array([ts_ns], pa.int64()),
+                "ts": _ts_array_us([ts_us]),
                 "user_id": pa.array([-1 - i], pa.int64()),
                 "event_type": pa.array(["sentinel"], pa.string()),
                 "value": pa.array([0.0], pa.float64()),
