@@ -644,3 +644,104 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_rows"),
         F.round(corr, 9).alias("corr_qty_price"),
     )
+
+
+@query(
+    "sketch_countmin",
+    category="D.agg",
+    oracle="""
+WITH hashes AS (
+  SELECT l_partkey, i,
+         ('0x' || substr(md5(i::VARCHAR || ':' || l_partkey::VARCHAR), 1, 8))::BIGINT
+           % 512 AS b
+  FROM lineitem, generate_series(0, 3) AS t(i)
+),
+sketch AS (
+  SELECT i, b, count(*) AS c FROM hashes GROUP BY i, b
+),
+heavy AS (
+  SELECT l_partkey, count(*) AS n_exact FROM lineitem GROUP BY l_partkey
+  ORDER BY n_exact DESC, l_partkey LIMIT 10
+),
+probe AS (
+  SELECT h.l_partkey, h.n_exact, t.i,
+         ('0x' || substr(md5(t.i::VARCHAR || ':' || h.l_partkey::VARCHAR), 1, 8))::BIGINT
+           % 512 AS b
+  FROM heavy h, generate_series(0, 3) AS t(i)
+)
+SELECT p.l_partkey, p.n_exact, min(s.c) AS n_est
+FROM probe p JOIN sketch s ON s.i = p.i AND s.b = p.b
+GROUP BY p.l_partkey, p.n_exact
+""",
+)
+def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): d=4 hash rows ×
+    w=512 counters estimate per-key frequencies in O(d·w) space
+    regardless of key cardinality — the mergeable-sketch shape for
+    streaming/distributed heavy-hitter counting at 100 TB, where the
+    exact groupBy's state is the full key set but the sketch's is 2 KB
+    per partition, combined map-side like any partial agg.
+
+    Hashes are md5-derived (``conv(substr(md5(i:key),1,8),16,10) % w``)
+    so the WHOLE sketch is a deterministic pure function of the data —
+    no RNG, bit-identical across engines, which is what lets DuckDB
+    replay the exact sketch and the driver hash-compare it (vs the
+    rows-only approx_* family). Output: the 10 heaviest l_partkeys with
+    exact and estimated counts; CM guarantees n_est >= n_exact
+    (over-estimation only, collisions add), asserted in tests.
+
+    Plan: sketch = one explode(d) + partial-agg shuffle of <= d·w rows;
+    probes = broadcast join of 40 rows against the tiny sketch; exact
+    top-10 = the same single-shuffle topk as topk_global. No driver-side
+    loops; d and w are compile-time literals."""
+    D, W = 4, 512
+    li = Tables(spark, sf_dir).lineitem.select("l_partkey")
+
+    def bucket(i: F.Column | int, key: F.Column) -> F.Column:
+        istr = F.lit(str(i)) if isinstance(i, int) else i.cast("string")
+        h = F.md5(F.concat(istr, F.lit(":"), key.cast("string")).cast("binary"))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % W
+
+    rows = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        bucket(i, F.col("l_partkey")).alias("b"),
+                    )
+                    for i in range(D)
+                ]
+            )
+        ).alias("hb")
+    )
+    sketch = rows.groupBy(F.col("hb.i").alias("i"), F.col("hb.b").alias("b")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    heavy = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("l_partkey"))
+        .limit(10)
+    )
+    probe = heavy.select(
+        "l_partkey",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        bucket(i, F.col("l_partkey")).alias("b"),
+                    )
+                    for i in range(D)
+                ]
+            )
+        ).alias("hb"),
+    ).select("l_partkey", "n_exact", F.col("hb.i").alias("i"), F.col("hb.b").alias("b"))
+    return (
+        F.broadcast(probe)
+        .join(sketch, ["i", "b"])
+        .groupBy("l_partkey", "n_exact")
+        .agg(F.min("c").alias("n_est"))
+    )

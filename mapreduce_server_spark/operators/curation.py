@@ -166,3 +166,89 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_bigram_frac"
         ),
     )
+
+
+@query(
+    "text_pii_scrub",
+    category="J.text",
+    oracle="""
+WITH c AS (
+  SELECT doc_id, source,
+         'contact user' || doc_id::VARCHAR || '@' || source || '.example.com or '
+           || 'admin@' || source || '.example.org at 10.'
+           || (doc_id % 256)::VARCHAR || '.0.' || ((doc_id * 7) % 256)::VARCHAR
+           || ' re: ' || substr(text, 1, 40) AS contact
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source, contact,
+         len(regexp_extract_all(contact,
+             '[a-z0-9._%-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(contact,
+             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}(\\.[0-9]{1,3})?')) AS n_ips,
+         regexp_replace(regexp_replace(contact,
+             '[a-z0-9._%-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}(\\.[0-9]{1,3})?', '<IP>', 'g')
+           AS scrubbed
+  FROM c
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(n_emails)::BIGINT AS emails_redacted,
+       sum(n_ips)::BIGINT AS ips_redacted,
+       sum(CASE WHEN scrubbed LIKE '%<EMAIL>%' THEN 1 ELSE 0 END)::BIGINT
+         AS docs_with_email,
+       min(len(scrubbed))::BIGINT AS min_len
+FROM s GROUP BY source
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the curation stage every released training corpus
+    runs (emails / IPs → placeholder tokens) — as pure JVM-side regex
+    expressions: ``regexp_count`` for the audit tally and two chained
+    ``regexp_replace`` for the scrub, all inside whole-stage codegen (no
+    UDF), one scan, one small final agg. The fixture's synthetic text
+    contains no PII, so the scrub target is a contact string constructed
+    deterministically from (doc_id, source) — the regex machinery,
+    per-source audit counts and placeholder invariants are the real
+    deliverable and are exactly replayed by the DuckDB oracle (patterns
+    restricted to the RE2 ∩ java.util.regex common subset: character
+    classes, bounded reps — no lookaround, no backrefs).
+
+    At 100 TB this is the embarrassingly-parallel map stage of
+    pipeline_curation: no shuffle until the tiny audit agg, and the
+    scrubbed column would be written back partitioned, not collected."""
+    d = Tables(spark, sf_dir).documents
+    email = r"[a-z0-9._%-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    ip = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}(\.[0-9]{1,3})?"
+    contact = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".example.com or admin@"),
+        F.col("source"),
+        F.lit(".example.org at 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" re: "),
+        F.substring(F.col("text"), 1, 40),
+    )
+    s = d.select(
+        "source",
+        F.regexp_count(contact, F.lit(email)).alias("n_emails"),
+        F.regexp_count(contact, F.lit(ip)).alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(contact, email, "<EMAIL>"), ip, "<IP>"
+        ).alias("scrubbed"),
+    )
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").cast("long").alias("emails_redacted"),
+        F.sum("n_ips").cast("long").alias("ips_redacted"),
+        F.sum(
+            F.when(F.col("scrubbed").contains("<EMAIL>"), 1).otherwise(0)
+        ).cast("long").alias("docs_with_email"),
+        F.min(F.length("scrubbed")).cast("long").alias("min_len"),
+    )

@@ -655,3 +655,65 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
                       LIMIT 2) t
         """
     )
+
+
+@query(
+    "join_bloom_runtime",
+    category="C.join",
+    tags=("side_effects",),
+    oracle="""
+SELECT count(*) AS n_lineitems,
+       sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(8,2))::DOUBLE
+         AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join (Catalyst ``InjectRuntimeFilter``): the
+    selective filter on the orders side is compiled into a
+    ``bloom_filter_agg`` scalar subquery whose ``might_contain`` probe is
+    pushed onto the lineitem scan — fact rows whose key cannot join are
+    dropped AT THE SCAN, before the shuffle. This is the at-scale shape
+    for a 100 TB fact ⋈ selectively-filtered big dim where neither side
+    broadcasts: the bloom costs one tiny agg and removes the dominant
+    shuffle's dead traffic.
+
+    On the local fixture every gate that makes this optimization
+    worthwhile at scale points the other way (the filtered dim is
+    broadcastable, the fact scan is far below the 10 GB application-side
+    threshold), so the production-default confs are temporarily pinned to
+    their at-scale outcome (no broadcast, threshold 0) while THIS plan is
+    physically compiled, then restored — queries built afterwards in the
+    same session are unaffected; this DataFrame's QueryExecution keeps
+    its already-compiled bloom plan (tests/test_plans.py asserts
+    ``might_contain`` in the physical plan and conf restoration).
+    Exact-decimal revenue per the float discipline (functions/numeric)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        t = Tables(spark, sf_dir)
+        o = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        li = t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        rev = F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(8,2)") - F.col("l_discount").cast("decimal(8,2)"))
+        ).cast("double")
+        out = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.count(F.lit(1)).alias("n_lineitems"), rev.alias("revenue")
+        )
+        # Force logical optimization + physical planning NOW, while the
+        # confs hold; collect() later reuses this QueryExecution.
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

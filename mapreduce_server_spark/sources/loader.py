@@ -50,7 +50,6 @@ _RUNTIME_CONFS = {
 }
 
 
-_CONFS_DONE: set[str] = set()
 #: table-scan cache: (applicationId, sf_dir, name, mtime) → DataFrame.
 #: Scans are immutable plans over read-only paths; caching skips the
 #: per-call parquet footer read and schema inference (~80 ms/table).
@@ -85,13 +84,12 @@ def _normalize_events_ts(df: DataFrame) -> DataFrame:
 
 
 def ensure_confs(spark: SparkSession) -> None:
-    app = spark.sparkContext.applicationId
-    if app in _CONFS_DONE:
-        return
+    """Pin the runtime confs on every call (no memoization: a foreign
+    session can flip a runtime-settable conf mid-process, and the
+    re-check is two sub-ms ``conf.get`` calls)."""
     for k, v in _RUNTIME_CONFS.items():
         if spark.conf.get(k, None) != v:
             spark.conf.set(k, v)
-    _CONFS_DONE.add(app)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
