@@ -532,3 +532,168 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "ts_interpolate",
+    category="E.window",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts::TIMESTAMP) AS h,
+         count(*) AS n,
+         sum(value::DECIMAL(18,2))::DOUBLE / count(*) AS mv
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS g
+  FROM bounds
+),
+joined AS (
+  SELECT grid.user_id, g, n, mv,
+         last_value(mv IGNORE NULLS)
+           OVER (PARTITION BY grid.user_id ORDER BY g
+                 ROWS UNBOUNDED PRECEDING) AS prev_v,
+         last_value(CASE WHEN mv IS NOT NULL THEN g END IGNORE NULLS)
+           OVER (PARTITION BY grid.user_id ORDER BY g
+                 ROWS UNBOUNDED PRECEDING) AS prev_t,
+         first_value(mv IGNORE NULLS)
+           OVER (PARTITION BY grid.user_id ORDER BY g
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN mv IS NOT NULL THEN g END IGNORE NULLS)
+           OVER (PARTITION BY grid.user_id ORDER BY g
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM grid LEFT JOIN hourly ON grid.user_id = hourly.user_id AND g = h
+)
+SELECT user_id,
+       epoch_us(g) // 1000000 AS hour_s,
+       CASE WHEN n IS NOT NULL THEN mv
+            ELSE prev_v + (next_v - prev_v)
+                 * ((epoch_us(g) // 1000000 - epoch_us(prev_t) // 1000000)::DOUBLE
+                    / (epoch_us(next_t) // 1000000 - epoch_us(prev_t) // 1000000)::DOUBLE)
+       END AS v_interp,
+       (n IS NULL) AS is_interp
+FROM joined
+""",
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + LINEAR interpolation: each user's events
+    become a dense hourly grid; missing hours get the straight line
+    between the neighbouring observed hourly means (``ts_fill_forward``
+    is the step-fill twin; this is the interpolating one — what feature
+    pipelines feed to models that can't see gap markers).
+
+    Plan shape: one shuffle for the hourly agg; the per-user grid comes
+    from ``sequence()`` (never a global calendar crossJoin); prev/next
+    observed (value, time) pairs are two IGNORE NULLS window passes over
+    the SAME (user_id, g) sort — Catalyst runs all four window exprs in
+    two Window nodes on one Exchange.
+
+    Float discipline (ARCHITECTURE.md §4): hourly means divide an exact
+    decimal sum by an exact count; the interpolation weight divides two
+    exact epoch-second integers; both engines then evaluate the
+    identical ``prev + (next-prev) * w`` double expression on identical
+    operands — bit-equal without rounding. Grid edges are always
+    observed hours (min/max come from the data), so prev/next never
+    NULL on interpolated rows."""
+    ev = Tables(spark, sf_dir).events
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mv"),
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("mn"), F.col("mx"), F.expr("interval 1 hour"))
+            ).alias("g"),
+        )
+    )
+    joined = grid.join(
+        hourly,
+        (grid.user_id == hourly.user_id) & (grid.g == hourly.h),
+        "left",
+    ).select(grid.user_id, "g", "n", "mv")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("g")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("mv").isNotNull(), F.col("g"))
+    prev_v = F.last("mv", ignorenulls=True).over(wb)
+    prev_t = F.last(obs_t, ignorenulls=True).over(wb)
+    next_v = F.first("mv", ignorenulls=True).over(wf)
+    next_t = F.first(obs_t, ignorenulls=True).over(wf)
+    g_s = F.unix_seconds("g")
+    w = (g_s - F.unix_seconds(prev_t)).cast("double") / (
+        F.unix_seconds(next_t) - F.unix_seconds(prev_t)
+    ).cast("double")
+    return joined.select(
+        "user_id",
+        g_s.alias("hour_s"),
+        F.when(F.col("n").isNotNull(), F.col("mv"))
+        .otherwise(prev_v + (next_v - prev_v) * w)
+        .alias("v_interp"),
+        F.col("n").isNull().alias("is_interp"),
+    )
+
+
+@query(
+    "ts_mad_outliers",
+    category="E.window",
+    oracle="""
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - m.med) / (1.4826 * d.mad), 4) AS rz
+FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+WHERE abs((e.value - m.med) / (1.4826 * d.mad)) > 3.0
+""",
+)
+def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flagging via median / MAD — the heavy-tail-safe
+    twin of ``anomaly_zscore`` (mean/std move with the outliers they're
+    meant to find; the median and the median absolute deviation don't).
+    rz = (x − med) / (1.4826·mad) is the standard consistency-scaled
+    robust z; |rz| > 3 flags.
+
+    Plan: two exact-percentile aggregations (events → per-type median,
+    then per-type MAD over |x − med| after a 5-row broadcast joins the
+    medians back), then one more broadcast of the 5-row stats dim onto
+    the full scan — two shuffles total, both keyed by the 5-value
+    event_type. Exact interpolated medians are order-free (sorted-group
+    interpolation, same arithmetic both engines — the agg_percentile
+    precedent), so the threshold can't flip a borderline row across
+    engines or partitionings. At 100 TB swap the exact medians for
+    approx_percentile sketches; the flagging join is unchanged."""
+    ev = Tables(spark, sf_dir).events
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    stats = med.join(mad, "event_type")
+    rz = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(rz) > 3.0)
+        .select("event_id", "event_type", "value", F.round(rz, 4).alias("rz"))
+    )

@@ -252,3 +252,48 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("docs_with_email"),
         F.min(F.length("scrubbed")).cast("long").alias("min_len"),
     )
+
+
+@query(
+    "sample_stratified",
+    category="J.pipeline",
+    oracle="""
+WITH counts AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type
+FROM events e JOIN counts c USING (event_type)
+WHERE ('0x' || substr(md5(e.event_id::VARCHAR), 1, 8))::BIGINT
+      / 4294967296.0
+      < least(1.0, 100.0 / c.n)
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: every stratum (event_type) is
+    downsampled toward a fixed per-stratum target (~100 rows), i.e. the
+    mixture-balancing step a training pipeline runs so over-represented
+    slices don't dominate a training epoch. Per-stratum keep rate =
+    min(1, target/n); the keep/drop decision hashes the stable row key
+    (md5 fraction in [0,1), the sample_hash discipline at 32-bit
+    resolution) so the sample is reproducible across runs, engines and
+    partitionings — and therefore exactly oracle-checkable.
+
+    Scale: one tiny agg (|strata| rows, map-side combined) broadcast
+    back onto the scan; the filter itself is a narrow per-row predicate
+    — no shuffle of the fact table, embarrassingly parallel. Expected
+    stratum sample size concentrates at `target` by Chernoff; exact-k
+    per stratum would need a per-stratum top-k by hash (win_rownum_topk
+    shape) at one extra shuffle."""
+    ev = Tables(spark, sf_dir).events
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    frac = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("double") / F.lit(4294967296.0)
+    rate = F.least(F.lit(1.0), F.lit(100.0) / F.col("n"))
+    return (
+        ev.join(F.broadcast(counts), "event_type")
+        .where(frac < rate)
+        .select("event_id", "event_type")
+    )

@@ -486,3 +486,60 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_keywords",
+    category="J.text",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents),
+     tf  AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+     df  AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+     n   AS (SELECT count(*) AS n_docs FROM documents),
+     scored AS (
+       SELECT tf.doc_id, tf.word,
+              round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS tfidf
+       FROM tf JOIN df USING (word) CROSS JOIN n
+     )
+SELECT doc_id, word, tfidf, rn
+FROM (SELECT doc_id, word, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, word) AS rn
+      FROM scored)
+WHERE rn <= 3
+""",
+)
+def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 TF-IDF terms per document — the
+    compact per-doc topical signature a curation pipeline clusters or
+    dedups on when full embeddings are too expensive. Composes the
+    text_tfidf scoring with the win_rownum_topk pattern (row_number,
+    never a per-doc sort-limit self-join).
+
+    Parity: ranks order by the ROUNDED 6-dp score (the same value that
+    crosses the gate), with the word as the unique tie-break, so a
+    last-ulp ln() divergence can't reorder engines. Scale: the df dim
+    (|vocab| rows) is broadcast; both aggs and the window key on
+    doc_id/word — partial-agg before each of the three shuffles; the
+    window state is 3 rows per doc."""
+    d = Tables(spark, sf_dir).documents
+    tok = d.select("doc_id", F.explode(tokens()).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # driver-side scalar; one metadata-cheap job
+    scored = tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tfidf", "rn")
+    )

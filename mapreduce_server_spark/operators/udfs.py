@@ -214,3 +214,70 @@ def udf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge, schema="event_id long, user_id long, last_click_us long"
         )
     )
+
+
+@query(
+    "udf_map_in_arrow",
+    category="K.udf",
+    oracle="""
+WITH nrm AS (
+  SELECT vec_id, embedding[1]::DOUBLE AS e0,
+         sqrt(list_reduce(
+                list_prepend(0.0, list_transform(embedding,
+                                                 x -> x::DOUBLE * x::DOUBLE)),
+                (s, x) -> s + x)) AS l2_norm
+  FROM embeddings
+)
+SELECT vec_id, l2_norm, e0 / l2_norm AS head_norm FROM nrm
+""",
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the zero-copy rung of the UDF cost ladder: the
+    executor hands the Python worker raw Arrow RecordBatches (no pandas
+    materialization, no per-column Series boxing), the natural interface
+    for batch-native libs (tokenizers, ONNX, FAISS) over embedding
+    columns. Computes each vector's L2 norm and its normalized first
+    component. Equivalent built-in: F.aggregate over the array (the
+    knn_* dot-product shape).
+
+    Parity discipline: the float32 elements widen to float64 exactly in
+    both engines; the squared sum is an explicit LEFT FOLD seeded at 0.0
+    (Python accumulator loop ≡ DuckDB list_reduce(list_prepend(0.0,…)))
+    because np.sum's pairwise tree would round differently; sqrt and the
+    final division are single correctly-rounded IEEE ops. Exact oracle,
+    unlike anything RNG- or thread-order-dependent.
+
+    Scale: narrow map, no shuffle, pipelined per Arrow batch
+    (spark.sql.execution.arrow.maxRecordsPerBatch rows of state at a
+    time); the 64-element Python inner loop is the pedagogical pin — a
+    production kernel would np.einsum per batch and accept last-ulp
+    drift."""
+    import math
+
+    import pyarrow as pa
+
+    e = Tables(spark, sf_dir).embeddings
+
+    def normalize(batches):
+        for batch in batches:
+            vec_ids = batch.columns[0]
+            norms, heads = [], []
+            for emb in batch.columns[1].to_pylist():
+                s = 0.0
+                for v in emb:
+                    s += v * v
+                n = math.sqrt(s)
+                norms.append(n)
+                heads.append(emb[0] / n)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vec_ids,
+                    pa.array(norms, pa.float64()),
+                    pa.array(heads, pa.float64()),
+                ],
+                names=["vec_id", "l2_norm", "head_norm"],
+            )
+
+    return e.select("vec_id", "embedding").mapInArrow(
+        normalize, schema="vec_id bigint, l2_norm double, head_norm double"
+    )

@@ -83,3 +83,105 @@ def test_pii_scrub_counts_and_invariants(spark):
     )
     leaked = scrubbed.filter(F.col("s").rlike(email)).count()
     assert leaked == 0
+
+
+# --- round-6 second batch: ts_interpolate, ts_mad_outliers,
+#     sample_stratified, text_keywords, udf_map_in_arrow,
+#     join_interval_grid (exact parity for all six lives in
+#     test_oracle_parity; these pin semantics the oracle can't state) ---
+
+
+def test_interpolate_rows_lie_between_neighbors(spark):
+    """Interpolated values are convex combinations: every is_interp row
+    sits within [min, max] of its user's observed hourly means."""
+    rows = REGISTRY["ts_interpolate"].fn(spark, SF001).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    n_interp = 0
+    for rs in by_user.values():
+        obs = [r.v_interp for r in rs if not r.is_interp]
+        lo, hi = min(obs), max(obs)
+        for r in rs:
+            if r.is_interp:
+                n_interp += 1
+                assert lo - 1e-9 <= r.v_interp <= hi + 1e-9
+    assert n_interp > 0  # the grid actually had gaps to fill
+
+
+def test_mad_outliers_are_rare_and_extreme(spark):
+    """MAD flagging: every flagged row exceeds the threshold, and the
+    flagged set is a small tail (robust stats can't flag the bulk)."""
+    from mapreduce_server_spark.sources.loader import Tables
+
+    rows = REGISTRY["ts_mad_outliers"].fn(spark, SF001).collect()
+    n_events = Tables(spark, SF001).events.count()
+    assert 0 < len(rows) < 0.1 * n_events
+    assert all(abs(r.rz) > 3.0 for r in rows)
+
+
+def test_stratified_sample_equalizes_strata(spark):
+    """Each stratum lands near the ~100-row target regardless of its
+    raw size (Chernoff: ±50% is ~5 sigma out at n=100)."""
+    rows = REGISTRY["sample_stratified"].fn(spark, SF001).collect()
+    per = {}
+    for r in rows:
+        per[r.event_type] = per.get(r.event_type, 0) + 1
+    assert len(per) == 5
+    for et, n in per.items():
+        assert 50 <= n <= 150, (et, n)
+
+
+def test_keywords_top3_ranked(spark):
+    """<=3 keywords per doc, rank-consecutive, tfidf non-increasing."""
+    rows = REGISTRY["text_keywords"].fn(spark, SF001).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        for x, y in zip(rs, rs[1:]):
+            assert x.tfidf >= y.tfidf
+
+
+def test_map_in_arrow_matches_jvm_fold_bitwise(spark):
+    """The Arrow worker's left-fold norm must be BIT-identical to the
+    JVM F.aggregate left fold on cast-to-double elements — same op
+    sequence, same IEEE rounding, zero tolerance."""
+    from mapreduce_server_spark.sources.loader import Tables
+
+    got = {
+        r.vec_id: (r.l2_norm, r.head_norm)
+        for r in REGISTRY["udf_map_in_arrow"].fn(spark, SF001).collect()
+    }
+    e = Tables(spark, SF001).embeddings
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda s, x: s + x.cast("double") * x.cast("double"),
+        )
+    )
+    want = {
+        r.vec_id: (r.n, r.h)
+        for r in e.select(
+            "vec_id",
+            norm.alias("n"),
+            (F.element_at("embedding", 1).cast("double") / norm).alias("h"),
+        ).collect()
+    }
+    assert got == want  # dict equality == bitwise float equality
+
+
+def test_interval_grid_plan_is_equi_join(spark):
+    """The whole point: the overlap join must compile to a hash/merge
+    EQUI-join on (user_id, cell) — never a nested-loop/cartesian theta
+    plan (which is what the oracle's naive SQL would do)."""
+    df = REGISTRY["join_interval_grid"].fn(spark, SF001)
+    p = plan_string(df, "formatted")
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
