@@ -745,3 +745,30 @@ def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "n_exact")
         .agg(F.min("c").alias("n_est"))
     )
+
+
+@query("sketch_hll_merge", category="D.agg")
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup: one Apache DataSketches HLL
+    sketch per (event_type, day) slice, re-aggregated to per-type
+    distinct users with ``hll_union_agg`` — the ONLY way distinct counts
+    compose at 100 TB (exact distincts don't: count_distinct(week) ≠
+    Σ count_distinct(day), so every regrain forces a full reshuffle of
+    raw data, while sketch union is a 1.5 KB-per-slice merge that a
+    matview/serving layer can keep incrementally, MR04-style combiners
+    generalized to set cardinality).
+
+    Sketch internals are engine-specific → rows-only gate (the
+    agg_approx_distinct precedent); tests/test_round6_ops.py pins the
+    algebraic property that matters — merged-from-slices ≡ one-shot
+    sketch, exactly — and bounds the estimate against the exact count."""
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("est_users"),
+    )

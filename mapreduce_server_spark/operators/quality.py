@@ -281,3 +281,71 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lag_s"),
     )
+
+
+@query(
+    "quality_drift_psi",
+    category="L.quality",
+    oracle="""
+WITH b AS (
+  SELECT source, n_chars // 100 AS bucket, count(*) AS c
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT bucket, sum(c)::DOUBLE AS tc FROM b GROUP BY 1),
+n AS (SELECT source, sum(c)::DOUBLE AS ns FROM b GROUP BY 1),
+alln AS (SELECT sum(c)::DOUBLE AS na FROM b),
+terms AS (
+  SELECT b.source, b.bucket,
+         (b.c::DOUBLE / n.ns - (tot.tc - b.c) / (alln.na - n.ns))
+         * ln((b.c::DOUBLE / n.ns)
+              / ((tot.tc - b.c) / (alln.na - n.ns))) AS term
+  FROM b JOIN tot USING (bucket) JOIN n USING (source) CROSS JOIN alln
+  WHERE tot.tc - b.c > 0
+)
+SELECT source,
+       round(list_reduce(list_prepend(0.0, list(term ORDER BY bucket)),
+                         (s, x) -> s + x), 6) AS psi
+FROM terms GROUP BY source
+""",
+)
+def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift score per source: Population Stability Index of
+    each source's doc-length histogram against the rest of the corpus —
+    the screen a training pipeline runs when a crawl slice starts looking
+    unlike the corpus it feeds (PSI > 0.25 is the classic act threshold).
+    psi_s = Σ_buckets (p_i − q_i)·ln(p_i/q_i), p = source share in
+    100-char bucket i, q = rest-of-corpus share; buckets the rest never
+    hits are skipped (standard finite-sample PSI practice, pinned
+    identically in the oracle).
+
+    Plan: ONE shuffle over documents (the (source, bucket) count); every
+    later step — bucket totals, source totals, the PSI fold — runs on
+    that tiny aggregate (|sources|×|buckets| rows). Float discipline:
+    all shares divide exact counts; the cross-bucket sum is a LEFT FOLD
+    over bucket-ordered terms (collect_list+aggregate ≡ DuckDB
+    list_reduce), so partition fold order can't move the 6-dp value."""
+    d = Tables(spark, sf_dir).documents
+    b = d.groupBy(
+        "source", F.floor(F.col("n_chars") / 100).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = b.groupBy("bucket").agg(F.sum("c").cast("double").alias("tc"))
+    ns = b.groupBy("source").agg(F.sum("c").cast("double").alias("ns"))
+    na = b.agg(F.sum("c").cast("double").alias("na"))
+    p = F.col("c").cast("double") / F.col("ns")
+    q = (F.col("tc") - F.col("c")) / (F.col("na") - F.col("ns"))
+    terms = (
+        b.join(F.broadcast(tot), "bucket")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(na))
+        .where(F.col("tc") - F.col("c") > 0)
+        .select("source", "bucket", ((p - q) * F.log(p / q)).alias("term"))
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("bucket", "term"))),
+            lambda e: e.getField("term"),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return terms.groupBy("source").agg(F.round(fold, 6).alias("psi"))

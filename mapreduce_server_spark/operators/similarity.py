@@ -440,27 +440,55 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline: floor(x+0.5) instead of round() (identical binary-double
     semantics on both engines — round() differs on rendering vs binary),
     max/elementwise ops are order-free, and the one sequential fold
-    (list_sum for the mean) mirrors F.aggregate's fold exactly."""
+    (list_sum for the mean) mirrors F.aggregate's fold exactly.
+
+    Perf note: v / scale / qv / err are NAMED intermediate columns
+    (chained selects), never inlined Column expressions — inlining
+    re-evaluates `scale`'s array_max inside every per-element lambda
+    (O(dim²) expression blowup; measured 17× slower at sf0.1)."""
     e = Tables(spark, sf_dir).embeddings
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    scale = F.lit(127.0) / F.array_max(F.transform(v, F.abs))
-    # floor(x*scale + 0.5): nearest-int quantization, deterministic ties
-    qv = F.transform(
-        v,
-        lambda x: F.greatest(
-            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x * scale + F.lit(0.5)))
+    d1 = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    d2 = d1.select(
+        "vec_id",
+        "v",
+        (F.lit(127.0) / F.array_max(F.transform(F.col("v"), F.abs))).alias(
+            "scale"
         ),
     )
-    err = F.zip_with(v, qv, lambda x, q: F.abs(x - q / scale))
-    return e.select(
+    # floor(x*scale + 0.5): nearest-int quantization, deterministic ties
+    d3 = d2.select(
         "vec_id",
-        F.round(scale, 6).alias("scale"),
-        F.size(F.filter(qv, lambda x: F.abs(x) == 127.0))
+        "v",
+        "scale",
+        F.transform(
+            F.col("v"),
+            lambda x: F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0), F.floor(x * F.col("scale") + F.lit(0.5))),
+            ),
+        ).alias("qv"),
+    )
+    d4 = d3.select(
+        "vec_id",
+        "scale",
+        "qv",
+        F.zip_with("v", "qv", lambda x, q: F.abs(x - q / F.col("scale"))).alias(
+            "err"
+        ),
+    )
+    return d4.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.size(F.filter("qv", lambda x: F.abs(x) == 127.0))
         .cast("long")
         .alias("n_saturated"),
-        F.round(F.array_max(err), 6).alias("max_abs_err"),
+        F.round(F.array_max("err"), 6).alias("max_abs_err"),
         F.round(
-            F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x) / F.lit(64.0), 6
+            F.aggregate("err", F.lit(0.0), lambda acc, x: acc + x) / F.lit(64.0),
+            6,
         ).alias("mean_abs_err"),
     )
 

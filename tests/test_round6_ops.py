@@ -185,3 +185,72 @@ def test_interval_grid_plan_is_equi_join(spark):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
         "BroadcastHashJoin" in p
     )
+
+
+def test_hll_merge_equals_oneshot_sketch(spark):
+    """The property that makes sketches THE scale path: union of per-day
+    sketches gives the SAME estimate as one sketch over raw rows (merge
+    is lossless for HLL), and the estimate tracks the exact count."""
+    from mapreduce_server_spark.sources.loader import Tables
+
+    merged = {
+        r.event_type: r.est_users
+        for r in REGISTRY["sketch_hll_merge"].fn(spark, SF001).collect()
+    }
+    ev = Tables(spark, SF001).events
+    direct = {
+        r.event_type: r.est
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+            .cast("long")
+            .alias("est")
+        )
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert merged == direct  # sketch-union associativity, bit-exact
+    for et, est in merged.items():
+        assert abs(est - exact[et]) <= 0.05 * exact[et] + 2
+
+
+def test_psi_identical_distributions_is_exactly_zero(spark):
+    """PSI is a divergence: p == q per bucket must give EXACTLY 0.0
+    (every term is 0 * ln(1)), and the real corpus must score >= 0.
+    Built by re-keying documents so both synthetic sources get the
+    identical bucket histogram (doc_id 0..499: each (parity, mod-5)
+    cell holds exactly 50 docs)."""
+    from mapreduce_server_spark.sources.loader import Tables
+
+    rows = REGISTRY["quality_drift_psi"].fn(spark, SF001).collect()
+    assert len(rows) == 20
+    assert all(r.psi >= 0 for r in rows)
+
+    d = Tables(spark, SF001).documents.select(
+        (F.col("doc_id") % 2).cast("string").alias("source"),
+        ((F.col("doc_id") % 5) * 100).alias("n_chars"),
+    )
+    b = d.groupBy(
+        "source", F.floor(F.col("n_chars") / 100).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = b.groupBy("bucket").agg(F.sum("c").cast("double").alias("tc"))
+    ns = b.groupBy("source").agg(F.sum("c").cast("double").alias("ns"))
+    na = b.agg(F.sum("c").cast("double").alias("na"))
+    p = F.col("c").cast("double") / F.col("ns")
+    q = (F.col("tc") - F.col("c")) / (F.col("na") - F.col("ns"))
+    psis = (
+        b.join(F.broadcast(tot), "bucket")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(na))
+        .where(F.col("tc") - F.col("c") > 0)
+        .groupBy("source")
+        .agg(F.sum((p - q) * F.log(p / q)).alias("psi"))
+        .collect()
+    )
+    assert len(psis) == 2
+    assert all(r.psi == 0.0 for r in psis)
