@@ -183,8 +183,7 @@ def orient_by_degree(edges: DataFrame) -> DataFrame:
     O(m)-row narrow frames; no global window, so the orientation itself
     scales."""
     deg = (
-        edges.select(F.col("pa").alias("v"))
-        .unionAll(edges.select(F.col("pb").alias("v")))
+        edges.select(F.explode(F.array("pa", "pb")).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -227,8 +226,18 @@ def triangles_from_edges(edges: DataFrame) -> DataFrame:
     the oriented edges on (y, z); orientation z→y cannot occur, because
     rank(y) < rank(z) by the wedge predicate and orientation always points
     rank-low → rank-high — so the closing edge, if present, is exactly
-    (src=y, dst=z). One equi-join, no disjunction."""
-    oriented = orient_by_degree(edges)
+    (src=y, dst=z). One equi-join, no disjunction.
+
+    Both the edge list and the oriented list are multiply referenced
+    downstream (edges: degree pass + orientation join; oriented: wedge
+    pair + closure probe), and ReuseExchange does NOT collapse the
+    duplicated logical subtrees here — uncached, the expensive
+    co-occurrence edge derivation re-executes per reference (measured
+    44x: 4.4s → 0.1s at sf0.01, where the co-occurrence graph is
+    dense). ``cache()`` is the batch answer; on a real cluster a
+    materialized edge table plays this role (the module-note pattern)."""
+    edges = edges.cache()
+    oriented = orient_by_degree(edges).cache()
     closing = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
     tri = wedges_ordered(oriented).join(closing, ["y", "z"])
     return (

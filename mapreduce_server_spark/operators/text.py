@@ -543,3 +543,80 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "word", "tfidf", "rn")
     )
+
+
+@query(
+    "text_collocations",
+    category="J.text",
+    oracle="""
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT unnest(t) AS w FROM toks),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+nt AS (SELECT count(*) AS n FROM uni),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> [t[i], t[i + 1]])) AS p
+  FROM toks WHERE len(t) >= 2
+),
+bc AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+nb AS (SELECT count(*) AS n FROM pairs)
+SELECT w1, w2, c_ab,
+       round(ln((c_ab::DOUBLE / nb.n)
+                / ((a.c::DOUBLE / nt.n) * (b.c::DOUBLE / nt.n))), 6) AS pmi
+FROM bc JOIN uc a ON a.w = w1 JOIN uc b ON b.w = w2
+CROSS JOIN nt CROSS JOIN nb
+WHERE c_ab >= 5
+""",
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent word
+    pairs, min support 5 — the association-strength statistic (how much
+    more often do these words co-occur than chance?) that separates real
+    phrases from merely-frequent pairs; the phrase-detection pass of a
+    corpus pipeline (word2vec-style phrase joining, vocab construction).
+    pmi = ln(p(ab) / (p(a)·p(b))), unigram probs over all tokens, bigram
+    prob over all adjacent pairs.
+
+    Plan: the bigram count is the wordcount shuffle over pair keys; the
+    unigram vocab joins back twice as a BROADCAST dim (|vocab| rows);
+    the two corpus totals are 1-row scalars. Parity: identical division
+    and ln grouping both engines, 6-dp rounded (text_tfidf's libm
+    discipline); counts and support filter are exact integers."""
+    d = Tables(spark, sf_dir).documents
+    tok = d.select(F.explode(tokens()).alias("w"))
+    uc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_tok = tok.count()
+    idx = F.sequence(F.lit(1), F.size(F.col("t")) - 1)
+    pairs = (
+        d.select(tokens().alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i).alias("w1"),
+                        F.element_at(F.col("t"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    n_big = pairs.count()
+    ca = uc.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
+    cb = uc.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    pmi = F.log(
+        (F.col("c_ab").cast("double") / F.lit(float(n_big)))
+        / (
+            (F.col("ca").cast("double") / F.lit(float(n_tok)))
+            * (F.col("cb").cast("double") / F.lit(float(n_tok)))
+        )
+    )
+    return (
+        bc.where(F.col("c_ab") >= 5)
+        .join(F.broadcast(ca), "w1")
+        .join(F.broadcast(cb), "w2")
+        .select("w1", "w2", "c_ab", F.round(pmi, 6).alias("pmi"))
+    )
