@@ -632,19 +632,29 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     obs_t = F.when(F.col("mv").isNotNull(), F.col("g"))
-    prev_v = F.last("mv", ignorenulls=True).over(wb)
-    prev_t = F.last(obs_t, ignorenulls=True).over(wb)
-    next_v = F.first("mv", ignorenulls=True).over(wf)
-    next_t = F.first(obs_t, ignorenulls=True).over(wf)
-    g_s = F.unix_seconds("g")
-    w = (g_s - F.unix_seconds(prev_t)).cast("double") / (
-        F.unix_seconds(next_t) - F.unix_seconds(prev_t)
-    ).cast("double")
-    return joined.select(
+    # NAMED window outputs (the emb_quantize lesson applied to windows):
+    # inlining these Columns into the final expression instantiates a
+    # window function per textual occurrence (prev_t appears twice in
+    # the weight alone) — naming them evaluates each ONCE (1.8× at
+    # sf0.1: 30.7s → 17s, the residual being the 1M-row collect).
+    named = joined.select(
         "user_id",
-        g_s.alias("hour_s"),
+        "g",
+        "n",
+        "mv",
+        F.last("mv", ignorenulls=True).over(wb).alias("prev_v"),
+        F.last(obs_t, ignorenulls=True).over(wb).alias("prev_t"),
+        F.first("mv", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(obs_t, ignorenulls=True).over(wf).alias("next_t"),
+    )
+    w = (F.unix_seconds("g") - F.unix_seconds("prev_t")).cast("double") / (
+        F.unix_seconds("next_t") - F.unix_seconds("prev_t")
+    ).cast("double")
+    return named.select(
+        "user_id",
+        F.unix_seconds("g").alias("hour_s"),
         F.when(F.col("n").isNotNull(), F.col("mv"))
-        .otherwise(prev_v + (next_v - prev_v) * w)
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * w)
         .alias("v_interp"),
         F.col("n").isNull().alias("is_interp"),
     )
@@ -696,4 +706,82 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(stats), "event_type")
         .where(F.abs(rz) > 3.0)
         .select("event_id", "event_type", "value", F.round(rz, 4).alias("rz"))
+    )
+
+
+@query(
+    "ts_holt",
+    category="E.window",
+    oracle="""
+WITH RECURSIVE series AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+  FROM events
+),
+holt AS (
+  SELECT user_id, 1::BIGINT AS i, value::DOUBLE AS l, 0.0::DOUBLE AS b
+  FROM series WHERE i = 1
+  UNION ALL
+  SELECT s.user_id, s.i,
+         s.value * 0.5 + (h.l + h.b) * 0.5,
+         ((s.value * 0.5 + (h.l + h.b) * 0.5) - h.l) * 0.5 + h.b * 0.5
+  FROM holt h JOIN series s ON s.user_id = h.user_id AND s.i = h.i + 1
+),
+last AS (SELECT user_id, max(i) AS n_events FROM holt GROUP BY 1)
+SELECT h.user_id, last.n_events, h.l AS level_last, h.b AS trend_last,
+       h.l + h.b AS forecast_next
+FROM holt h JOIN last ON h.user_id = last.user_id AND h.i = last.n_events
+""",
+)
+def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per user (level + trend state,
+    α = β = 0.5), reporting the final state and the one-step forecast —
+    the trend-aware upgrade of ``ts_ewma`` and the canonical SECOND-ORDER
+    recursive fold: the state is a (level, trend) STRUCT, not a scalar,
+    so this pins the struct-accumulator form of F.aggregate that any
+    stateful-model scoring pass needs.
+
+    Float discipline (ARCHITECTURE.md §4, ts_ewma extended): both
+    engines left-fold the identical (ts, event_id)-ordered list from the
+    identical seed (l₁ = x₁, b₁ = 0); α = β = 0.5 makes every multiply
+    exact (exponent decrement), and the remaining adds appear in
+    textually identical association on both sides — bit-equal results,
+    no rounding. The oracle is a RECURSIVE CTE, not a list_reduce:
+    DuckDB 1.0's list_reduce evaluates struct fields IN PLACE
+    sequentially (a later field expression reading s.<field> sees the
+    value a prior field just wrote — verified: {a: s.a+x.a, c: s.a}
+    folds to c == final a), so any multi-field accumulator silently
+    corrupts; the CTE carries (l, b) through row-indexed self-joins
+    instead, one recursion step per series position.
+
+    Scale: one shuffle keyed by user_id; per-group state is the user's
+    ordered value list (bounded by per-user activity). The streaming
+    twin carries {l, b} in applyInPandasWithState exactly like
+    first_seen_users carries its seen-set."""
+    ev = Tables(spark, sf_dir).events
+    vals = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda e: e.getField("value"),
+    )
+    half = F.lit(0.5)
+    seed = F.struct(
+        F.element_at(vals, 1).alias("l"), F.lit(0.0).alias("b")
+    )
+    new_l = lambda s, x: x * half + (s.getField("l") + s.getField("b")) * half
+    st = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        seed,
+        lambda s, x: F.struct(
+            new_l(s, x).alias("l"),
+            (
+                (new_l(s, x) - s.getField("l")) * half
+                + s.getField("b") * half
+            ).alias("b"),
+        ),
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        st.getField("l").alias("level_last"),
+        st.getField("b").alias("trend_last"),
+        (st.getField("l") + st.getField("b")).alias("forecast_next"),
     )

@@ -254,3 +254,32 @@ def test_psi_identical_distributions_is_exactly_zero(spark):
     )
     assert len(psis) == 2
     assert all(r.psi == 0.0 for r in psis)
+
+
+def test_holt_tracks_linear_series(spark):
+    """(l=t, b=1) is an exact fixed point of the Holt recurrence on
+    x_t = t, and the iteration contracts toward it — after 100 steps
+    the trend must be ~1 and the one-step forecast ~the next value.
+    (Parity for the real-events fold lives in test_oracle_parity; the
+    oracle is a recursive CTE because DuckDB 1.0 list_reduce corrupts
+    multi-field struct accumulators — see the ts_holt docstring.)"""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(vals=[float(t) for t in range(100)])])
+    half = F.lit(0.5)
+    vals = F.col("vals")
+    seed = F.struct(F.element_at(vals, 1).alias("l"), F.lit(0.0).alias("b"))
+    new_l = lambda s, x: x * half + (s.getField("l") + s.getField("b")) * half
+    st = F.aggregate(
+        F.slice(vals, F.lit(2), F.size(vals) - 1),
+        seed,
+        lambda s, x: F.struct(
+            new_l(s, x).alias("l"),
+            ((new_l(s, x) - s.getField("l")) * half + s.getField("b") * half).alias("b"),
+        ),
+    )
+    r = df.select(
+        st.getField("l").alias("l"), st.getField("b").alias("b")
+    ).collect()[0]
+    assert abs(r.l - 99.0) < 1e-6
+    assert abs(r.b - 1.0) < 1e-6
