@@ -151,24 +151,78 @@ def _jaccard_pairs(d: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def _mh_hash(s: int, shingle: F.Column) -> F.Column:
+    """Minhash permutation s of a shingle: first 8 md5 hex digits as a
+    BIGINT (the sketch_countmin hash discipline) — a pure function of
+    (s, shingle) both engines compute identically, so the WHOLE minhash
+    signature is DuckDB-replayable."""
+    h = F.md5(F.concat(F.lit(f"mh{s}:"), shingle).cast("binary"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
 def minhash_signatures(d: DataFrame) -> DataFrame:
-    """doc_id → N_HASHES minhash values (seeded xxhash64 salts, no RNG)."""
+    """doc_id → N_HASHES minhash values (md5-derived salts, no RNG)."""
     sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
     sigs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"mh{s}:"), F.col("shingle")))).alias(
-            f"sig{s}"
-        )
+        F.min(_mh_hash(s, F.col("shingle"))).alias(f"sig{s}")
         for s in range(N_HASHES)
     ]
     return sh.groupBy("doc_id").agg(*sigs)
 
 
-@query("dedup_minhash", category="J.dedup")
+@query(
+    "dedup_minhash",
+    category="J.dedup",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS shingle
+  FROM documents
+),
+mins AS (
+  SELECT doc_id, s,
+         min(('0x' || substr(md5('mh' || s || ':' || shingle), 1, 8))::BIGINT)
+           AS sig
+  FROM sh, generate_series(0, 15) AS t(s)
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, s // 4 AS band,
+         string_agg(sig::VARCHAR, ',' ORDER BY s) AS bucket
+  FROM mins GROUP BY doc_id, s // 4
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+""",
+)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, verified by exact
-    Jaccard (≥ 0.8). Flow: signatures → band hashes → bucket self-join
+    Jaccard (≥ 0.8). Flow: signatures → band buckets → bucket self-join
     (candidates only from colliding buckets) → exact verify on shingle
-    sets. No SQL oracle (xxhash64 is Spark-specific) → rows-only check;
+    sets. The hashes are md5-derived (``_mh_hash``) and the band key is
+    the literal comma-joined signature slice, so the ENTIRE probabilistic
+    pipeline — permutations, banding, candidate set, verify — is a pure
+    function of the data that DuckDB replays bit-identically: a full
+    exact oracle for an LSH operator (upgraded from rows-only; planted
+    sf0.1 duplicate pairs still pinned by tests/test_dedup.py).
     tests/test_dedup.py asserts the 8 planted sf0.1 duplicate pairs are
     found with jaccard == 1.0."""
     d = Tables(spark, sf_dir).documents
@@ -178,14 +232,17 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array(
             *[
-                F.xxhash64(
-                    F.lit(f"band{b}"),
-                    *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)],
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"sig{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
                 )
                 for b in range(N_BANDS)
             ]
-        ).alias("band_hashes"),
-    ).select("doc_id", F.posexplode("band_hashes").alias("band", "bucket"))
+        ).alias("band_buckets"),
+    ).select("doc_id", F.posexplode("band_buckets").alias("band", "bucket"))
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bucket"])
@@ -217,17 +274,52 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", category="J.dedup")
+@query(
+    "dedup_simhash",
+    category="J.dedup",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, word, count(*) AS tf,
+         ('0x' || substr(md5('simhash:' || word), 1, 8))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  GROUP BY doc_id, word
+),
+votes AS (
+  SELECT doc_id, b, sum(tf * (((h >> b) & 1) * 2 - 1)) AS v
+  FROM tf, generate_series(0, 31) AS t(b)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM votes GROUP BY doc_id
+""",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per document: per-token hash bits,
-    tf-weighted ±1 votes per bit position, sign-packed. Rows-only check
-    (xxhash64); tests assert exact duplicates share fingerprints."""
+    tf-weighted ±1 votes per bit position, sign-packed. The token hash
+    is the md5-derived 32-bit int (``_mh_hash`` discipline), and votes /
+    packing are pure integer arithmetic — so the fingerprints are a
+    deterministic function of the data and DuckDB replays them exactly
+    (upgraded from rows-only; exact-duplicate fingerprint equality
+    stays pinned in tests/test_dedup.py)."""
     d = Tables(spark, sf_dir).documents
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("h", F.xxhash64(F.lit("simhash:"), F.col("word")))
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("simhash:"), F.col("word")).cast("binary")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
     )
     bit_votes = [
         F.sum(

@@ -175,15 +175,54 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_lsh", category="J.sim")
+def _plane_sql(p: int) -> str:
+    """The plane as a DuckDB DOUBLE[] literal (components are exactly ±1)."""
+    return "[" + ", ".join(repr(c) for c in _hyperplane(p)) + "]::DOUBLE[]"
+
+
+def _lsh_oracle() -> str:
+    """Full SQL replay of knn_lsh: the hyperplanes are static md5-derived
+    literals, the bucket is a sum of sign-bit CASEs over the SAME
+    sequential-fold dot product (DUCK_DOT ≡ functions.vector.dot), and
+    multi-probe membership is bucket == qbucket or a 1-bit XOR."""
+    bucket_expr = lambda a: " + ".join(
+        f"CASE WHEN {DUCK_DOT.format(a=a, b=_plane_sql(p))} >= 0"
+        f" THEN {1 << p} ELSE 0 END"
+        for p in range(N_PLANES)
+    )
+    flips = ", ".join(str(1 << p) for p in range(N_PLANES))
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+qb AS (SELECT ({bucket_expr("qv")}) AS qbucket FROM q),
+cand AS (
+  SELECT vec_id,
+         ({bucket_expr("embedding")}) AS bucket,
+         {DUCK_DOT.format(a="embedding", b="q.qv")}
+           / ({DUCK_NORM.format(a="embedding")} * {DUCK_NORM.format(a="q.qv")})
+           AS cs
+  FROM embeddings, q
+  WHERE vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, bucket, round(cs, 6) AS cos_sim
+FROM cand, qb
+WHERE bucket = qbucket OR xor(bucket::BIGINT, qbucket::BIGINT) IN ({flips})
+ORDER BY cs DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("knn_lsh", category="J.sim", oracle=_lsh_oracle())
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH (the scale path).
 
     sign-bit sketch → bucket id → per-bucket exact cosine vs the query.
-    Deterministic planes (MD5-derived, no RNG) so the driver's hash gate
-    sees stable output; no SQL oracle (hyperplanes aren't worth inlining
-    as 12×64 SQL literals) → rows-only check + recall pytest vs
-    knn_bruteforce (tests/test_similarity.py).
+    Deterministic planes (MD5-derived ±1 components, no RNG) so the
+    bucket assignment — a sign decision on an exactly-reproducible
+    sequential-fold dot product — and therefore the whole probe set is
+    a pure function of the data. The oracle replays it end-to-end with
+    the planes inlined as literals (generated by ``_lsh_oracle``):
+    exact-gated LSH, upgraded from rows-only; the recall pytest vs
+    knn_bruteforce stays (tests/test_similarity.py).
     """
     e = Tables(spark, sf_dir).embeddings
     qv = _query_vector(spark, sf_dir)
