@@ -376,6 +376,63 @@ def ewma(stream: DataFrame, alpha: float = 0.5) -> DataFrame:
     )
 
 
+def holt(stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``ts_holt``: per-user (level, trend) state
+    carried across micro-batches — the second-order companion of the
+    scalar ``ewma`` twin, proving the struct-state form streams too
+    (state = two doubles + a count, O(1) per user).
+
+    Fold discipline mirrors the batch op exactly: rows sorted by
+    (ts, event_id) within the batch, seed (l₁=x₁, b₁=0), α = β = 0.5 so
+    every multiply is exact and the adds associate identically —
+    ``test_holt_twin_matches_batch`` asserts bit-equality against
+    ts_holt's F.aggregate struct fold."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            level, trend, n = state.get
+        else:
+            level, trend, n = None, 0.0, 0
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for x in pdf["value"]:
+                x = float(x)
+                if level is None:
+                    level, trend = x, 0.0
+                else:
+                    new_level = x * 0.5 + (level + trend) * 0.5
+                    trend = (new_level - level) * 0.5 + trend * 0.5
+                    level = new_level
+            n += len(pdf)
+            state.update((float(level), float(trend), int(n)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "level_last": [level],
+                    "trend_last": [trend],
+                }
+            )
+
+    return (
+        stream.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=(
+                "user_id BIGINT, n_events BIGINT,"
+                " level_last DOUBLE, trend_last DOUBLE"
+            ),
+            stateStructType="l DOUBLE, b DOUBLE, n BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def session_timer(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Timer-based sessionization via ``applyInPandasWithState`` +
     EventTimeTimeout — the custom-stateful form of `session`, and the

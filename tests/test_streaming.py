@@ -275,6 +275,22 @@ def test_ewma_twin_matches_batch(spark):
     assert got == batch and len(got) > 0
 
 
+def test_holt_twin_matches_batch(spark):
+    """One drain of the per-user stateful Holt fold equals the batch
+    ts_holt struct-aggregate bit-for-bit (same (ts, event_id) order,
+    same seed, alpha=beta=0.5 exact halvings)."""
+    ckpt = os.path.join(SCRATCH, "holt_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = twins.events_stream(spark, _events_dir())
+    rows = twins.run_collect(twins.holt(stream), "update", ckpt)
+    batch = {
+        r.user_id: (r.n_events, r.level_last, r.trend_last)
+        for r in REGISTRY["ts_holt"].fn(spark, SF001).collect()
+    }
+    got = {r.user_id: (r.n_events, r.level_last, r.trend_last) for r in rows}
+    assert got == batch and len(got) > 0
+
+
 def test_session_timer_twin_flushes_all_sessions(spark):
     """Timer-based sessionization: successor events close sessions
     inline; EventTimeTimeout timers close idle ones as the watermark
