@@ -271,3 +271,43 @@ def test_lateral_decorrelates_to_window_topk(spark):
     plan = _plan(spark, "join_lateral", "simple")
     assert "Window" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_map_in_arrow_is_shuffle_free_python(spark):
+    """The Arrow UDF rung is a narrow map: Python eval node present,
+    zero exchanges — the corpus never moves."""
+    p = _plan(spark, "udf_map_in_arrow")
+    assert "PythonMapInArrow" in p or "MapInArrow" in p
+    assert "Exchange" not in p
+
+
+def test_stratified_sample_fact_not_shuffled(spark):
+    """Only the tiny per-stratum count dim shuffles; the fact table gets
+    a broadcast join + narrow filter (1 exchange total, on the counts)."""
+    p = _plan(spark, "sample_stratified")
+    assert "BroadcastHashJoin" in p
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_mad_outliers_broadcasts_stats(spark):
+    """The 5-row median/MAD stats dim must broadcast back onto the
+    events scan — never a shuffle join of the fact table."""
+    p = _plan(spark, "ts_mad_outliers")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_interpolate_windows_share_one_exchange(spark):
+    """Both window passes (ascending prev + descending next) key on
+    user_id — one hash exchange feeds two sorts; and no O(n²)
+    unbounded-following frame survives in the plan."""
+    p = _plan(spark, "ts_interpolate")
+    assert "unboundedfollowing$()" not in p.lower().replace(" ", "")
+    assert p.count("Exchange hashpartitioning") <= 2  # hourly agg + window
+
+
+def test_triangles_ordered_caches_shared_subtrees(spark):
+    """The multiply-referenced edge/oriented frames must come from the
+    cache (InMemoryTableScan), not re-derived lineage."""
+    p = _plan(spark, "graph_triangles_ordered")
+    assert "InMemoryTableScan" in p
