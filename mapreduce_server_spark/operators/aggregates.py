@@ -772,3 +772,52 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("est_users"),
     )
+
+
+@query(
+    "sketch_bitmap_distinct",
+    category="D.agg",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT ts::DATE) AS n_days,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+""",
+)
+def sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via roaring-style bitmaps —
+    sketch_hll_merge's lossless twin. Per (event_type, day,
+    32k-id-bucket) slice, user ids become set bits
+    (bitmap_construct_agg(bitmap_bit_position)); slices re-aggregate
+    with bitmap_or_agg and a bucket-sum — so like the HLL path it
+    regrains WITHOUT reshuffling raw events, but the answer is exact
+    (the oracle is the plain count(DISTINCT)). This is the id-space
+    trade: bitmaps are exact and ~|id-range|/8 bytes per slice
+    (perfect for dense surrogate keys); HLL is approximate and O(1.5 KB)
+    for arbitrary keys. The bucket dimension keeps every bitmap ≤ 4 KB
+    no matter how large the id space grows — state per slice is bounded
+    by OCCUPIED buckets, the roaring idea expressed in plan form.
+
+    n_days folds from the same slice table (distinct days ≡ distinct
+    slice keys per type) — one raw-events shuffle feeds both outputs."""
+    ev = Tables(spark, sf_dir).events
+    slices = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+    )
+    per_bucket = slices.groupBy("event_type", "bkt").agg(
+        F.expr("bitmap_count(bitmap_or_agg(bm))").alias("n_in_bucket"),
+    )
+    users = per_bucket.groupBy("event_type").agg(
+        F.sum("n_in_bucket").alias("n_users")
+    )
+    days = slices.groupBy("event_type").agg(
+        F.countDistinct("d").alias("n_days")
+    )
+    return days.join(users, "event_type").select(
+        "event_type", "n_days", "n_users"
+    )

@@ -792,3 +792,47 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.getField("b").alias("trend_last"),
         (st.getField("l") + st.getField("b")).alias("forecast_next"),
     )
+
+
+@query(
+    "ts_ohlc",
+    category="E.window",
+    oracle="""
+SELECT user_id,
+       epoch_us(date_trunc('hour', ts::TIMESTAMP)) // 1000000 AS hour_s,
+       count(*) AS n,
+       (min({'ts': ts, 'id': event_id, 'v': value::DOUBLE})).v AS open_v,
+       max(value) AS high_v,
+       min(value) AS low_v,
+       (max({'ts': ts, 'id': event_id, 'v': value::DOUBLE})).v AS close_v
+FROM events
+GROUP BY 1, 2
+""",
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (user, hour) open / high / low / close —
+    the candlestick rollup every metrics store derives from raw ticks.
+    Open and close are "value at min/max (ts, event_id)" computed as a
+    lexicographic STRUCT min/max inside the ordinary aggregate — one
+    shuffle, map-side combinable (struct min merges like any min),
+    ZERO window functions. The struct tiebreak (event_id) makes
+    first/last deterministic where min_by/arg_min on a tied ts would be
+    engine-arbitrary — the same discipline as dedup_exact's survivor
+    rule, applied to aggregation instead of a window sort.
+
+    At 100 TB this shape matters: a window-based first/last needs a
+    per-key sort; the struct-min form is a plain partial aggregate —
+    same cost class as sum/max, mergeable in one pass and incrementally
+    maintainable (matview_daily_rollup pattern)."""
+    ev = Tables(spark, sf_dir).events
+    o = F.struct("ts", "event_id", F.col("value").cast("double").alias("v"))
+    return ev.groupBy(
+        "user_id",
+        F.unix_seconds(F.date_trunc("hour", "ts")).alias("hour_s"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(o).getField("v").alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max(o).getField("v").alias("close_v"),
+    )

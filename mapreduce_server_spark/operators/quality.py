@@ -349,3 +349,86 @@ def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s, x: s + x,
     )
     return terms.groupBy("source").agg(F.round(fold, 6).alias("psi"))
+
+
+@query(
+    "quality_drift_ks",
+    category="L.quality",
+    oracle="""
+WITH counts AS (
+  SELECT source, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2
+),
+vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+srcs AS (SELECT source, sum(c) AS ns FROM counts GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM counts),
+grid AS (SELECT s.source, s.ns, v.v FROM srcs s CROSS JOIN vals v),
+cum AS (
+  SELECT g.source, g.ns, g.v,
+         sum(coalesce(c.c, 0))
+           OVER (PARTITION BY g.source ORDER BY g.v
+                 ROWS UNBOUNDED PRECEDING) AS cs
+  FROM grid g LEFT JOIN counts c ON c.source = g.source AND c.v = g.v
+),
+cumall AS (
+  SELECT v, sum(cv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca
+  FROM (SELECT v, sum(c) AS cv FROM counts GROUP BY 1)
+)
+SELECT cum.source,
+       round(max(abs(cs::DOUBLE / ns - (ca - cs)::DOUBLE / (n - ns))), 6)
+         AS ks
+FROM cum JOIN cumall USING (v) CROSS JOIN tot
+GROUP BY cum.source
+""",
+)
+def quality_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov drift per source: sup-norm distance between
+    each source's doc-length CDF and the rest-of-corpus CDF —
+    ``quality_drift_psi``'s nonparametric twin (PSI needs a binning
+    choice and skips novel buckets; KS is binning-free and catches
+    location shifts PSI's coarse buckets blur). D only changes at jump
+    points of either CDF, so evaluating on the union support (every
+    distinct length) is exact, not an approximation.
+
+    Plan: ONE aggregation over documents ((source, length) counts);
+    everything downstream — the |sources|×|lengths| evaluation grid,
+    two running-frame cumsums (O(n) incremental, never a following
+    frame), the max — runs on that tiny aggregate. Float discipline:
+    CDF values divide exact integer cumulative counts; both engines
+    take max over identical doubles; 6-dp rounded."""
+    d = Tables(spark, sf_dir).documents
+    counts = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vals = counts.select("v").distinct()
+    srcs = counts.groupBy("source").agg(F.sum("c").alias("ns"))
+    n_total = d.count()  # driver-side scalar; one metadata-cheap job
+    grid = srcs.crossJoin(F.broadcast(vals))
+    wsrc = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        grid.join(counts, ["source", "v"], "left")
+        .select(
+            "source",
+            "ns",
+            "v",
+            F.sum(F.coalesce("c", F.lit(0))).over(wsrc).alias("cs"),
+        )
+    )
+    per_val = counts.groupBy("v").agg(F.sum("c").alias("cv"))
+    wall = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cumall = per_val.select("v", F.sum("cv").over(wall).alias("ca"))
+    dist = F.abs(
+        F.col("cs").cast("double") / F.col("ns")
+        - (F.col("ca") - F.col("cs")).cast("double")
+        / (F.lit(n_total) - F.col("ns"))
+    )
+    return (
+        cum.join(F.broadcast(cumall), "v")
+        .groupBy("source")
+        .agg(F.round(F.max(dist), 6).alias("ks"))
+    )

@@ -283,3 +283,78 @@ def test_holt_tracks_linear_series(spark):
     ).collect()[0]
     assert abs(r.l - 99.0) < 1e-6
     assert abs(r.b - 1.0) < 1e-6
+
+
+def test_ks_zero_on_identical_and_detects_planted_shift(spark):
+    """KS identity: equal per-source distributions give exactly 0 D-stat
+    (integer cum counts divide to identical fractions). Sensitivity: a
+    +300-char shift planted on one source must dominate every natural
+    source's score — the binning-free complement the PSI test can't pin
+    (PSI's skip-bucket rule hides novel support; KS's sup-norm sees
+    it)."""
+    from mapreduce_server_spark.sources.loader import Tables
+
+    rows = REGISTRY["quality_drift_ks"].fn(spark, SF001).collect()
+    assert len(rows) == 20
+    natural_max = max(r.ks for r in rows)
+    assert all(0 <= r.ks <= 1 for r in rows)
+
+    def ks_of(d):
+        counts = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        vals = counts.select("v").distinct()
+        srcs = counts.groupBy("source").agg(F.sum("c").alias("ns"))
+        n_total = d.count()
+        from pyspark.sql import Window
+
+        wsrc = (
+            Window.partitionBy("source")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = (
+            srcs.crossJoin(F.broadcast(vals))
+            .join(counts, ["source", "v"], "left")
+            .select(
+                "source",
+                "ns",
+                "v",
+                F.sum(F.coalesce("c", F.lit(0))).over(wsrc).alias("cs"),
+            )
+        )
+        wall = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cumall = (
+            counts.groupBy("v")
+            .agg(F.sum("c").alias("cv"))
+            .select("v", F.sum("cv").over(wall).alias("ca"))
+        )
+        dist = F.abs(
+            F.col("cs").cast("double") / F.col("ns")
+            - (F.col("ca") - F.col("cs")).cast("double")
+            / (F.lit(n_total) - F.col("ns"))
+        )
+        return {
+            r.source: r.ks
+            for r in cum.join(F.broadcast(cumall), "v")
+            .groupBy("source")
+            .agg(F.round(F.max(dist), 6).alias("ks"))
+            .collect()
+        }
+
+    docs = Tables(spark, SF001).documents
+    identical = docs.select(
+        (F.col("doc_id") % 2).cast("string").alias("source"),
+        ((F.col("doc_id") % 5) * 100).alias("n_chars"),
+    )
+    assert all(v == 0.0 for v in ks_of(identical).values())
+
+    shifted = docs.select(
+        "source",
+        F.when(F.col("source") == "src0", F.col("n_chars") + 300)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    assert ks_of(shifted)["src0"] > max(0.5, 1.5 * natural_max)
