@@ -836,3 +836,70 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low_v"),
         F.max(o).getField("v").alias("close_v"),
     )
+
+
+@query(
+    "ts_autocorr",
+    category="E.window",
+    oracle="""
+WITH pairs AS (
+  SELECT user_id, value AS x,
+         lead(value) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS y
+  FROM events
+),
+m AS (
+  SELECT user_id,
+         count(*)::DOUBLE AS n,
+         sum(x::DECIMAL(18,2))::DOUBLE AS sx,
+         sum(y::DECIMAL(18,2))::DOUBLE AS sy,
+         sum((x::DECIMAL(18,2) * x::DECIMAL(18,2)))::DOUBLE AS sxx,
+         sum((y::DECIMAL(18,2) * y::DECIMAL(18,2)))::DOUBLE AS syy,
+         sum((x::DECIMAL(18,2) * y::DECIMAL(18,2)))::DOUBLE AS sxy
+  FROM pairs WHERE y IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n::BIGINT AS n_pairs,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+         AS autocorr_lag1
+FROM m
+""",
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per user — the "is this series noise or
+    signal?" screen a forecasting pipeline runs before fitting anything
+    (near 0 → ts_ewma suffices; strongly positive → ts_holt's trend
+    term earns its keep). Consecutive (ts, event_id)-ordered pairs come
+    from ONE lead window; then the agg_corr exact-decimal-moments
+    discipline (ARCHITECTURE.md §4): five moments summed as exact
+    decimals (2-dp values ⇒ 4-dp products), one identical Pearson
+    expression over identical operands both engines, 9-dp rounded.
+    One shuffle (window + agg share the user_id partitioning —
+    Exchange reuse)."""
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id",
+        F.col("value").alias("x"),
+        F.lead("value").over(w).alias("y"),
+    ).where(F.col("y").isNotNull())
+    dx = F.col("x").cast("decimal(18,2)")
+    dy = F.col("y").cast("decimal(18,2)")
+    m = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(r, 9).alias("autocorr_lag1"),
+    )

@@ -281,3 +281,29 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "embedding").mapInArrow(
         normalize, schema="vec_id bigint, l2_norm double, head_norm double"
     )
+
+
+@query(
+    "udf_arrow_scalar",
+    category="K.udf",
+    oracle="""
+SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS n_unique
+FROM documents
+""",
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED row UDF (``useArrow=True``) — the missing middle
+    rung of the cost ladder: same per-row Python function signature as
+    ``udf_python``, but batches cross the JVM↔Python boundary as Arrow
+    instead of pickled rows (~2-5× on string-heavy inputs), without
+    rewriting the fn to operate on pandas Series. Computes per-doc
+    unique-token counts; equivalent built-in:
+    ``F.size(F.array_distinct(F.split(...)))``. Pure integer output —
+    exact oracle."""
+    d = Tables(spark, sf_dir).documents
+
+    @F.udf(returnType=LongType(), useArrow=True)
+    def unique_tokens(text: str) -> int:
+        return len(set(text.split(" ")))
+
+    return d.select("doc_id", unique_tokens("text").alias("n_unique"))
