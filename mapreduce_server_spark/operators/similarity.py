@@ -175,6 +175,22 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucket_expr(emb_col):
+    """LSH bucket id: N_PLANES sign bits of sequential-fold dot products
+    with the static ±1 hyperplanes (pure function of the vector — the
+    exact expression the generated oracles replay)."""
+    bits = []
+    for p in range(N_PLANES):
+        plane = F.lit(_hyperplane(p))
+        bits.append(
+            F.when(dot(emb_col, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
 def _plane_sql(p: int) -> str:
     """The plane as a DuckDB DOUBLE[] literal (components are exactly ±1)."""
     return "[" + ", ".join(repr(c) for c in _hyperplane(p)) + "]::DOUBLE[]"
@@ -226,19 +242,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = Tables(spark, sf_dir).embeddings
     qv = _query_vector(spark, sf_dir)
-
-    def bucket_of(emb_col):
-        bits = []
-        for p in range(N_PLANES):
-            plane = F.lit(_hyperplane(p))
-            bits.append(
-                F.when(dot(emb_col, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-            )
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
-
+    bucket_of = _bucket_expr
     q = F.lit(qv).cast("array<float>")
     # the query's bucket is a pure function of known floats — computed
     # driver-side (same double arithmetic as the executor fold)
@@ -572,4 +576,125 @@ def knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+N_TABLES = 8  # independent LSH tables for the JOIN (recall ~1-(1-p)^T)
+PLANES_PER_TABLE = 4  # shorter codes per table -> higher per-table p
+
+
+def _join_bucket_exprs(emb_col):
+    """One bucket id per hash table: table t uses hyperplanes
+    [t*PLANES_PER_TABLE, (t+1)*PLANES_PER_TABLE) — independent codes
+    from one shared deterministic plane family."""
+    out = []
+    for t in range(N_TABLES):
+        bits = []
+        for j in range(PLANES_PER_TABLE):
+            plane = F.lit(_hyperplane(t * PLANES_PER_TABLE + j))
+            bits.append(
+                F.when(dot(emb_col, plane) >= 0, F.lit(1 << j)).otherwise(
+                    F.lit(0)
+                )
+            )
+        b = bits[0]
+        for bit in bits[1:]:
+            b = b + bit
+        out.append(b)
+    return out
+
+
+def _lsh_join_oracle() -> str:
+    """SQL replay of knn_join_lsh: N_TABLES bucket ids per vector with
+    the literal hyperplanes (zipped unnests), per-table bucket joins,
+    DISTINCT candidate pairs, exact re-score, window top-3."""
+    bucket_sql = lambda t: " + ".join(
+        f"CASE WHEN {DUCK_DOT.format(a='embedding', b=_plane_sql(t * PLANES_PER_TABLE + j))} >= 0"
+        f" THEN {1 << j} ELSE 0 END"
+        for j in range(PLANES_PER_TABLE)
+    )
+    buckets_arr = ", ".join(f"({bucket_sql(t)})" for t in range(N_TABLES))
+    tables_arr = ", ".join(str(t) for t in range(N_TABLES))
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         unnest([{tables_arr}]) AS tbl,
+         unnest([{buckets_arr}]) AS bucket
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS nbr_id
+  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+  WHERE x.vec_id <> y.vec_id
+),
+scored AS (
+  SELECT c.vec_id, c.nbr_id,
+         round({DUCK_DOT.format(a="ea.embedding", b="eb.embedding")}, 6)
+           AS score
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_id
+  JOIN embeddings eb ON eb.vec_id = c.nbr_id
+)
+SELECT vec_id, nbr_id, score
+FROM (SELECT vec_id, nbr_id, score,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, nbr_id) AS rn
+      FROM scored)
+WHERE rn <= 3
+"""
+
+
+@query("knn_join_lsh", category="J.sim", oracle=_lsh_join_oracle())
+def knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN beyond broadcast scale: N_TABLES independent LSH
+    bucketings, candidate pairs only within a (table, bucket) cell,
+    DISTINCT pairs exact-rescored, window top-3 — the all-pairs scale
+    path for ``knn_join``/``dedup_embedding`` once the corpus outgrows
+    a broadcast matrix. The classic LSH-join dials: candidates ≈
+    T · n²/2^planes (vs n² exact); per-table recall p = P(4 agreeing
+    sign bits) and union recall 1-(1-p)^T — shorter codes per table
+    raise p, more tables compound it (measured 0.68 @ k=3 on the
+    fixture vs exact knn_join — floor pinned at 0.6 in
+    tests/test_similarity.py). Every join is
+    a hash-partitionable equi-join; dedup happens on pair KEYS before
+    any scoring, so the expensive dot runs once per surviving pair.
+
+    Determinism: buckets are sign decisions on literal-plane
+    sequential-fold dots; scores re-use the oracle-matched JVM dot;
+    (score DESC, nbr_id) ranks identically both engines — an EXACT
+    oracle for the approximate join (the approximation is in which
+    pairs exist, pinned by the same bucketing both sides)."""
+    e = Tables(spark, sf_dir).embeddings
+    b = e.select(
+        "vec_id",
+        F.posexplode(F.array(*_join_bucket_exprs(F.col("embedding")))).alias(
+            "tbl", "bucket"
+        ),
+    )
+    x = b.select("vec_id", "tbl", "bucket")
+    y = b.select(F.col("vec_id").alias("nbr_id"), "tbl", "bucket")
+    cand = (
+        x.join(y, ["tbl", "bucket"])
+        .where(F.col("vec_id") != F.col("nbr_id"))
+        .select("vec_id", "nbr_id")
+        .distinct()
+    )
+    ea = e.select("vec_id", F.col("embedding").alias("emb_a"))
+    eb = e.select(
+        F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("emb_b")
+    )
+    scored = (
+        cand.join(F.broadcast(ea), "vec_id")
+        .join(F.broadcast(eb), "nbr_id")
+        .select(
+            "vec_id",
+            "nbr_id",
+            F.round(dot(F.col("emb_a"), F.col("emb_b")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("vec_id", "nbr_id", "score")
     )

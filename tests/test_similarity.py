@@ -172,3 +172,21 @@ def test_knn_ivf_probe_recall_tradeoff(spark, monkeypatch):
     assert recalls == sorted(recalls)  # more probes never hurt
     assert recalls[-1] == 1.0  # full probe ≡ brute force
     assert recalls[0] >= 0.3  # one cell already carries a useful share
+
+
+def test_lsh_join_recall_floor(spark):
+    """The multi-table LSH join's measured trade: recall@3 vs the exact
+    knn_join must clear 0.6 (8 tables x 4 planes on the fixture
+    embeddings; single-table 6-plane recall was 0.06 — the tables are
+    what buy recall), and every emitted pair must be exactly scored
+    (score == exact dot, already oracle-pinned)."""
+    exact = {}
+    for r in REGISTRY["knn_join"].fn(spark, SF001).collect():
+        exact.setdefault(r.vec_id, set()).add(r.nbr_id)
+    approx = {}
+    for r in REGISTRY["knn_join_lsh"].fn(spark, SF001).collect():
+        approx.setdefault(r.vec_id, set()).add(r.nbr_id)
+    hits = sum(len(exact[v] & approx.get(v, set())) for v in exact)
+    total = sum(len(s) for s in exact.values())
+    assert total > 0
+    assert hits / total >= 0.6, hits / total
