@@ -355,8 +355,8 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     product: corpus broadcast once, each Arrow batch computes its cosine
     row-block in BLAS and emits qualifying (vec_a < vec_b) CANDIDATES —
     the n²-pair space is scanned but never materialized as rows (same
-    escape-hatch rationale as knn_join; LSH bucketing is the
-    beyond-broadcast scale path).
+    escape-hatch rationale as knn_join; ``knn_join_lsh`` implements the
+    beyond-broadcast bucketed form of this pair generation).
 
     Float discipline: BLAS prunes with an epsilon-relaxed threshold only;
     the surviving pairs (a vanishing fraction of n²) are re-scored JVM-side

@@ -118,8 +118,9 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch of query rows computes `batch @ corpus.T` in BLAS with local
     top-k — no shuffle, no n²-row materialization. This is the
     partition-prune-refine shape of distributed similarity joins
-    (ICDE'19 trajectory-join); beyond broadcastable corpus sizes, bucket
-    with knn_lsh first. A pure-DataFrame crossJoin+window form computes
+    (ICDE'19 trajectory-join); beyond broadcastable corpus sizes,
+    ``knn_join_lsh`` is the implemented bucketed form of this exact
+    join. A pure-DataFrame crossJoin+window form computes
     the same result ~50× slower (per-element expression folds) — the
     sanctioned pandas-UDF escape hatch (ARCHITECTURE.md §6).
 
