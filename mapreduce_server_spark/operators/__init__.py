@@ -13,6 +13,7 @@ Module ↔ SURVEY.md §2 category map:
 - sorts_sets.py   → F (sorts/limits/top-k), G (set operations)
 - scalars.py      → H (scalar function bundles)
 - events_batch.py → I (streaming-shaped ops, batch-verifiable forms)
+- stats_ml.py     → D/J (per-group OLS, entropy, seasonality, k-means)
 - text.py         → J (text analysis: wordcount/grep/index/tf-idf)
 - dedup.py        → J (exact + near dedup)
 - similarity.py   → J (knn / embeddings / multimodal)
@@ -33,6 +34,7 @@ from . import scalars  # noqa: F401
 from . import similarity  # noqa: F401
 from . import sorts_sets  # noqa: F401
 from . import sources_ops  # noqa: F401
+from . import stats_ml  # noqa: F401
 from . import text  # noqa: F401
 from . import tpch_shapes  # noqa: F401
 from . import tpch_suite  # noqa: F401

@@ -126,6 +126,72 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BESTFIT_CAP = 128
+
+
+@query("pack_bestfit", category="J.pipeline")
+def pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing bin packing per source shard: documents are
+    NOT split across sequences (pack_sequences' concat-then-chunk twin
+    for losses that forbid cross-doc attention) — sort by (tokens desc,
+    doc_id), place each doc in the first 128-token bin it fits, open a
+    new bin otherwise (an oversize doc gets its own bin). FFD is
+    inherently sequential per shard → applyInPandas with the shard as
+    the group key; shards pack in parallel after ONE shuffle on source,
+    and at 100 TB the shard key is the file/partition id so group state
+    stays bounded by shard size, not corpus size. The open-bin scan is
+    stateful and order-dependent → not SQL-expressible; the rows-only
+    driver check is backed by a pytest that replays FFD in pure Python
+    and asserts capacity/partition invariants (tests/test_stats_ml.py)."""
+    d = Tables(spark, sf_dir).documents
+    t = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+
+    def _pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        source = pdf["source"].iloc[0] if len(pdf) else None
+        remaining: list[int] = []
+        stats: list[list[int]] = []  # [n_docs, total_tokens, max_doc]
+        for nt in pdf["n_tokens"]:
+            nt = int(nt)
+            placed = -1
+            for i, rem in enumerate(remaining):
+                if nt <= rem:
+                    placed = i
+                    break
+            if placed < 0:
+                remaining.append(_BESTFIT_CAP)
+                stats.append([0, 0, 0])
+                placed = len(remaining) - 1
+            remaining[placed] -= nt
+            s = stats[placed]
+            s[0] += 1
+            s[1] += nt
+            s[2] = max(s[2], nt)
+        return pd.DataFrame(
+            {
+                "source": [source] * len(stats),
+                "bin_id": range(len(stats)),
+                "n_docs": [s[0] for s in stats],
+                "total_tokens": [s[1] for s in stats],
+                "max_doc_tokens": [s[2] for s in stats],
+            }
+        )
+
+    schema = (
+        "source string, bin_id long, n_docs long, "
+        "total_tokens long, max_doc_tokens long"
+    )
+    return t.groupBy("source").applyInPandas(_pack, schema)
+
+
 @query(
     "split_deterministic",
     category="J.pipeline",

@@ -1,0 +1,661 @@
+"""Statistical modeling operators (round 6): per-group OLS regression,
+distribution entropy, seasonal decomposition, and deterministic k-means.
+
+These fill the "analytics an ML-data platform runs on top of the
+relational core" tier (SURVEY.md §2 cat. D/J north-star): regression and
+entropy are the screening statistics a mixture/curation pipeline computes
+per shard; seasonality is the time-series twin; k-means is the canonical
+iterative-refinement workload (data-mixture clustering over embeddings)
+expressed Spark-first — broadcast centroids, map-side assignment,
+shuffle only for the partial-aggregated re-centering.
+
+Float discipline (ARCHITECTURE.md §4):
+- regression/seasonality moments are EXACT decimal sums (fixture money /
+  value columns are 2-dp clean; squares and cross-products are 4-dp
+  clean, recovered exactly from the double product since the product ulp
+  is far below 5e-5) — the final double arithmetic runs the identical op
+  sequence on identical exact operands on both engines, then rounds;
+- entropy's cross-category sum is a LEFT FOLD over lang-ordered terms
+  (collect_list+aggregate ≡ DuckDB list_reduce), the quality_drift_psi
+  pattern, so partition fold order cannot move the 6-dp value;
+- k-means centroid hand-off between iterations is ROUNDED to 6 dp — the
+  per-dimension double avg differs from DuckDB's only in the last ulp
+  (emb_label_centroids precedent), and rounding pins the iteration-2
+  input so assignment distances replay bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import Tables
+
+__all__ = [
+    "stat_linreg",
+    "stat_entropy",
+    "ts_seasonality",
+    "ml_kmeans",
+    "ts_cusum",
+]
+
+
+@query(
+    "stat_linreg",
+    category="D.agg",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sx,
+         sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sy,
+         sum((l_quantity * l_extendedprice)::DECIMAL(30,4))::DOUBLE AS sxy,
+         sum((l_quantity * l_quantity)::DECIMAL(18,0))::DOUBLE AS sxx,
+         sum((l_extendedprice * l_extendedprice)::DECIMAL(30,4))::DOUBLE AS syy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n::BIGINT AS n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m
+""",
+)
+def stat_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS (price ~ quantity): the regr_slope/intercept/r2
+    surface, computed from EXACT decimal moments instead of the built-in
+    streaming-moment aggregates — Welford-style merges are fold-order-
+    dependent, exact Σx/Σy/Σxy/Σx²/Σy² are not, so the slope is
+    reproducible across engines AND cluster sizes. One partial-aggregated
+    shuffle over lineitem; the closed-form arithmetic runs on |groups|
+    rows. At 100 TB this is the cheapest possible regression: no
+    iteration, no driver round-trip, map-side combine does ~all the work."""
+    li = Tables(spark, sf_dir).lineitem
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(30,4)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(18,0)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(30,4)")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")  # n²·cov
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")  # n²·var(x)
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x
+    return m.select(
+        "l_returnflag",
+        n.alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+        F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
+    )
+
+
+@query(
+    "stat_entropy",
+    category="D.agg",
+    oracle="""
+WITH b AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+n AS (SELECT source, sum(c)::DOUBLE AS ns, count(*)::BIGINT AS n_langs
+      FROM b GROUP BY 1),
+t AS (SELECT b.source, b.lang, n.n_langs,
+             -(b.c::DOUBLE / n.ns) * ln(b.c::DOUBLE / n.ns) AS term
+      FROM b JOIN n USING (source))
+SELECT source,
+       max(n_langs) AS n_langs,
+       round(list_reduce(list_prepend(0.0, list(term ORDER BY lang)),
+                         (s, x) -> s + x), 6) AS entropy,
+       round(CASE WHEN max(n_langs) > 1
+                  THEN list_reduce(list_prepend(0.0, list(term ORDER BY lang)),
+                                   (s, x) -> s + x) / ln(max(n_langs))
+                  ELSE 0.0 END, 6) AS entropy_norm
+FROM t GROUP BY source
+""",
+)
+def stat_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's language mix (plus the
+    0–1-normalized form) — the diversity score a mixture pipeline uses to
+    weight corpus shards. H = −Σ p·ln p over exact count shares; the
+    cross-language sum is a lang-ordered left fold so it is independent
+    of partition fold order (quality_drift_psi pattern). ONE scan of
+    documents: the (source, lang) count feeds both the per-source
+    totals and the term table, and ReuseExchange does NOT collapse the
+    duplicated logical subtree (STATUS trap), so the 100-row aggregate
+    is cache()d — without it documents is scanned twice."""
+    d = Tables(spark, sf_dir).documents
+    b = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c")).cache()
+    n = b.groupBy("source").agg(
+        F.sum("c").cast("double").alias("ns"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    p = F.col("c").cast("double") / F.col("ns")
+    terms = b.join(F.broadcast(n), "source").select(
+        "source", "lang", "n_langs", (-p * F.log(p)).alias("term")
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("lang", "term"))),
+            lambda e: e.getField("term"),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    agg = terms.groupBy("source").agg(
+        F.max("n_langs").alias("n_langs"), fold.alias("h")
+    )
+    return agg.select(
+        "source",
+        "n_langs",
+        F.round(F.col("h"), 6).alias("entropy"),
+        F.round(
+            F.when(
+                F.col("n_langs") > 1,
+                F.col("h") / F.log(F.col("n_langs").cast("double")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("entropy_norm"),
+    )
+
+
+@query(
+    "ts_seasonality",
+    category="E.window",
+    oracle="""
+WITH h AS (
+  SELECT event_type, extract(hour FROM ts)::BIGINT AS hod,
+         count(*) AS n, sum(value::DECIMAL(18,2)) AS sdec
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT event_type, sum(n) AS nt, sum(sdec) AS stdec FROM h GROUP BY 1)
+SELECT h.event_type, h.hod, h.n::BIGINT AS n,
+       round(h.sdec::DOUBLE / h.n, 6) AS avg_value,
+       round((h.sdec::DOUBLE / h.n) / (t.stdec::DOUBLE / t.nt), 6)
+         AS seasonal_idx
+FROM h JOIN t USING (event_type)
+""",
+)
+def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type: mean value per
+    (type, hour) and the seasonal index (hour mean ÷ type mean) — the
+    decomposition behind load forecasting and anomaly baselines. Both
+    means come from DECIMAL sums; the type total re-aggregates the 24-row
+    hourly DECIMAL partials (still exact — decimal + decimal), so no
+    second scan of events and no fold-order dependence. ONE scan + ONE
+    shuffle over events; the hourly profile is cache()d because it feeds
+    both the type totals and the output join (duplicated-subtree trap),
+    and the ≤|types|×24-row totals join back via broadcast."""
+    ev = Tables(spark, sf_dir).events
+    h = (
+        ev.groupBy("event_type", F.hour("ts").cast("long").alias("hod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sdec"),
+        )
+        .cache()
+    )
+    t = h.groupBy("event_type").agg(
+        F.sum("n").alias("nt"), F.sum("sdec").alias("stdec")
+    )
+    hour_avg = F.col("sdec").cast("double") / F.col("n")
+    type_avg = F.col("stdec").cast("double") / F.col("nt")
+    return (
+        h.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "hod",
+            "n",
+            F.round(hour_avg, 6).alias("avg_value"),
+            F.round(hour_avg / type_avg, 6).alias("seasonal_idx"),
+        )
+    )
+
+
+_KM_K = 8
+_KM_DIM = 64
+
+
+def _sq_dist(e: Column, c: Column) -> Column:
+    """Left-fold squared L2 over dimension order — deterministic, and
+    identical to the oracle's list_reduce(list_prepend(0.0, …)) fold."""
+    return F.aggregate(
+        F.zip_with(e, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def _km_assign(emb: DataFrame, cents_row: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment, entirely map-side: the (cid, cvec)
+    list arrives as ONE broadcast row, each vector folds over it and
+    takes the lexicographic struct-min (distance, then cid — a total
+    order, so ties can't flip with partitioning)."""
+    scored = emb.crossJoin(F.broadcast(cents_row))
+    dists = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            _sq_dist(F.col("emb"), c.getField("cvec")).alias("d"),
+            c.getField("cid").alias("cid"),
+        ),
+    )
+    return scored.select(
+        "vec_id", "emb", F.array_min(dists).getField("cid").alias("cid")
+    )
+
+
+def _km_recenter(asn: DataFrame) -> DataFrame:
+    """Per-cluster mean, rounded to 6 dp (the iteration hand-off pin),
+    reassembled into dimension-ordered arrays. The explode keys the
+    shuffle on (cid, dim) so partial aggregation collapses each map
+    partition to ≤ k×dim rows before the exchange."""
+    c = (
+        asn.select("cid", F.posexplode("emb").alias("dim", "v"))
+        .groupBy("cid", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("v"))
+    )
+    return c.groupBy("cid").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "v"))),
+            lambda e: e.getField("v"),
+        ).alias("cvec")
+    )
+
+
+def _km_cents_row(c: DataFrame) -> DataFrame:
+    return c.agg(F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("cents"))
+
+
+_KM_DIST_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), "
+    "i -> (e.emb[i] - c.cvec[i]) * (e.emb[i] - c.cvec[i]))), (s, x) -> s + x)"
+).format(dim=_KM_DIM)
+
+_KM_ORACLE = f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+c0 AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id < {_KM_K}),
+d1 AS (SELECT e.vec_id, e.emb, c.cid, {_KM_DIST_SQL} AS d
+       FROM e CROSS JOIN c0 c),
+a1 AS (SELECT vec_id, emb, cid FROM d1
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+x1 AS (SELECT cid, generate_subscripts(emb, 1) AS dim1, unnest(emb) AS v
+       FROM a1),
+c1 AS (SELECT cid, dim1, round(avg(v), 6) AS v FROM x1 GROUP BY 1, 2),
+c1v AS (SELECT cid, list(v ORDER BY dim1) AS cvec FROM c1 GROUP BY 1),
+d2 AS (SELECT e.vec_id, e.emb, c.cid, {_KM_DIST_SQL} AS d
+       FROM e CROSS JOIN c1v c),
+a2 AS (SELECT vec_id, emb, cid FROM d2
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+x2 AS (SELECT cid, generate_subscripts(emb, 1) AS dim1, unnest(emb) AS v
+       FROM a2)
+SELECT cid, (dim1 - 1)::BIGINT AS dim, round(avg(v), 6) AS centroid,
+       count(*)::BIGINT AS n
+FROM x2 GROUP BY cid, dim1
+"""
+
+
+@query("ml_kmeans", category="J.sim", oracle=_KM_ORACLE)
+def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (k={k}, 2 iterations) over the
+    embedding corpus — data-mixture clustering expressed as ONE
+    declarative plan, no driver round-trip between iterations. Seeds are
+    the first k vectors by vec_id (seedless-deterministic, like
+    split_deterministic); every assignment pass is map-side (centroids
+    travel as one broadcast row, argmin is a lexicographic struct-min
+    with cid tiebreak); each re-centering is one partial-aggregated
+    shuffle of (cid, dim) pairs. Centroid hand-off is rounded to 6 dp so
+    iteration 2 replays bit-for-bit in the oracle (module docstring).
+    Returns (cid, dim, centroid, n) — n is the cluster size. At 100 TB:
+    per-iteration cost is a corpus scan + a k×dim-sized shuffle; empty
+    clusters simply drop (k shrinks), matching the oracle's GROUP BY.
+    """.format(k=_KM_K)
+    e = Tables(spark, sf_dir).embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    ).cache()  # scanned by seeds + both assignment passes (MLlib caches too)
+    c0 = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cvec")
+    )
+    a1 = _km_assign(e, _km_cents_row(c0))
+    a2 = _km_assign(e, _km_cents_row(_km_recenter(a1)))
+    return (
+        a2.select("cid", F.posexplode("emb").alias("dim", "v"))
+        .groupBy("cid", "dim")
+        .agg(
+            F.round(F.avg("v"), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "cid", F.col("dim").cast("long").alias("dim"), "centroid", "n"
+        )
+    )
+
+
+@query(
+    "ts_cusum",
+    category="E.window",
+    oracle="""
+WITH RECURSIVE agg AS (
+  SELECT user_id, count(*) AS n,
+         sum(value::DECIMAL(18,2))::DOUBLE AS s,
+         sum((value * value)::DECIMAL(24,4))::DOUBLE AS ssq
+  FROM events GROUP BY 1
+),
+m AS (SELECT user_id, n, s / n AS mean, ssq / n AS msq FROM agg),
+p AS (SELECT user_id, n, mean,
+             sqrt(greatest(0.0, msq - mean * mean)) AS std
+      FROM m),
+series AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+  FROM events
+),
+cusum AS (
+  SELECT s.user_id, s.i,
+         greatest(0.0, s.value - p.mean - 0.5 * p.std) AS c
+  FROM series s JOIN p USING (user_id) WHERE s.i = 1
+  UNION ALL
+  SELECT s.user_id, s.i,
+         greatest(0.0, h.c + (s.value - p.mean - 0.5 * p.std))
+  FROM cusum h
+  JOIN series s ON s.user_id = h.user_id AND s.i = h.i + 1
+  JOIN p ON p.user_id = h.user_id
+)
+SELECT c.user_id, p.n::BIGINT AS n,
+       round(max(c.c), 6) AS max_cusum,
+       sum(CASE WHEN c.c > 4.0 * p.std THEN 1 ELSE 0 END)::BIGINT AS n_alarms
+FROM cusum c JOIN p USING (user_id)
+GROUP BY c.user_id, p.n
+""",
+)
+def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection per user: running
+    c_i = max(0, c_{i-1} + (x_i − μ − k)) with slack k = σ/2, alarms at
+    c_i > 4σ — the classic upward-shift monitor a drift pipeline runs
+    per entity. μ and σ come from EXACT decimal moments (anomaly_zscore
+    discipline) so the fold input is partition-order-independent; the
+    fold itself is a (ts, event_id)-ordered left fold with
+    a {c, mx, alarms} STRUCT accumulator (fine in Spark; the ORACLE must
+    use a recursive CTE because DuckDB's list_reduce corrupts
+    multi-field accumulators — ts_holt trap). Identical double op
+    sequences on both sides; only the final max is rounded.
+
+    Scale: ONE shuffle on user_id computing moments AND the ordered
+    value list in the same aggregate; per-group state is bounded by
+    per-user activity (≤ ~100 rows here). The alarm count and running
+    max live in the accumulator, so nothing is materialized per step."""
+    ev = Tables(spark, sf_dir).events
+    g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(24,4)"))
+        .cast("double")
+        .alias("ssq"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda e: e.getField("value"),
+        ).alias("vals"),
+    )
+    m = g.select(
+        "user_id",
+        "n",
+        "vals",
+        (F.col("s") / F.col("n")).alias("mean"),
+        (F.col("ssq") / F.col("n")).alias("msq"),
+    )
+    p = m.select(
+        "user_id",
+        "n",
+        "vals",
+        "mean",
+        F.sqrt(F.greatest(F.lit(0.0), F.col("msq") - F.col("mean") * F.col("mean"))).alias("std"),
+    )
+
+    def step(s: Column, x: Column) -> Column:
+        c = F.greatest(
+            F.lit(0.0),
+            s.getField("c") + (x - F.col("mean") - 0.5 * F.col("std")),
+        )
+        return F.struct(
+            c.alias("c"),
+            F.greatest(s.getField("mx"), c).alias("mx"),
+            (
+                s.getField("al")
+                + F.when(c > 4.0 * F.col("std"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("al"),
+        )
+
+    seed = F.struct(
+        F.lit(0.0).alias("c"),
+        F.lit(float("-inf")).alias("mx"),
+        F.lit(0).alias("al"),
+    )
+    st = F.aggregate(F.col("vals"), seed, step)
+    return p.select(
+        "user_id",
+        "n",
+        F.round(st.getField("mx"), 6).alias("max_cusum"),
+        st.getField("al").cast("long").alias("n_alarms"),
+    )
+
+
+@query(
+    "stat_chi2",
+    category="D.agg",
+    oracle="""
+WITH o AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+r AS (SELECT source, sum(c) AS rs FROM o GROUP BY 1),
+col AS (SELECT lang, sum(c) AS cs FROM o GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM o),
+cells AS (
+  SELECT o.source, o.lang,
+         (o.c::DOUBLE - r.rs::DOUBLE * col.cs / tot.n)
+         * (o.c::DOUBLE - r.rs::DOUBLE * col.cs / tot.n)
+         / (r.rs::DOUBLE * col.cs / tot.n) AS term
+  FROM o JOIN r USING (source) JOIN col USING (lang) CROSS JOIN tot
+)
+SELECT round(list_reduce(list_prepend(0.0,
+         list(term ORDER BY source, lang)), (s, x) -> s + x), 6) AS chi2,
+       count(*)::BIGINT AS n_cells
+FROM cells
+""",
+)
+def stat_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence statistic for the source × language
+    contingency table (observed cells only, the sparse-table convention)
+    — the screen for "does language mix depend on crawl source". All
+    expected frequencies derive from exact integer marginals; the
+    cross-cell sum is a (source, lang)-ordered left fold (PSI pattern)
+    so the 6-dp statistic is partition-order-independent. ONE shuffle
+    builds the contingency table; marginals re-aggregate the tiny cell
+    table (cache()d against the duplicated-subtree trap) and broadcast
+    back."""
+    d = Tables(spark, sf_dir).documents
+    o = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c")).cache()
+    r = o.groupBy("source").agg(F.sum("c").alias("rs"))
+    c = o.groupBy("lang").agg(F.sum("c").alias("cs"))
+    tot = o.agg(F.sum("c").alias("n"))
+    e = F.col("rs").cast("double") * F.col("cs") / F.col("n")
+    cells = (
+        o.join(F.broadcast(r), "source")
+        .join(F.broadcast(c), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            (
+                (F.col("c").cast("double") - e)
+                * (F.col("c").cast("double") - e)
+                / e
+            ).alias("term"),
+        )
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("source", "lang", "term"))),
+            lambda x: x.getField("term"),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return cells.agg(
+        F.round(fold, 6).alias("chi2"), F.count(F.lit(1)).alias("n_cells")
+    )
+
+
+@query(
+    "stat_gini",
+    category="D.agg",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS i
+  FROM events
+),
+g AS (
+  SELECT event_type, count(*) AS n,
+         sum(value::DECIMAL(18,2))::DOUBLE AS s,
+         sum((i * value)::DECIMAL(28,2))::DOUBLE AS ws
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n::BIGINT AS n,
+       round(2.0 * ws / (n * s) - (n + 1.0) / n, 6) AS gini
+FROM g
+""",
+)
+def stat_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of value per event type — the
+    inequality screen (is spend concentrated in a few events?) via the
+    rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted
+    values. Both Σx and the rank-weighted Σ(i·xᵢ) are EXACT decimals
+    (rank × 2-dp value is 2-dp; the row_number tiebreak on event_id
+    makes ranks — and therefore the statistic — a total order, stable
+    across engines and partitionings). One window sort + one aggregate,
+    both on the same event_type shuffle (sort-within-partition after ONE
+    exchange — the secondary-sort shape)."""
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type", "value", F.row_number().over(w).alias("i")
+    )
+    g = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+        F.sum((F.col("i") * F.col("value")).cast("decimal(28,2)"))
+        .cast("double")
+        .alias("ws"),
+    )
+    n = F.col("n")
+    return g.select(
+        "event_type",
+        n.alias("n"),
+        F.round(
+            2.0 * F.col("ws") / (n * F.col("s")) - (n + 1.0) / n, 6
+        ).alias("gini"),
+    )
+
+
+def cusum_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(μ, σ) per user from the same exact decimal moments ``ts_cusum``
+    folds against — the "training window" side of the streaming twin
+    (streaming/twins.py:cusum). Textually identical op sequence, so the
+    twin's fold input is bit-equal to the batch op's."""
+    ev = Tables(spark, sf_dir).events
+    g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(24,4)"))
+        .cast("double")
+        .alias("ssq"),
+    )
+    m = g.select(
+        "user_id",
+        (F.col("s") / F.col("n")).alias("mean"),
+        (F.col("ssq") / F.col("n")).alias("msq"),
+    )
+    return m.select(
+        "user_id",
+        "mean",
+        F.sqrt(
+            F.greatest(F.lit(0.0), F.col("msq") - F.col("mean") * F.col("mean"))
+        ).alias("std"),
+    )
+
+
+@query(
+    "stat_mannwhitney",
+    category="D.agg",
+    oracle="""
+WITH v AS (SELECT n_chars AS val, count(*) AS cnt FROM documents GROUP BY 1),
+cum AS (SELECT val, cnt,
+               (sum(cnt) OVER (ORDER BY val) - cnt)::BIGINT AS bef
+        FROM v),
+sv AS (SELECT source, n_chars AS val, count(*) AS c
+       FROM documents GROUP BY 1, 2),
+n AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
+tot AS (SELECT count(*) AS nt FROM documents),
+r AS (SELECT sv.source,
+             sum(sv.c * (2 * cum.bef + cum.cnt + 1))::BIGINT AS r2
+      FROM sv JOIN cum USING (val) GROUP BY 1)
+SELECT r.source, n.ns::BIGINT AS n_s,
+       (r.r2 - n.ns * (n.ns + 1)) / 2.0 AS u_stat,
+       round(((r.r2 - n.ns * (n.ns + 1)) / 2.0)
+             / (n.ns::DOUBLE * (tot.nt - n.ns)), 6) AS auc
+FROM r JOIN n USING (source) CROSS JOIN tot
+""",
+)
+def stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U per source vs rest-of-corpus over doc length — the
+    rank-based drift test completing the drift triad (PSI: binned,
+    KS: sup-CDF, U: rank-sum / AUC). Tie handling is exact midranks kept
+    in INTEGER arithmetic: doubling the midrank (2·cum_before + cnt + 1)
+    makes every term integral, so R₂ = Σ c·(2·mid) is an exact integer
+    sum and U = (R₂ − nₛ(nₛ+1))/2 a binary-exact half-integer; auc =
+    U/(nₛ·n_rest) ∈ [0,1] is the "P(source doc longer than rest doc)"
+    reading. The global rank window runs over the VALUE-LEVEL aggregate
+    (|distinct lengths| rows, not |docs|), so the single-partition sort
+    window is bounded regardless of corpus size — the same
+    aggregate-first trick as quality_drift_ks."""
+    d = Tables(spark, sf_dir).documents
+    # ONE corpus scan: every other relation re-aggregates the cached
+    # (source, val) cell table (duplicated-subtree trap — see stat_entropy)
+    sv = (
+        d.groupBy("source", F.col("n_chars").alias("val"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    v = sv.groupBy("val").agg(F.sum("c").alias("cnt"))
+    wv = Window.orderBy("val")
+    cum = v.withColumn("bef", F.sum("cnt").over(wv) - F.col("cnt"))
+    n = sv.groupBy("source").agg(F.sum("c").alias("ns"))
+    tot = n.agg(F.sum("ns").alias("nt"))
+    r = (
+        sv.join(F.broadcast(cum), "val")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.col("c") * (2 * F.col("bef") + F.col("cnt") + 1)
+            ).alias("r2")
+        )
+    )
+    u = (F.col("r2") - F.col("ns") * (F.col("ns") + 1)) / 2.0
+    return (
+        r.join(F.broadcast(n), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("ns").alias("n_s"),
+            u.alias("u_stat"),
+            F.round(
+                u / (F.col("ns").cast("double") * (F.col("nt") - F.col("ns"))),
+                6,
+            ).alias("auc"),
+        )
+    )

@@ -264,3 +264,54 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len_hours").alias("longest_hours"),
         F.min("island_start_s").alias("first_start_s"),
     )
+
+
+@query(
+    "win_moving_median",
+    category="E.window",
+    oracle="""
+SELECT event_id, user_id, value,
+       round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+             6) AS med7
+FROM events
+""",
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-row median per user — the robust moving-average twin
+    (order statistics have no partial-aggregate form, so engines either
+    keep the frame materialized or re-sort per row; with w = 7 the
+    collect-and-sort frame is O(w log w) per row and shuffle-free after
+    the ONE hash-on-user exchange). Median of an even frame is the
+    midpoint interpolation, matching DuckDB's quantile_cont(0.5); the
+    interpolated value of 2-dp data is exactly 3-dp, so the 6-dp round
+    absorbs the one-ulp association difference between (a+b)/2 and
+    DuckDB's lerp form without touching a rounding boundary
+    (ARCHITECTURE §4 rule 3 — and rule 4 does not bite: 6 dp is finer
+    than the data's 3 dp)."""
+    ev = Tables(spark, sf_dir).events
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    # name the frame ONCE — each textual reference to a window expression
+    # plans a separate window instance (STATUS expression-inlining trap)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.array_sort(F.collect_list("value").over(w7)).alias("frame"),
+    )
+    arr = F.col("frame")
+    n = F.size(arr)
+    odd = F.element_at(arr, ((n + 1) / F.lit(2)).cast("int"))
+    lo = F.element_at(arr, (n / F.lit(2)).cast("int"))
+    hi = F.element_at(arr, (n / F.lit(2)).cast("int") + 1)
+    med = F.when(n % 2 == 1, odd).otherwise((lo + hi) / 2.0)
+    return base.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(med, 6).alias("med7"),
+    )

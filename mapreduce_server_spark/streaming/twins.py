@@ -509,3 +509,62 @@ def session_timer(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def cusum(stream: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Streaming twin of ``ts_cusum``: a TRAINED-BASELINE change monitor
+    — (μ, σ) per user come from a static baseline table (in production,
+    the last training window; in the test, the same exact-decimal
+    moments the batch op computes), broadcast-joined onto the stream,
+    while the {c, mx, alarms} accumulator folds incrementally in the
+    state store (O(1) per user). This is the deployment shape of CUSUM:
+    the batch op scores history, the twin watches live traffic against
+    the frozen baseline.
+
+    Fold discipline mirrors the batch op exactly: rows sorted by
+    (ts, event_id) within each micro-batch, identical max/add sequence
+    (Python floats are IEEE doubles — the ewma/holt precedent), so one
+    drain is bit-equal to the batch fold
+    (``test_cusum_twin_matches_batch``)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    joined = stream.select("user_id", "ts", "event_id", "value").join(
+        F.broadcast(baseline), "user_id"
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            c, mx, al, n = state.get
+        else:
+            c, mx, al, n = 0.0, float("-inf"), 0, 0
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values(["ts", "event_id"])
+            mean = float(pdf["mean"].iloc[0])
+            std = float(pdf["std"].iloc[0])
+            for x in pdf["value"]:
+                c = max(0.0, c + (float(x) - mean - 0.5 * std))
+                mx = max(mx, c)
+                al += c > 4.0 * std
+            n += len(pdf)
+            state.update((float(c), float(mx), int(al), int(n)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "max_cusum": [mx],
+                    "n_alarms": [al],
+                }
+            )
+
+    return joined.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "user_id BIGINT, n_events BIGINT, max_cusum DOUBLE,"
+            " n_alarms BIGINT"
+        ),
+        stateStructType="c DOUBLE, mx DOUBLE, al BIGINT, n BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,240 @@
+"""Semantics tests for the round-6 stats/ML tier (stats_ml.py +
+pack_bestfit): parity vs DuckDB is covered by test_oracle_parity's
+registry sweep; these pin the *math* — OLS against numpy's closed form,
+entropy bounds, seasonal-index mass balance, k-means invariants, and an
+exact pure-Python FFD replay for the rows-only packer."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from mapreduce_server_spark.registry import REGISTRY
+
+from .conftest import SF001
+
+CAP = 128  # pack_bestfit bin capacity (pipeline._BESTFIT_CAP)
+
+
+def test_linreg_matches_numpy(spark, duck):
+    rows = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["stat_linreg"].fn(spark, SF001).collect()
+    }
+    li = duck.execute(
+        "SELECT l_returnflag, l_quantity, l_extendedprice FROM lineitem"
+    ).fetchnumpy()
+    for flag in set(li["l_returnflag"]):
+        m = li["l_returnflag"] == flag
+        x, y = li["l_quantity"][m], li["l_extendedprice"][m]
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        got = rows[flag]
+        assert got["n"] == int(m.sum())
+        assert abs(got["slope"] - slope) < 1e-4
+        assert abs(got["intercept"] - intercept) < 1e-2
+        assert abs(got["r2"] - r * r) < 1e-6
+
+
+def test_entropy_bounds(spark):
+    for r in REGISTRY["stat_entropy"].fn(spark, SF001).collect():
+        assert 0.0 <= r["entropy"] <= math.log(r["n_langs"]) + 1e-9
+        assert 0.0 <= r["entropy_norm"] <= 1.0 + 1e-9
+        if r["n_langs"] > 1:
+            assert abs(
+                r["entropy_norm"] - r["entropy"] / math.log(r["n_langs"])
+            ) < 1e-5
+
+
+def test_seasonality_mass_balance(spark, duck):
+    rows = REGISTRY["ts_seasonality"].fn(spark, SF001).collect()
+    n_events = duck.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert sum(r["n"] for r in rows) == n_events
+    # the n-weighted mean of the seasonal index is 1 per type by construction
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        nt = sum(r["n"] for r in rs)
+        w = sum(r["n"] * r["seasonal_idx"] for r in rs) / nt
+        assert abs(w - 1.0) < 1e-4, t
+
+
+def test_kmeans_invariants(spark, duck):
+    rows = REGISTRY["ml_kmeans"].fn(spark, SF001).collect()
+    by_cid: dict[int, list] = {}
+    for r in rows:
+        by_cid.setdefault(r["cid"], []).append(r)
+    assert set(by_cid) <= set(range(8))
+    n_vecs = duck.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    for cid, rs in by_cid.items():
+        assert sorted(r["dim"] for r in rs) == list(range(64))
+        assert len({r["n"] for r in rs}) == 1  # size constant per cluster
+    assert sum(rs[0]["n"] for rs in by_cid.values()) == n_vecs
+
+
+def test_kmeans_improves_over_seed_assignment(spark, duck):
+    """Iteration-1 centroids give lower total inertia than the raw seed
+    vectors — the Lloyd descent property, checked end-to-end in numpy."""
+    emb = duck.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    X = np.array([e for _, e in emb], dtype=np.float64)
+    seeds = X[:8]
+
+    def inertia(cents):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return d.min(axis=1).sum()
+
+    asn0 = ((X[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    c1 = np.stack([X[asn0 == c].mean(axis=0) for c in np.unique(asn0)])
+    assert inertia(c1) <= inertia(seeds) + 1e-9
+
+    # and the engine's final centroids agree with a full numpy replay
+    c1r = np.round(c1, 6)
+    asn1 = ((X[:, None, :] - c1r[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    # c1r row c corresponds to seed-cid np.unique(asn0)[c]
+    expect = {
+        int(np.unique(asn0)[c]): np.round(X[asn1 == c].mean(axis=0), 6)
+        for c in np.unique(asn1)
+    }
+    got: dict[int, dict[int, float]] = {}
+    for r in REGISTRY["ml_kmeans"].fn(spark, SF001).collect():
+        got.setdefault(r["cid"], {})[r["dim"]] = r["centroid"]
+    assert set(got) == set(expect)
+    for cid, cent in expect.items():
+        vec = np.array([got[cid][d] for d in range(64)])
+        assert np.abs(vec - cent).max() < 1e-6, cid
+
+
+def test_pack_bestfit_replays_ffd(spark, duck):
+    rows = REGISTRY["pack_bestfit"].fn(spark, SF001).collect()
+    docs = duck.execute(
+        "SELECT source, doc_id, len(string_split(text, ' ')) FROM documents"
+    ).fetchall()
+    by_src: dict[str, list] = {}
+    for s, d, n in docs:
+        by_src.setdefault(s, []).append((d, n))
+    expect = {}
+    for s, items in by_src.items():
+        items.sort(key=lambda t: (-t[1], t[0]))
+        rem: list[int] = []
+        stats: list[list[int]] = []
+        for _, nt in items:
+            placed = next((i for i, r in enumerate(rem) if nt <= r), -1)
+            if placed < 0:
+                rem.append(CAP)
+                stats.append([0, 0, 0])
+                placed = len(rem) - 1
+            rem[placed] -= nt
+            stats[placed][0] += 1
+            stats[placed][1] += nt
+            stats[placed][2] = max(stats[placed][2], nt)
+        for b, st in enumerate(stats):
+            expect[(s, b)] = tuple(st)
+    got = {
+        (r["source"], r["bin_id"]): (
+            r["n_docs"],
+            r["total_tokens"],
+            r["max_doc_tokens"],
+        )
+        for r in rows
+    }
+    assert got == expect
+    for (s, b), (n_docs, total, mx) in got.items():
+        assert total <= CAP or n_docs == 1  # oversize docs pack alone
+        assert mx <= total
+
+
+def test_moving_median_matches_pandas(spark, duck):
+    rows = REGISTRY["win_moving_median"].fn(spark, SF001).collect()
+    got = {r["event_id"]: r["med7"] for r in rows}
+    df = duck.execute(
+        "SELECT user_id, event_id, value FROM events ORDER BY user_id, ts, event_id"
+    ).fetch_df()
+    expect = (
+        df.groupby("user_id")["value"]
+        .rolling(7, min_periods=1)
+        .median()
+        .reset_index(drop=True)
+    )
+    for eid, med in zip(df["event_id"], expect):
+        assert abs(got[eid] - round(med, 6)) < 1e-9, eid
+
+
+def test_cusum_matches_numpy(spark, duck):
+    rows = {r["user_id"]: r for r in REGISTRY["ts_cusum"].fn(spark, SF001).collect()}
+    df = duck.execute(
+        "SELECT user_id, value FROM events ORDER BY user_id, ts, event_id"
+    ).fetch_df()
+    for uid, grp in df.groupby("user_id"):
+        v = grp["value"].to_numpy()
+        mean, std = v.mean(), v.std()  # population std, like the engine
+        c, mx, alarms = 0.0, float("-inf"), 0
+        for x in v:
+            c = max(0.0, c + (x - mean - 0.5 * std))
+            mx = max(mx, c)
+            alarms += c > 4.0 * std
+        r = rows[uid]
+        assert r["n"] == len(v)
+        assert abs(r["max_cusum"] - mx) < 1e-4
+        assert r["n_alarms"] == alarms
+
+
+def test_chi2_matches_numpy(spark, duck):
+    (row,) = REGISTRY["stat_chi2"].fn(spark, SF001).collect()
+    df = duck.execute(
+        "SELECT source, lang, count(*) c FROM documents GROUP BY 1, 2"
+    ).fetch_df()
+    tab = df.pivot_table(
+        index="source", columns="lang", values="c", fill_value=0
+    ).to_numpy(dtype=float)
+    n = tab.sum()
+    e = np.outer(tab.sum(axis=1), tab.sum(axis=0)) / n
+    mask = tab > 0  # engine sums observed cells only
+    chi2 = (((tab - e) ** 2 / e)[mask]).sum()
+    assert row["n_cells"] == int(mask.sum())
+    assert abs(row["chi2"] - chi2) < 1e-4
+
+
+def test_gini_matches_numpy(spark, duck):
+    rows = {r["event_type"]: r for r in REGISTRY["stat_gini"].fn(spark, SF001).collect()}
+    df = duck.execute("SELECT event_type, value FROM events").fetch_df()
+    for et, grp in df.groupby("event_type"):
+        x = np.sort(grp["value"].to_numpy())
+        n = len(x)
+        gini = 2.0 * (np.arange(1, n + 1) * x).sum() / (n * x.sum()) - (n + 1.0) / n
+        r = rows[et]
+        assert r["n"] == n
+        assert abs(r["gini"] - gini) < 1e-6
+        assert 0.0 <= r["gini"] <= 1.0
+
+
+def test_mannwhitney_matches_numpy(spark, duck):
+    rows = {
+        r["source"]: r
+        for r in REGISTRY["stat_mannwhitney"].fn(spark, SF001).collect()
+    }
+    df = duck.execute("SELECT source, n_chars FROM documents").fetch_df()
+    vals = df["n_chars"].to_numpy()
+    order = np.argsort(vals, kind="stable")
+    ranks = np.empty(len(vals), dtype=float)
+    i = 0
+    sv = vals[order]
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0  # midrank of positions i+1..j
+        i = j
+    nt = len(vals)
+    for src, grp in df.groupby("source"):
+        m = (df["source"] == src).to_numpy()
+        ns = int(m.sum())
+        u = ranks[m].sum() - ns * (ns + 1) / 2.0
+        r = rows[src]
+        assert r["n_s"] == ns
+        assert abs(r["u_stat"] - u) < 1e-9, src
+        assert abs(r["auc"] - round(u / (ns * (nt - ns)), 6)) < 1e-9, src
+        assert 0.0 <= r["auc"] <= 1.0

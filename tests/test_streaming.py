@@ -339,3 +339,29 @@ def test_session_timer_twin_flushes_all_sessions(spark):
         for r in REGISTRY["stream_session"].fn(spark, SF001).collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_cusum_twin_matches_batch(spark):
+    """One drain of the trained-baseline streaming CUSUM equals the
+    batch ts_cusum fold bit-for-bit: the baseline (exact-decimal mu/sigma)
+    is broadcast onto the stream and the {c, mx, alarms} state folds in
+    the same (ts, event_id) order with the same IEEE double ops."""
+    from mapreduce_server_spark.operators.stats_ml import cusum_baseline
+
+    ckpt = os.path.join(SCRATCH, "cusum_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = twins.events_stream(spark, _events_dir())
+    baseline = cusum_baseline(spark, SF001)
+    rows = twins.run_collect(twins.cusum(stream, baseline), "update", ckpt)
+    batch = {
+        r.user_id: (r.n, r.max_cusum, r.n_alarms)
+        for r in REGISTRY["ts_cusum"].fn(spark, SF001).collect()
+    }
+    got = {r.user_id: (r.n_events, r.max_cusum, r.n_alarms) for r in rows}
+    assert set(got) == set(batch) and len(got) > 0
+    for uid, (n, mx, al) in batch.items():
+        gn, gmx, gal = got[uid]
+        assert gn == n and gal == al, uid
+        # batch rounds the final max to 6 dp; the raw stream value must
+        # round to the same 6-dp figure
+        assert abs(gmx - mx) < 5e-7, uid
