@@ -99,10 +99,14 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     to events). Strict `>` on microsecond timestamps matches the oracle's
     `ts::TIMESTAMP` truncation exactly."""
     ev = Tables(spark, sf_dir).events
+    # each stage frame is referenced twice (next stage + its count row);
+    # cache the tiny per-user aggregates so the duplicated subtrees do
+    # not rescan events per reference (STATUS trap)
     v = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .cache()
     )
     c = (
         ev.where(F.col("event_type") == "click")
@@ -110,6 +114,7 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .cache()
     )
     p = (
         ev.where(F.col("event_type") == "purchase")
@@ -117,6 +122,7 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
+        .cache()
     )
     counts = (
         v.agg(F.count(F.lit(1)).alias("n_users")).select(

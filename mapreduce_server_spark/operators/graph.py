@@ -294,3 +294,127 @@ def graph_triangles_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
     )
     return triangles_from_edges(e)
+
+
+WCC_MAX_ROUNDS = 12
+
+
+def _canon_edges(e: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical (hi > lo) form, self-loops
+    dropped, deduped."""
+    return (
+        e.select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+        )
+        .where(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+@query(
+    "graph_wcc",
+    category="J.graph",
+    oracle="""
+WITH RECURSIVE
+op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS (SELECT pa AS src, pb AS dst FROM pairs
+          UNION ALL SELECT pb, pa FROM pairs),
+walk(node, comp) AS (
+  SELECT p_partkey, p_partkey FROM part
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS part, min(comp)::BIGINT AS component_id,
+       (min(comp) = node) AS is_canonical
+FROM walk GROUP BY node
+""",
+)
+def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly connected components over the part co-occurrence graph
+    (parts sharing ≥2 orders) via the LARGE-STAR / SMALL-STAR
+    alternation (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the O(log n)-round algorithm dedup_components'
+    docstring names as the web-scale replacement for min-label
+    propagation, implemented here for real. Each phase is ONE
+    declarative plan over the edge list:
+
+    - large-star: group the bidirectional adjacency by u, take
+      m = min(Γ(u) ∪ {u}), re-link every strictly larger neighbor to m
+      (connectivity is preserved because every edge is processed from
+      BOTH endpoints);
+    - small-star: group the (hi → lo) edges by hi, take m = min(lo),
+      re-link hi and all its smaller neighbors to m.
+
+    Rounds shrink star heights geometrically, so the giant component in
+    this fixture (~1.9k of 1.9k paired parts at sf0.01) converges in a
+    handful of alternations vs its propagation diameter; the loop
+    composes plans only (localCheckpoint cuts lineage per round,
+    mirroring graph_pagerank) and stops when the canonical edge set
+    reaches the small-star fixpoint. Parts in no pair are their own
+    singleton components, matching the oracle's recursive min-reachable
+    closure over ALL parts."""
+    t = Tables(spark, sf_dir)
+    op = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("a"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .select("a", "b")
+    )
+    edges = _canon_edges(pairs).localCheckpoint(eager=True)
+    for _ in range(WCC_MAX_ROUNDS):
+        # large star over the bidirectional adjacency
+        bid = edges.select(
+            F.col("hi").alias("u"), F.col("lo").alias("v")
+        ).union(edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+        mins = bid.groupBy("u").agg(F.min("v").alias("mnn"))
+        ls = (
+            bid.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("a"),
+                F.least(F.col("u"), F.col("mnn")).alias("b"),
+            )
+        )
+        e1 = _canon_edges(ls).localCheckpoint(eager=True)
+        # small star over the canonical (hi -> lo) orientation
+        mins2 = e1.groupBy("hi").agg(F.min("lo").alias("mnn"))
+        joined = e1.join(mins2, "hi")
+        ss = joined.select(
+            F.col("lo").alias("a"), F.col("mnn").alias("b")
+        ).union(mins2.select(F.col("hi").alias("a"), F.col("mnn").alias("b")))
+        e2 = _canon_edges(ss).localCheckpoint(eager=True)
+        # cheap count gate first; the two-sided exceptAll only runs on
+        # candidate fixpoints (same cardinality), so most rounds cost
+        # one count, not three
+        same_size = e2.count() == edges.count()
+        changed = (
+            e2.exceptAll(edges).count() + edges.exceptAll(e2).count()
+            if same_size
+            else 1
+        )
+        edges = e2
+        if changed == 0:
+            break
+    # at the fixpoint every edge is (node -> its component's min id)
+    labels = edges.groupBy(F.col("hi").alias("part")).agg(
+        F.min("lo").alias("link")
+    )
+    parts = t.part.select(F.col("p_partkey").alias("part"))
+    return parts.join(labels, "part", "left").select(
+        "part",
+        F.coalesce(F.col("link"), F.col("part")).alias("component_id"),
+        (F.coalesce(F.col("link"), F.col("part")) == F.col("part")).alias(
+            "is_canonical"
+        ),
+    )

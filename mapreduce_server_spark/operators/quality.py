@@ -325,9 +325,16 @@ def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     over bucket-ordered terms (collect_list+aggregate ≡ DuckDB
     list_reduce), so partition fold order can't move the 6-dp value."""
     d = Tables(spark, sf_dir).documents
-    b = d.groupBy(
-        "source", F.floor(F.col("n_chars") / 100).cast("long").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    # cache: b feeds tot/ns/na/terms — four duplicated logical subtrees
+    # would each rescan documents otherwise (STATUS trap)
+    b = (
+        d.groupBy(
+            "source",
+            F.floor(F.col("n_chars") / 100).cast("long").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
     tot = b.groupBy("bucket").agg(F.sum("c").cast("double").alias("tc"))
     ns = b.groupBy("source").agg(F.sum("c").cast("double").alias("ns"))
     na = b.agg(F.sum("c").cast("double").alias("na"))
@@ -396,12 +403,17 @@ def quality_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     CDF values divide exact integer cumulative counts; both engines
     take max over identical doubles; 6-dp rounded."""
     d = Tables(spark, sf_dir).documents
-    counts = d.groupBy("source", F.col("n_chars").alias("v")).agg(
-        F.count(F.lit(1)).alias("c")
+    # cache: the cell table feeds vals/srcs/grid/per_val — without it the
+    # duplicated logical subtrees each rescan documents (STATUS trap)
+    counts = (
+        d.groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
     )
     vals = counts.select("v").distinct()
     srcs = counts.groupBy("source").agg(F.sum("c").alias("ns"))
-    n_total = d.count()  # driver-side scalar; one metadata-cheap job
+    # driver-side scalar from the cached cells, not another corpus scan
+    n_total = counts.agg(F.sum("c")).collect()[0][0]
     grid = srcs.crossJoin(F.broadcast(vals))
     wsrc = (
         Window.partitionBy("source")

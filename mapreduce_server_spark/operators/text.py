@@ -279,11 +279,19 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Tables(spark, sf_dir).documents
     train = d.filter(F.col("doc_id") % 2 == 0)
     tok_train = train.select("lang", F.explode(tokens()).alias("w"))
-    counts = tok_train.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    # every post-count relation derives from the cached (lang, w) cells;
+    # deriving vocab from tok_train instead would rescan+re-explode the
+    # corpus per reference (STATUS duplicated-subtree trap)
+    counts = (
+        tok_train.groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
     totals = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
-    vocab_n = tok_train.select("w").distinct().count()
+    vocab = counts.select("w").distinct()
+    vocab_n = vocab.count()
     grid = (
-        totals.crossJoin(tok_train.select("w").distinct())
+        totals.crossJoin(vocab)
         .join(counts, ["lang", "w"], "left")
         .select(
             "lang",

@@ -8,6 +8,7 @@ import duckdb
 import numpy as np
 
 from mapreduce_server_spark.operators.graph import DAMPING, N_ITER, graph_pagerank
+from mapreduce_server_spark.registry import REGISTRY
 
 from .conftest import SF001
 
@@ -99,3 +100,41 @@ def test_pagerank_matches_numpy_reference(spark):
         assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
     # mass conservation: ranks form a distribution
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_wcc_matches_union_find(spark, duck):
+    """Large-star/small-star components equal a pure-Python union-find
+    over the same >=2-order co-occurrence pair graph, with min-id
+    canonical labels and singleton parts mapped to themselves."""
+    rows = {r["part"]: r for r in REGISTRY["graph_wcc"].fn(spark, SF001).collect()}
+    pairs = duck.execute(
+        """
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey, b.l_partkey FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        """
+    ).fetchall()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in each component
+    comp_min: dict[int, int] = {}
+    for x in list(parent):
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    all_parts = [r[0] for r in duck.execute("SELECT p_partkey FROM part").fetchall()]
+    assert set(rows) == set(all_parts)
+    for p in all_parts:
+        expect = comp_min[find(p)] if p in parent else p
+        assert rows[p]["component_id"] == expect, p
+        assert rows[p]["is_canonical"] == (expect == p), p
