@@ -99,9 +99,10 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     to events). Strict `>` on microsecond timestamps matches the oracle's
     `ts::TIMESTAMP` truncation exactly."""
     ev = Tables(spark, sf_dir).events
-    # each stage frame is referenced twice (next stage + its count row);
-    # cache the tiny per-user aggregates so the duplicated subtrees do
-    # not rescan events per reference (STATUS trap)
+    # v and c are each referenced twice (next stage + their count row);
+    # cache those tiny per-user aggregates so the duplicated subtrees do
+    # not rescan events per reference (STATUS trap). p feeds only its
+    # count row, so it is NOT cached.
     v = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -122,7 +123,6 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
-        .cache()
     )
     counts = (
         v.agg(F.count(F.lit(1)).alias("n_users")).select(

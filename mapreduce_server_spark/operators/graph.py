@@ -406,6 +406,14 @@ def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = e2
         if changed == 0:
             break
+    else:
+        # loud failure beats silently-wrong intermediate labels: if the
+        # alternation has not reached its fixpoint, the final edge set is
+        # not a star forest and the min-link labels below would be wrong
+        raise RuntimeError(
+            f"graph_wcc did not converge in {WCC_MAX_ROUNDS} rounds; "
+            "raise WCC_MAX_ROUNDS for this graph"
+        )
     # at the fixpoint every edge is (node -> its component's min id)
     labels = edges.groupBy(F.col("hi").alias("part")).agg(
         F.min("lo").alias("link")

@@ -126,11 +126,11 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BESTFIT_CAP = 128
+_FFD_CAP = 128
 
 
-@query("pack_bestfit", category="J.pipeline")
-def pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("pack_ffd", category="J.pipeline")
+def pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing bin packing per source shard: documents are
     NOT split across sequences (pack_sequences' concat-then-chunk twin
     for losses that forbid cross-doc attention) — sort by (tokens desc,
@@ -167,7 +167,7 @@ def pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     placed = i
                     break
             if placed < 0:
-                remaining.append(_BESTFIT_CAP)
+                remaining.append(_FFD_CAP)
                 stats.append([0, 0, 0])
                 placed = len(remaining) - 1
             remaining[placed] -= nt

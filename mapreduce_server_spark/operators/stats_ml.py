@@ -32,15 +32,6 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..sources.loader import Tables
 
-__all__ = [
-    "stat_linreg",
-    "stat_entropy",
-    "ts_seasonality",
-    "ml_kmeans",
-    "ts_cusum",
-]
-
-
 @query(
     "stat_linreg",
     category="D.agg",
@@ -302,7 +293,7 @@ FROM x2 GROUP BY cid, dim1
 
 @query("ml_kmeans", category="J.sim", oracle=_KM_ORACLE)
 def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic Lloyd k-means (k={k}, 2 iterations) over the
+    """Deterministic Lloyd k-means (k=8 = _KM_K, 2 iterations) over the
     embedding corpus — data-mixture clustering expressed as ONE
     declarative plan, no driver round-trip between iterations. Seeds are
     the first k vectors by vec_id (seedless-deterministic, like
@@ -314,7 +305,7 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (cid, dim, centroid, n) — n is the cluster size. At 100 TB:
     per-iteration cost is a corpus scan + a k×dim-sized shuffle; empty
     clusters simply drop (k shrinks), matching the oracle's GROUP BY.
-    """.format(k=_KM_K)
+    """
     e = Tables(spark, sf_dir).embeddings.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),

@@ -525,7 +525,14 @@ def cusum(stream: DataFrame, baseline: DataFrame) -> DataFrame:
     (ts, event_id) within each micro-batch, identical max/add sequence
     (Python floats are IEEE doubles — the ewma/holt precedent), so one
     drain is bit-equal to the batch fold
-    (``test_cusum_twin_matches_batch``)."""
+    (``test_cusum_twin_matches_batch``).
+
+    Coverage caveat (deliberate): the baseline join is INNER, so events
+    from users absent at training time are dropped, not scored — a
+    frozen baseline has no μ/σ to score them against. Production policy
+    for unseen entities is a separate decision (route to a bootstrap
+    window, or a global default baseline row); make it explicit rather
+    than scoring against garbage."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

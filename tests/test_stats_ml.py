@@ -1,5 +1,5 @@
 """Semantics tests for the round-6 stats/ML tier (stats_ml.py +
-pack_bestfit): parity vs DuckDB is covered by test_oracle_parity's
+pack_ffd): parity vs DuckDB is covered by test_oracle_parity's
 registry sweep; these pin the *math* — OLS against numpy's closed form,
 entropy bounds, seasonal-index mass balance, k-means invariants, and an
 exact pure-Python FFD replay for the rows-only packer."""
@@ -14,7 +14,7 @@ from mapreduce_server_spark.registry import REGISTRY
 
 from .conftest import SF001
 
-CAP = 128  # pack_bestfit bin capacity (pipeline._BESTFIT_CAP)
+CAP = 128  # pack_ffd bin capacity (pipeline._FFD_CAP)
 
 
 def test_linreg_matches_numpy(spark, duck):
@@ -108,8 +108,8 @@ def test_kmeans_improves_over_seed_assignment(spark, duck):
         assert np.abs(vec - cent).max() < 1e-6, cid
 
 
-def test_pack_bestfit_replays_ffd(spark, duck):
-    rows = REGISTRY["pack_bestfit"].fn(spark, SF001).collect()
+def test_pack_ffd_replays_reference(spark, duck):
+    rows = REGISTRY["pack_ffd"].fn(spark, SF001).collect()
     docs = duck.execute(
         "SELECT source, doc_id, len(string_split(text, ' ')) FROM documents"
     ).fetchall()
