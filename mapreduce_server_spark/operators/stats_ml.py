@@ -650,3 +650,163 @@ def stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("auc"),
         )
     )
+
+
+@query(
+    "ts_decay_sum",
+    category="E.window",
+    oracle="""
+WITH RECURSIVE series AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+         coalesce((epoch(ts)::BIGINT
+                   - lag(epoch(ts)::BIGINT)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                  // 3600, 0) AS dh
+  FROM events
+),
+fold AS (
+  SELECT user_id, i, value::DOUBLE AS s FROM series WHERE i = 1
+  UNION ALL
+  SELECT sr.user_id, sr.i,
+         sr.value + f.s * (1.0 / ((1::BIGINT << least(sr.dh, 62))::DOUBLE))
+  FROM fold f
+  JOIN series sr ON sr.user_id = f.user_id AND sr.i = f.i + 1
+),
+last AS (SELECT user_id, max(i) AS n FROM fold GROUP BY 1)
+SELECT f.user_id, last.n::BIGINT AS n, f.s AS decayed_sum
+FROM fold f JOIN last ON f.user_id = last.user_id AND f.i = last.n
+""",
+)
+def ts_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed activity score per user (the "hotness" fold):
+    s_i = x_i + s_{i-1} · 2^(−Δhours) over the (ts, event_id) order —
+    ``ts_ewma``'s IRREGULAR-spacing sibling, where decay follows the
+    actual gap between events, not the row count. BIT-EXACT across
+    engines with NO libm reliance: the decay factor is built as
+    1.0 / (1 << Δh) — an exact power-of-two double (Δh capped at 62 to
+    keep the shift in range; beyond that the contribution is < 2⁻⁶²) —
+    so every multiply is an exponent shift and the adds run in
+    identical order. Δh comes from integer epoch-second arithmetic
+    (floor-div 3600; DuckDB's epoch()::BIGINT truncation matches
+    unix_seconds — ARCHITECTURE §4 rule 5). The gap is computed with a
+    lag window BEFORE the collect fold, so the whole op is one
+    user-keyed shuffle; the oracle is a recursive CTE (scalar state, but
+    kept consistent with the ts_holt template). Output is unrounded —
+    the folds are bit-identical by construction."""
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.unix_seconds(F.col("ts"))
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.coalesce(
+            F.floor((es - F.lag(es).over(w)) / 3600).cast("long"), F.lit(0)
+        ).alias("dh"),
+    ).withColumn(
+        # per-row exact power-of-two decay (the Python shiftleft wrapper
+        # only takes a literal shift, so build it in SQL form)
+        "decay",
+        F.expr(
+            "1.0 / cast(shiftleft(1L, cast(least(dh, 62) as int)) as double)"
+        ),
+    )
+    vals = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "decay", "value"))
+        ),
+        lambda e: F.struct(
+            e.getField("decay").alias("decay"),
+            e.getField("value").alias("x"),
+        ),
+    )
+    agg = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), vals.alias("seq")
+    )
+    st = F.aggregate(
+        F.col("seq"),
+        F.lit(0.0),
+        lambda s, e: e.getField("x") + s * e.getField("decay"),
+    )
+    return agg.select("user_id", "n", st.alias("decayed_sum"))
+
+
+@query(
+    "stat_welch_t",
+    category="D.agg",
+    oracle="""
+WITH g AS (
+  SELECT source, count(*) AS n, sum(n_chars)::BIGINT AS s,
+         sum(n_chars * n_chars)::BIGINT AS q
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n)::BIGINT AS nt, sum(s)::BIGINT AS st,
+               sum(q)::BIGINT AS qt FROM g),
+m AS (
+  SELECT g.source, g.n::BIGINT AS n1, tot.nt - g.n AS n2,
+         g.s::DOUBLE / g.n AS m1,
+         (tot.st - g.s)::DOUBLE / (tot.nt - g.n) AS m2,
+         (g.q::DOUBLE / g.n - (g.s::DOUBLE / g.n) * (g.s::DOUBLE / g.n))
+           * g.n / (g.n - 1) AS v1,
+         ((tot.qt - g.q)::DOUBLE / (tot.nt - g.n)
+          - ((tot.st - g.s)::DOUBLE / (tot.nt - g.n))
+            * ((tot.st - g.s)::DOUBLE / (tot.nt - g.n)))
+           * (tot.nt - g.n) / (tot.nt - g.n - 1) AS v2
+  FROM g CROSS JOIN tot
+)
+SELECT source, n1 AS n_s,
+       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+       round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS df
+FROM m
+""",
+)
+def stat_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic (+ Welch–Satterthwaite df) per
+    source vs rest-of-corpus over doc length — the parametric partner of
+    ``stat_mannwhitney`` (t assumes normal-ish means; U is rank-based;
+    run both, trust agreement). Every moment is an exact INTEGER sum
+    (n_chars and its square are ints), the rest-of-corpus moments are
+    total − source (no second pass), and the double formula runs the
+    same textual op sequence on both engines. ONE scan, one tiny
+    cached per-source aggregate, broadcast totals."""
+    d = Tables(spark, sf_dir).documents
+    x = F.col("n_chars")
+    g = (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("s"),
+            F.sum(x * x).alias("q"),
+        )
+        .cache()
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"), F.sum("s").alias("st"), F.sum("q").alias("qt")
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    n1 = F.col("n")
+    n2 = F.col("nt") - F.col("n")
+    m1 = F.col("s").cast("double") / n1
+    m2 = (F.col("st") - F.col("s")).cast("double") / n2
+    v1 = (F.col("q").cast("double") / n1 - m1 * m1) * n1 / (n1 - 1)
+    v2 = (
+        (F.col("qt") - F.col("q")).cast("double") / n2 - m2 * m2
+    ) * n2 / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    return j.select(
+        "source",
+        n1.alias("n_s"),
+        F.round((m1 - m2) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            se2 * se2
+            / (
+                (v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)
+            ),
+            6,
+        ).alias("df"),
+    )

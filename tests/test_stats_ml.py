@@ -238,3 +238,42 @@ def test_mannwhitney_matches_numpy(spark, duck):
         assert abs(r["u_stat"] - u) < 1e-9, src
         assert abs(r["auc"] - round(u / (ns * (nt - ns)), 6)) < 1e-9, src
         assert 0.0 <= r["auc"] <= 1.0
+
+
+def test_decay_sum_matches_numpy(spark, duck):
+    rows = {r["user_id"]: r for r in REGISTRY["ts_decay_sum"].fn(spark, SF001).collect()}
+    df = duck.execute(
+        "SELECT user_id, epoch(ts)::BIGINT AS es, value"
+        " FROM events ORDER BY user_id, ts, event_id"
+    ).fetch_df()
+    for uid, grp in df.groupby("user_id"):
+        es = grp["es"].to_numpy()
+        v = grp["value"].to_numpy()
+        s, prev = 0.0, None
+        for t, x in zip(es, v):
+            dh = 0 if prev is None else (t - prev) // 3600
+            s = x + s * (1.0 / (1 << min(dh, 62)))
+            prev = t
+        r = rows[uid]
+        assert r["n"] == len(v)
+        assert r["decayed_sum"] == s, uid  # bit-exact by construction
+
+
+def test_welch_t_matches_numpy(spark, duck):
+    rows = {r["source"]: r for r in REGISTRY["stat_welch_t"].fn(spark, SF001).collect()}
+    df = duck.execute("SELECT source, n_chars FROM documents").fetch_df()
+    all_v = df["n_chars"].to_numpy(dtype=float)
+    for src, grp in df.groupby("source"):
+        a = grp["n_chars"].to_numpy(dtype=float)
+        mask = (df["source"] != src).to_numpy()
+        b = all_v[mask]
+        v1, v2 = a.var(ddof=1), b.var(ddof=1)
+        se2 = v1 / len(a) + v2 / len(b)
+        t = (a.mean() - b.mean()) / np.sqrt(se2)
+        dof = se2**2 / (
+            (v1 / len(a)) ** 2 / (len(a) - 1) + (v2 / len(b)) ** 2 / (len(b) - 1)
+        )
+        r = rows[src]
+        assert r["n_s"] == len(a)
+        assert abs(r["t_stat"] - t) < 1e-6, src
+        assert abs(r["df"] - dof) < 1e-4, src
