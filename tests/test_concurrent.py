@@ -1,0 +1,57 @@
+"""Concurrent serving smoke: one SparkSession, many registry queries
+collected from worker threads at once — the serving-layer shape
+(scheduler.py batches, a notebook user, the driver's own loop) that the
+sequential parity gate never exercises. Pins two properties:
+
+1. thread-safety of the engine's Python side (registry plan cache,
+   loader scan cache, conf pinning) — plain dicts mutated under the GIL,
+   but a regression to non-idempotent state would surface here;
+2. result stability: concurrent collects return exactly the
+   sequential results (Spark schedules jobs from threads FIFO-fairly;
+   plans are immutable so interleaving must not matter).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+from mapreduce_server_spark.registry import REGISTRY
+
+from .conftest import SF001
+
+# cheap, deterministic, covers scan/agg/join/window/text/sim categories
+KEYS = [
+    "agg_group",
+    "q3_join_topk",
+    "win_rownum_topk",
+    "stream_tumbling",
+    "text_wordcount",
+    "knn_bruteforce",
+    "stat_entropy",
+    "ts_seasonality",
+]
+
+
+def _run(spark, key):
+    rows = REGISTRY[key].fn(spark, SF001).collect()
+    return sorted(map(tuple, rows))
+
+
+def test_concurrent_collects_match_sequential(spark):
+    sequential = {k: _run(spark, k) for k in KEYS}
+    with ThreadPoolExecutor(max_workers=len(KEYS)) as ex:
+        futures = {k: ex.submit(_run, spark, k) for k in KEYS}
+        concurrent = {k: f.result(timeout=300) for k, f in futures.items()}
+    for k in KEYS:
+        assert concurrent[k] == sequential[k], k
+        assert len(concurrent[k]) > 0, k
+
+
+def test_repeated_collect_is_stable(spark):
+    """The memoized plan re-executes against the files each time — two
+    collects of the same cached plan must be identical (no stale state,
+    no RNG, no partitioning drift)."""
+    for k in ("agg_group", "stat_gini"):
+        a = _run(spark, k)
+        b = _run(spark, k)
+        assert a == b, k
