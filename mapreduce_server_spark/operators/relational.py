@@ -781,3 +781,55 @@ def join_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy(F.col("a.user_id").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "join_asof_union",
+    category="C.join",
+    oracle="""
+SELECT p.event_id, p.user_id, epoch_us(c.ts::TIMESTAMP) AS last_click_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def join_asof_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join's 100 TB form, implemented for real (join_asof's
+    docstring only names it): UNION both event streams, ONE shuffle on
+    user_id, and carry the latest click forward with a running
+    `last(click_ts, ignorenulls)` frame — no candidate join, so a hot
+    user costs O(n log n) sort instead of clicks x purchases pairs.
+    Rows sort by (ts, kind, event_id) with clicks before purchases at
+    equal ts, which reproduces the join form's inclusive `p.ts >= c.ts`
+    exactly; purchases with no prior click drop (inner-asof semantics),
+    matching DuckDB's native ASOF JOIN oracle — the same oracle
+    join_asof verifies against, so the two physical strategies are
+    pinned equal."""
+    ev = Tables(spark, sf_dir).events
+    both = ev.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("kind"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("c_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = both.withColumn(
+        "last_c_ts", F.last("c_ts", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter((F.col("kind") == 1) & F.col("last_c_ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("last_c_ts").alias("last_click_us"),
+        )
+    )

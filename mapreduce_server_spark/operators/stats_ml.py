@@ -810,3 +810,130 @@ def stat_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("df"),
     )
+
+
+_KNN_LABEL_K = 5
+
+_KNN_LABEL_ORACLE = f"""
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+test AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+train AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+d AS (
+  SELECT t.vec_id, tr.vec_id AS nbr, tr.label,
+         list_reduce(list_prepend(0.0, list_transform(
+             generate_series(1, {_KM_DIM}),
+             i -> (t.emb[i] - tr.emb[i]) * (t.emb[i] - tr.emb[i]))),
+           (s, x) -> s + x) AS dist
+  FROM test t CROSS JOIN train tr
+),
+topk AS (
+  SELECT vec_id, label FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, nbr)
+          <= {_KNN_LABEL_K}
+),
+votes AS (SELECT vec_id, label, count(*) AS votes FROM topk GROUP BY 1, 2)
+SELECT vec_id, label AS pred_label, votes::BIGINT AS votes
+FROM votes
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, label) = 1
+"""
+
+
+@query("ml_knn_label", category="J.sim", oracle=_KNN_LABEL_ORACLE)
+def ml_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label propagation (k=5): every odd-id vector takes the
+    majority label of its 5 nearest even-id (labeled) vectors — the
+    weak-supervision step that turns a small labeled pool into corpus
+    labels. Fully deterministic: exact left-fold squared-L2 distances,
+    neighbor tiebreak on vec_id, vote tiebreak on smallest label — so
+    the classifier itself carries an exact SQL oracle. The brute-force
+    pairing here is the correctness baseline; at corpus scale the
+    candidate set comes from the bucketed `knn_join_lsh` path and the
+    vote logic is unchanged. One crossJoin (broadcast train side) + one
+    window + one count — the train side is the small labeled pool by
+    construction, exactly the broadcast-friendly side."""
+    e = Tables(spark, sf_dir).embeddings.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    test = e.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", F.col("emb").alias("t_emb")
+    )
+    train = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("nbr"),
+        F.col("label").alias("n_label"),
+        F.col("emb").alias("r_emb"),
+    )
+    d = test.join(F.broadcast(train)).select(
+        "vec_id",
+        "nbr",
+        "n_label",
+        _sq_dist(F.col("t_emb"), F.col("r_emb")).alias("dist"),
+    )
+    wk = Window.partitionBy("vec_id").orderBy("dist", "nbr")
+    topk = d.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= _KNN_LABEL_K
+    )
+    votes = topk.groupBy("vec_id", "n_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.desc("votes"), F.asc("n_label")
+    )
+    return (
+        votes.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") == 1)
+        .select("vec_id", F.col("n_label").alias("pred_label"), "votes")
+    )
+
+
+@query(
+    "ts_peak_detect",
+    category="E.window",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_id, value,
+         lag(value)  OVER w AS prev,
+         lead(value) OVER w AS nxt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, value,
+       value - greatest(prev, nxt) AS prominence
+FROM s
+WHERE prev IS NOT NULL AND nxt IS NOT NULL
+  AND value > prev AND value > nxt
+""",
+)
+def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection per user series: events strictly above
+    both temporal neighbors, with prominence over the higher shoulder —
+    the spike screen before alerting/changepoint logic. Pure lag/lead
+    over one (ts, event_id)-ordered window (series endpoints can't be
+    peaks); value arithmetic is a single subtraction of identical
+    doubles, so the output is exact unrounded. ONE shuffle on user_id."""
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev"),
+        F.lead("value").over(w).alias("nxt"),
+    )
+    return (
+        s.filter(
+            F.col("prev").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (F.col("value") > F.col("prev"))
+            & (F.col("value") > F.col("nxt"))
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            (F.col("value") - F.greatest("prev", "nxt")).alias("prominence"),
+        )
+    )

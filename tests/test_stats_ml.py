@@ -277,3 +277,51 @@ def test_welch_t_matches_numpy(spark, duck):
         assert r["n_s"] == len(a)
         assert abs(r["t_stat"] - t) < 1e-6, src
         assert abs(r["df"] - dof) < 1e-4, src
+
+
+def test_asof_union_equals_join_form(spark):
+    """Two physical strategies, one logical op: the union+running-last
+    as-of must equal the candidate-join+row_number as-of row for row."""
+    a = sorted(map(tuple, REGISTRY["join_asof"].fn(spark, SF001).collect()))
+    b = sorted(map(tuple, REGISTRY["join_asof_union"].fn(spark, SF001).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_knn_label_matches_numpy(spark, duck):
+    rows = {r["vec_id"]: r for r in REGISTRY["ml_knn_label"].fn(spark, SF001).collect()}
+    data = duck.execute(
+        "SELECT vec_id, label, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in data])
+    labels = np.array([r[1] for r in data])
+    X = np.array([r[2] for r in data], dtype=np.float64)
+    test_m, train_m = ids % 2 == 1, ids % 2 == 0
+    Xt, Xr = X[test_m], X[train_m]
+    rid, rlab = ids[train_m], labels[train_m]
+    d = ((Xt[:, None, :] - Xr[None, :, :]) ** 2).sum(axis=2)
+    for i, vid in enumerate(ids[test_m]):
+        order = np.lexsort((rid, d[i]))[:5]
+        votes: dict[int, int] = {}
+        for lab in rlab[order]:
+            votes[int(lab)] = votes.get(int(lab), 0) + 1
+        pred = min(votes, key=lambda l: (-votes[l], l))
+        r = rows[int(vid)]
+        assert r["pred_label"] == pred, vid
+        assert r["votes"] == votes[pred], vid
+
+
+def test_peak_detect_matches_pandas(spark, duck):
+    rows = {r["event_id"]: r for r in REGISTRY["ts_peak_detect"].fn(spark, SF001).collect()}
+    df = duck.execute(
+        "SELECT user_id, event_id, value FROM events ORDER BY user_id, ts, event_id"
+    ).fetch_df()
+    expect = {}
+    for _, grp in df.groupby("user_id"):
+        v = grp["value"].to_numpy()
+        eid = grp["event_id"].to_numpy()
+        for i in range(1, len(v) - 1):
+            if v[i] > v[i - 1] and v[i] > v[i + 1]:
+                expect[int(eid[i])] = v[i] - max(v[i - 1], v[i + 1])
+    assert set(rows) == set(expect)
+    for e, prom in expect.items():
+        assert rows[e]["prominence"] == prom, e
