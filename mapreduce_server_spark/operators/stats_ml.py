@@ -937,3 +937,122 @@ def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") - F.greatest("prev", "nxt")).alias("prominence"),
         )
     )
+
+
+_HASH_DIM = 64
+
+
+@query(
+    "text_hash_features",
+    category="J.text",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT doc_id,
+       ('0x' || substr(md5('feat:' || w), 1, 8))::BIGINT % {_HASH_DIM}
+         AS bucket,
+       count(*)::BIGINT AS cnt
+FROM tok GROUP BY 1, 2
+""",
+)
+def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): every token maps to one of
+    64 (_HASH_DIM) buckets by md5, per-doc bucket counts are the sparse feature
+    vector — the vocabulary-free featurizer a streaming/batch trainer
+    uses when the token space is unbounded. Output is the sparse COO
+    form (doc_id, bucket, cnt); densifying is a collect_list away.
+    md5-derived buckets (the minhash/sketch_countmin discipline) make
+    the whole transform engine-replayable — no RNG, no vocab broadcast,
+    no OOV path. ONE explode + ONE partial-aggregated shuffle; at
+    100 TB the shuffle key (doc_id, bucket) is as fine-grained as the
+    data, so no hot keys."""
+    d = Tables(spark, sf_dir).documents
+    from .text import tokens
+
+    h = F.md5(F.concat(F.lit("feat:"), F.col("w")).cast("binary"))
+    return (
+        d.select("doc_id", F.explode(tokens()).alias("w"))
+        .select(
+            "doc_id",
+            (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _HASH_DIM).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_CENTROID_ORACLE = f"""
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+train AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+x AS (SELECT label, generate_subscripts(emb, 1) AS dim1, unnest(emb) AS v
+      FROM train),
+c AS (SELECT label, dim1, round(avg(v), 6) AS v FROM x GROUP BY 1, 2),
+cv AS (SELECT label, list(v ORDER BY dim1) AS cvec FROM c GROUP BY 1),
+test AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+d AS (
+  SELECT t.vec_id, c.label AS cand,
+         list_reduce(list_prepend(0.0, list_transform(
+             generate_series(1, {_KM_DIM}),
+             i -> (t.emb[i] - c.cvec[i]) * (t.emb[i] - c.cvec[i]))),
+           (s, x) -> s + x) AS dist
+  FROM test t CROSS JOIN cv c
+)
+SELECT vec_id, cand AS pred_label, dist AS sq_dist
+FROM d
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cand) = 1
+"""
+
+
+@query("ml_centroid_classify", category="J.sim", oracle=_CENTROID_ORACLE)
+def ml_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification: per-label centroids
+    train on the even-id pool (6-dp rounded means — the ml_kmeans
+    hand-off pin, so distances replay bit-for-bit), odd-id vectors take
+    the closest centroid with a label tiebreak. The cheapest supervised
+    baseline over embeddings: |labels| centroids travel as ONE broadcast
+    row, classification is map-side (the ml_kmeans assignment shape),
+    and sq_dist is exact unrounded because every operand is
+    engine-identical. Scale: train is one partial-agg shuffle of
+    (label, dim); scoring never shuffles."""
+    e = Tables(spark, sf_dir).embeddings.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    train = e.filter(F.col("vec_id") % 2 == 0)
+    c = (
+        train.select("label", F.posexplode("emb").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("v"))
+    )
+    cv = c.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "v"))),
+            lambda s: s.getField("v"),
+        ).alias("cvec")
+    )
+    cents = cv.agg(
+        F.sort_array(F.collect_list(F.struct("label", "cvec"))).alias("cents")
+    )
+    test = e.filter(F.col("vec_id") % 2 == 1)
+    scored = test.crossJoin(F.broadcast(cents))
+    dists = F.transform(
+        F.col("cents"),
+        lambda cc: F.struct(
+            _sq_dist(F.col("emb"), cc.getField("cvec")).alias("d"),
+            cc.getField("label").alias("label"),
+        ),
+    )
+    # name the argmin ONCE — two textual references would run the whole
+    # centroid fold twice per row (expression-inlining trap)
+    named = scored.select("vec_id", F.array_min(dists).alias("best"))
+    return named.select(
+        "vec_id",
+        F.col("best").getField("label").alias("pred_label"),
+        F.col("best").getField("d").alias("sq_dist"),
+    )

@@ -325,3 +325,44 @@ def test_peak_detect_matches_pandas(spark, duck):
     assert set(rows) == set(expect)
     for e, prom in expect.items():
         assert rows[e]["prominence"] == prom, e
+
+
+def test_hash_features_conservation(spark, duck):
+    """Feature hashing loses no mass: per-doc bucket counts sum to the
+    doc's token count, buckets stay in range."""
+    rows = REGISTRY["text_hash_features"].fn(spark, SF001).collect()
+    per_doc: dict[int, int] = {}
+    for r in rows:
+        assert 0 <= r["bucket"] < 64
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["cnt"]
+    expect = dict(
+        duck.execute(
+            "SELECT doc_id, len(string_split(text, ' ')) FROM documents"
+        ).fetchall()
+    )
+    assert per_doc == expect
+
+
+def test_centroid_classify_matches_numpy(spark, duck):
+    rows = {
+        r["vec_id"]: r
+        for r in REGISTRY["ml_centroid_classify"].fn(spark, SF001).collect()
+    }
+    data = duck.execute(
+        "SELECT vec_id, label, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in data])
+    labels = np.array([r[1] for r in data])
+    X = np.array([r[2] for r in data], dtype=np.float64)
+    train_m, test_m = ids % 2 == 0, ids % 2 == 1
+    labs = np.unique(labels[train_m])
+    cents = np.stack(
+        [np.round(X[train_m][labels[train_m] == l].mean(axis=0), 6) for l in labs]
+    )
+    d = ((X[test_m][:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    for i, vid in enumerate(ids[test_m]):
+        order = np.lexsort((labs, d[i]))
+        pred = int(labs[order[0]])
+        r = rows[int(vid)]
+        assert r["pred_label"] == pred, vid
+        assert abs(r["sq_dist"] - d[i][order[0]]) < 1e-9, vid
