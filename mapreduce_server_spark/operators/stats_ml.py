@@ -1056,3 +1056,62 @@ def ml_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best").getField("label").alias("pred_label"),
         F.col("best").getField("d").alias("sq_dist"),
     )
+
+
+@query(
+    "stat_concentration",
+    category="D.agg",
+    oracle="""
+WITH u AS (
+  SELECT event_type, user_id, sum(value::DECIMAL(18,2)) AS s
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, s,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY s DESC, user_id) AS rk
+  FROM u
+),
+t AS (SELECT event_type, count(*) AS n_users, sum(s) AS tot FROM u GROUP BY 1)
+SELECT t.event_type, t.n_users::BIGINT AS n_users,
+       round(k.top10::DOUBLE / t.tot::DOUBLE, 6) AS cr10
+FROM t JOIN (SELECT event_type, sum(s) AS top10 FROM r WHERE rk <= 10
+             GROUP BY 1) k USING (event_type)
+""",
+)
+def stat_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 concentration ratio (CR-10) per event type: the share of
+    total value held by the 10 heaviest users — the skew screen that
+    pairs with ``stat_gini`` (CR-k reads directly as "how hot are the
+    hot keys", which is also the salting decision input at 100 TB).
+    Everything is DECIMAL-exact until the single final division
+    (top-10 decimal sum ÷ total decimal sum), and the user ranking
+    carries a user_id tiebreak so borderline rank-10/11 ties cannot
+    flip the set across engines. One shuffle builds the (type, user)
+    sums; the window and totals run on that aggregate, cache()d
+    against the duplicated-subtree trap."""
+    ev = Tables(spark, sf_dir).events
+    u = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
+        .cache()
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("s"), F.asc("user_id")
+    )
+    top = (
+        u.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .groupBy("event_type")
+        .agg(F.sum("s").alias("top10"))
+    )
+    t = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("s").alias("tot")
+    )
+    return t.join(F.broadcast(top), "event_type").select(
+        "event_type",
+        "n_users",
+        F.round(
+            F.col("top10").cast("double") / F.col("tot").cast("double"), 6
+        ).alias("cr10"),
+    )

@@ -366,3 +366,20 @@ def test_centroid_classify_matches_numpy(spark, duck):
         r = rows[int(vid)]
         assert r["pred_label"] == pred, vid
         assert abs(r["sq_dist"] - d[i][order[0]]) < 1e-9, vid
+
+
+def test_concentration_matches_pandas(spark, duck):
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["stat_concentration"].fn(spark, SF001).collect()
+    }
+    df = duck.execute(
+        "SELECT event_type, user_id, sum(value) AS s FROM events GROUP BY 1, 2"
+    ).fetch_df()
+    for et, grp in df.groupby("event_type"):
+        g = grp.sort_values(["s", "user_id"], ascending=[False, True])
+        cr10 = g["s"].head(10).sum() / g["s"].sum()
+        r = rows[et]
+        assert r["n_users"] == len(g)
+        assert abs(r["cr10"] - cr10) < 1e-6, et
+        assert 0.0 < r["cr10"] <= 1.0
