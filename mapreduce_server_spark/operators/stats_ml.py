@@ -1115,3 +1115,34 @@ def stat_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top10").cast("double") / F.col("tot").cast("double"), 6
         ).alias("cr10"),
     )
+
+
+@query(
+    "ml_eval_confusion",
+    category="J.sim",
+    oracle=f"""
+SELECT t.label AS true_label, p.pred_label, count(*)::BIGINT AS n
+FROM ({_KNN_LABEL_ORACLE}) p
+JOIN embeddings t ON t.vec_id = p.vec_id
+GROUP BY 1, 2
+""",
+)
+def ml_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the k-NN label propagation: held-out odd-id
+    vectors carry TRUE labels too, so the weak-supervision step is
+    evaluable in-engine — (true_label, pred_label, n) cells, accuracy =
+    trace/total one aggregation away. Composes the registered
+    ``ml_knn_label`` plan (predictions) with one broadcast-joined truth
+    lookup and a partial-aggregated count; model evaluation is just
+    another exact-oracle query, which is the point: the eval harness a
+    training pipeline trusts is the same differential-tested engine that
+    built the labels."""
+    preds = ml_knn_label(spark, sf_dir)
+    truth = Tables(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("label").alias("true_label")
+    )
+    return (
+        preds.join(F.broadcast(truth), "vec_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -383,3 +383,22 @@ def test_concentration_matches_pandas(spark, duck):
         assert r["n_users"] == len(g)
         assert abs(r["cr10"] - cr10) < 1e-6, et
         assert 0.0 < r["cr10"] <= 1.0
+
+
+def test_confusion_consistent_with_predictions(spark, duck):
+    """Matrix cells sum to the held-out count and agree per-vector with
+    ml_knn_label joined to true labels."""
+    cells = REGISTRY["ml_eval_confusion"].fn(spark, SF001).collect()
+    n_test = duck.execute(
+        "SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1"
+    ).fetchone()[0]
+    assert sum(c["n"] for c in cells) == n_test
+    truth = dict(
+        duck.execute("SELECT vec_id, label FROM embeddings").fetchall()
+    )
+    expect: dict[tuple[int, int], int] = {}
+    for r in REGISTRY["ml_knn_label"].fn(spark, SF001).collect():
+        key = (truth[r["vec_id"]], r["pred_label"])
+        expect[key] = expect.get(key, 0) + 1
+    got = {(c["true_label"], c["pred_label"]): c["n"] for c in cells}
+    assert got == expect
