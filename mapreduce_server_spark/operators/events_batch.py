@@ -320,3 +320,71 @@ def stream_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.unix_seconds("ws").alias("ws_s"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "stream_pattern",
+    category="I.stream",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, epoch(ts)::BIGINT AS ts_s,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(epoch(ts)::BIGINT, 2) OVER w AS ts2_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       sum(CASE WHEN event_type = 'view' AND t1 = 'click'
+                 AND t2 = 'purchase' AND ts2_s - ts_s <= 3600
+                THEN 1 ELSE 0 END)::BIGINT AS n_funnel,
+       sum(CASE WHEN event_type = 'error' AND t1 = 'error'
+                THEN 1 ELSE 0 END)::BIGINT AS n_error_burst
+FROM seq
+GROUP BY user_id
+HAVING n_funnel > 0 OR n_error_burst > 0
+""",
+)
+def stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style sequence-pattern matching (MATCH_RECOGNIZE / Flink-CEP
+    surface) in its scale-shaped batch form: per user, count STRICTLY
+    CONTIGUOUS occurrences of view→click→purchase completing within one
+    hour, and error→error bursts.
+
+    The pattern is compiled to ``lead`` lookaheads over the per-user
+    event order instead of materializing each user's full event sequence
+    (no ``collect_list`` — per-row state is O(pattern length), so a user
+    with 10^9 events costs the same per row as one with 10). Fixed-length
+    contiguous patterns need exactly ``len-1`` leads; one shuffle on
+    user_id, then a partial-aggregated count. Contiguous 3-patterns with
+    distinct heads cannot self-overlap, so this equals the
+    non-overlapping match count MATCH_RECOGNIZE(AFTER MATCH SKIP PAST
+    LAST ROW) would report. The time guard compares integer epoch
+    seconds (ARCHITECTURE §4 rule 5). The streaming twin of this shape
+    keeps the last two events per key as state (twins module pattern).
+    """
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_seconds("ts").alias("ts_s"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead(F.unix_seconds("ts"), 2).over(w).alias("ts2_s"),
+    )
+    funnel_hit = (
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+        & (F.col("ts2_s") - F.col("ts_s") <= 3600)
+    )
+    burst_hit = (F.col("event_type") == "error") & (F.col("t1") == "error")
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.sum(funnel_hit.cast("long")).alias("n_funnel"),
+            F.sum(burst_hit.cast("long")).alias("n_error_burst"),
+        )
+        .filter((F.col("n_funnel") > 0) | (F.col("n_error_burst") > 0))
+    )

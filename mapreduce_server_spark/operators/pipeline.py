@@ -357,3 +357,118 @@ def pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor((F.col("n_tokens") + 63) / 64)).alias("n_chunks"),
         (F.sum("n_tokens") / F.count(F.lit(1))).alias("avg_tokens"),
     )
+
+
+@query(
+    "pipeline_incremental_dedup",
+    category="J.pipeline",
+    oracle="""
+WITH inc AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % 10 >= 8
+),
+base AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 < 8
+),
+flagged AS (
+  SELECT i.source,
+         CASE WHEN b.h IS NOT NULL THEN 'dup_base'
+              WHEN row_number() OVER (PARTITION BY i.h ORDER BY i.doc_id) > 1
+                THEN 'dup_batch'
+              ELSE 'admitted' END AS status
+  FROM inc i LEFT JOIN base b ON i.h = b.h
+)
+SELECT source,
+       count(*) AS n_incoming,
+       sum(CASE WHEN status = 'dup_base' THEN 1 ELSE 0 END)::BIGINT
+         AS n_dup_base,
+       sum(CASE WHEN status = 'dup_batch' THEN 1 ELSE 0 END)::BIGINT
+         AS n_dup_batch,
+       sum(CASE WHEN status = 'admitted' THEN 1 ELSE 0 END)::BIGINT
+         AS n_admitted
+FROM flagged
+GROUP BY source
+""",
+)
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a new batch (doc_id % 10 ≥ 8 stands in
+    for today's crawl) is admitted against the existing corpus by content
+    hash — the snapshot-over-snapshot dedup every continuously-ingesting
+    training pipeline runs. Each incoming doc is classified exactly once:
+    ``dup_base`` (hash already in the corpus), ``dup_batch`` (a smaller
+    doc_id in the SAME batch carries the hash — deterministic survivor,
+    dedup_exact discipline), else ``admitted``; reported per source.
+
+    Scale: the corpus side reduces to DISTINCT hashes before the join
+    (one column, not the 100 TB of text) and the join key is the hash, so
+    the plan is a hash-partitioned equi-join of (incoming batch × corpus
+    hash index) — the batch is typically ≪ corpus, so AQE broadcasts the
+    batch side; the within-batch window shuffles only the batch. At
+    100 TB the corpus hash index would persist bucketed by h
+    (sink_compacted shape) so daily runs skip the corpus re-scan."""
+    d = Tables(spark, sf_dir).documents
+    inc = d.filter(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    base = (
+        d.filter(F.col("doc_id") % 10 < 8)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("in_base", F.lit(1))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    flagged = (
+        inc.join(base, "h", "left")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "status",
+            F.when(F.col("in_base") == 1, "dup_base")
+            .when(F.col("rn") > 1, "dup_batch")
+            .otherwise("admitted"),
+        )
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        F.sum((F.col("status") == "dup_base").cast("long")).alias("n_dup_base"),
+        F.sum((F.col("status") == "dup_batch").cast("long")).alias("n_dup_batch"),
+        F.sum((F.col("status") == "admitted").cast("long")).alias("n_admitted"),
+    )
+
+
+@query(
+    "pipeline_dataset_card",
+    category="J.pipeline",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+       count(DISTINCT lang) AS n_langs,
+       (count(*) - count(DISTINCT md5(text)))::BIGINT AS n_dup_texts,
+       sum(n_chars)::BIGINT AS total_chars,
+       sum(n_chars)::DOUBLE / count(*) AS avg_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY source
+""",
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card generation: the per-source summary block a training
+    dataset ships with (docs, token and char volume, language spread,
+    exact-dup rate) — computed in ONE scan as a single wide aggregate
+    (the two count-distincts plan as one Expand, still one shuffle of
+    partial aggregates). ``avg_chars`` is a single double division of
+    exact integer sums (bit-identical cross-engine; pipeline_curation
+    precedent). At 100 TB this runs as the cheap trailer of every ingest
+    job — same cost shape as dq_profile, grouped by source instead of
+    unpivoted by column."""
+    d = Tables(spark, sf_dir).documents
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
+        .cast("long")
+        .alias("n_dup_texts"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -1146,3 +1146,100 @@ def ml_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_label", "pred_label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_PCA_ORACLE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+x1 AS (SELECT emb[1] AS s, generate_subscripts(emb, 1) AS dim1,
+              unnest(emb) AS v
+       FROM e),
+a1 AS (SELECT dim1, round(avg(v * s), 6) AS w FROM x1 GROUP BY 1),
+n1 AS (SELECT sqrt(list_sum(list_transform(list(w ORDER BY dim1),
+                                           x -> x * x))) AS nrm
+       FROM a1),
+v1 AS (SELECT list(round(w / nrm, 6) ORDER BY dim1) AS vv
+       FROM a1 CROSS JOIN n1),
+s2 AS (SELECT vec_id, emb,
+              list_sum(list_transform(list_zip(emb, vv),
+                                      p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS s
+       FROM e CROSS JOIN v1),
+x2 AS (SELECT s, generate_subscripts(emb, 1) AS dim1, unnest(emb) AS v
+       FROM s2),
+a2 AS (SELECT dim1, round(avg(v * s), 6) AS w FROM x2 GROUP BY 1),
+n2 AS (SELECT sqrt(list_sum(list_transform(list(w ORDER BY dim1),
+                                           x -> x * x))) AS nrm
+       FROM a2)
+SELECT (dim1 - 1)::BIGINT AS dim, round(w / nrm, 6) AS loading
+FROM a2 CROSS JOIN n2
+"""
+
+
+@query("ml_pca_power", category="J.sim", oracle=_PCA_ORACLE)
+def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus via two
+    deterministic power iterations — PCA without ever materializing the
+    64×64 covariance: each iteration is v ← normalize(Xᵀ(Xv)/n),
+    computed as (a) a map-side exact-fold dot s_i = ⟨emb_i, v⟩ per row,
+    then (b) ONE partial-aggregated shuffle of (dim, v·s) pairs — the
+    ml_kmeans re-center shape, so cost per iteration is a corpus scan
+    plus a dim-sized shuffle regardless of row count. Start vector is
+    e₀ (seedless-deterministic), hand-offs are 6-dp-pinned (the
+    ml_kmeans discipline) so the oracle replays both iterations
+    bit-for-bit; normalization folds the 64 rounded components in dim
+    order (functions.vector fsum ≡ list_sum). Returns (dim, loading).
+    At 100 TB: more iterations are more scans, never more state; the
+    deflation step for further components reuses the same plan.
+    """
+    from ..functions.vector import dot, fsum
+
+    e = Tables(spark, sf_dir).embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    ).cache()  # scanned by both iterations
+
+    def step(scored: DataFrame) -> DataFrame:
+        """(emb, s) rows → one-row frame with the 6-dp-pinned next v."""
+        a = (
+            scored.select("s", F.posexplode("emb").alias("dim", "v"))
+            .groupBy("dim")
+            .agg(F.round(F.avg(F.col("v") * F.col("s")), 6).alias("w"))
+        )
+        row = a.agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "w"))),
+                lambda p: p.getField("w"),
+            ).alias("wv")
+        )
+        return row.select(
+            F.transform(
+                "wv", lambda x: F.round(x / F.sqrt(fsum(F.transform("wv", lambda y: y * y))), 6)
+            ).alias("vv")
+        )
+
+    s1 = e.select("emb", F.col("emb").getItem(0).alias("s"))
+    v1 = step(s1)
+    s2 = e.crossJoin(F.broadcast(v1)).select(
+        "emb", dot(F.col("emb"), F.col("vv")).alias("s")
+    )
+    # final projection re-derives (dim, loading) from the aggregate, not
+    # a second explode of the one-row vector, to keep dims typed long
+    a2 = (
+        s2.select("s", F.posexplode("emb").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.round(F.avg(F.col("v") * F.col("s")), 6).alias("w"))
+    )
+    n2 = a2.agg(
+        F.sqrt(
+            fsum(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "w"))),
+                    lambda p: p.getField("w") * p.getField("w"),
+                )
+            )
+        ).alias("nrm")
+    )
+    return a2.crossJoin(F.broadcast(n2)).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("w") / F.col("nrm"), 6).alias("loading"),
+    )
