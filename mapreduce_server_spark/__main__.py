@@ -7,9 +7,13 @@ submit command:
     python -m mapreduce_server_spark list
     python -m mapreduce_server_spark run q1_pricing_summary \
         [--sf-dir /root/testdata/sf0.01] [--limit 20] [--explain]
+    python -m mapreduce_server_spark sql "SELECT ... FROM events ..."
 
 ``run`` executes one registered query and prints the result (or its
-physical plan with --explain).
+physical plan with --explain); ``sql`` registers the fixture tables as
+temp views (through the normalizing loader) and runs an ad-hoc Spark SQL
+statement — the migration path for users' one-off queries that have no
+registry key.
 """
 
 from __future__ import annotations
@@ -27,6 +31,13 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     runp.add_argument("--limit", type=int, default=20)
     runp.add_argument("--explain", action="store_true")
+    sqlp = sub.add_parser(
+        "sql", help="run ad-hoc Spark SQL with the fixture tables as views"
+    )
+    sqlp.add_argument("statement")
+    sqlp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sqlp.add_argument("--limit", type=int, default=20)
+    sqlp.add_argument("--explain", action="store_true")
     args = parser.parse_args(argv)
 
     from mapreduce_server_spark import REGISTRY
@@ -37,11 +48,27 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{key:28s} {spec.category:14s} {oracle}")
         return 0
 
+    from mapreduce_server_spark.session import get_spark
+
+    if args.cmd == "sql":
+        from mapreduce_server_spark.sources.loader import TABLE_NAMES, load_table
+
+        spark = get_spark(app_name="mrss-sql")
+        spark.sparkContext.setLogLevel("ERROR")
+        for t in TABLE_NAMES:
+            load_table(spark, args.sf_dir, t).createOrReplaceTempView(t)
+        df = spark.sql(args.statement)
+        if args.explain:
+            from mapreduce_server_spark.plans import plan_string
+
+            print(plan_string(df, "formatted"))
+        else:
+            df.show(args.limit, truncate=False)
+        return 0
+
     if args.key not in REGISTRY:
         print(f"unknown query {args.key!r}; try: python -m mapreduce_server_spark list")
         return 2
-    from mapreduce_server_spark.session import get_spark
-
     spark = get_spark(app_name=f"mrss-run-{args.key}")
     spark.sparkContext.setLogLevel("ERROR")
     df = REGISTRY[args.key].fn(spark, args.sf_dir)

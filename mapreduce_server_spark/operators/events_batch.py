@@ -327,10 +327,10 @@ def stream_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="I.stream",
     oracle="""
 WITH seq AS (
-  SELECT user_id, event_type, epoch(ts)::BIGINT AS ts_s,
+  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS ts_s,
          lead(event_type, 1) OVER w AS t1,
          lead(event_type, 2) OVER w AS t2,
-         lead(epoch(ts)::BIGINT, 2) OVER w AS ts2_s
+         lead(epoch_us(ts) // 1000000, 2) OVER w AS ts2_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )

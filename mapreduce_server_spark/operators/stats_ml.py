@@ -1243,3 +1243,157 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("long").alias("dim"),
         F.round(F.col("w") / F.col("nrm"), 6).alias("loading"),
     )
+
+
+_LTTB_B = 12  # buckets per user series (first + last + B-2 interior picks)
+
+_LTTB_ORACLE = f"""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS x, value AS y,
+         row_number() OVER w AS pos, count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+big AS (SELECT * FROM pts WHERE n > {_LTTB_B}),
+interior AS (
+  SELECT user_id, event_id, x, y,
+         least({_LTTB_B} - 3, ((pos - 2) * ({_LTTB_B} - 2)) // (n - 2)) AS b
+  FROM big WHERE pos > 1 AND pos < n
+),
+ends AS (
+  SELECT user_id,
+         min(CASE WHEN pos = 1 THEN x END)::DOUBLE AS x1,
+         min(CASE WHEN pos = 1 THEN y END) AS y1,
+         min(CASE WHEN pos = n THEN x END)::DOUBLE AS xn,
+         min(CASE WHEN pos = n THEN y END) AS yn
+  FROM big WHERE pos = 1 OR pos = n GROUP BY user_id
+),
+avgs AS (
+  SELECT user_id, b,
+         sum(x)::DOUBLE / count(*) AS xbar,
+         sum(y::DECIMAL(18,2))::DOUBLE / count(*) AS ybar
+  FROM interior GROUP BY user_id, b
+),
+anchors AS (
+  SELECT a.user_id, a.b,
+         coalesce(lag(a.xbar) OVER u, e.x1) AS ax,
+         coalesce(lag(a.ybar) OVER u, e.y1) AS ay,
+         coalesce(lead(a.xbar) OVER u, e.xn) AS cx,
+         coalesce(lead(a.ybar) OVER u, e.yn) AS cy
+  FROM avgs a JOIN ends e USING (user_id)
+  WINDOW u AS (PARTITION BY a.user_id ORDER BY a.b)
+),
+picked AS (
+  SELECT user_id, x, y
+  FROM (
+    SELECT i.user_id, i.b, i.x, i.y, i.event_id,
+           abs((k.ax - i.x::DOUBLE) * (k.cy - k.ay)
+               - (k.ax - k.cx) * (i.y - k.ay)) AS area
+    FROM interior i JOIN anchors k ON i.user_id = k.user_id AND i.b = k.b
+  )
+  QUALIFY row_number() OVER (PARTITION BY user_id, b
+                             ORDER BY area DESC, event_id) = 1
+)
+SELECT user_id, x AS ts_s, y AS value FROM pts WHERE n <= {_LTTB_B}
+UNION ALL
+SELECT user_id, x AS ts_s, y AS value FROM big WHERE pos = 1 OR pos = n
+UNION ALL
+SELECT user_id, x AS ts_s, y AS value FROM picked
+"""
+
+
+@query("ts_lttb", category="E.window", oracle=_LTTB_ORACLE)
+def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling of each user's value
+    series to ≤12 visually-representative points (Steinarsson 2013 — the
+    pre-plot reduction dashboards run on billion-point series), in the
+    PARALLEL-anchor variant: each interior bucket keeps the point whose
+    triangle against the NEIGHBOR buckets' mean points has maximal area.
+    Classic LTTB anchors on the previously-PICKED point (a sequential
+    chain per series); anchoring on the previous bucket's mean instead
+    removes the chain so all buckets score independently — the standard
+    distributed adaptation. First/last points always survive; series
+    with ≤ B points pass through whole.
+
+    Plan: ONE shuffle on user_id for the (pos, n) window; the windowed
+    points then feed three branches (pass-through, endpoints, interior)
+    — cached, duplicated-subtree discipline. Bucket means are a partial
+    aggregate (users × B rows), anchors a lag/lead window over them,
+    and the scoring join broadcasts the tiny anchor table back onto the
+    interior points. The area expression is the same IEEE operation
+    tree on both engines over engine-identical inputs (integer epochs;
+    decimal-summed means), event_id tiebreak → deterministic pick.
+    """
+    ev = Tables(spark, sf_dir).events
+    B = _LTTB_B
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_seconds("ts").alias("x"),
+        F.col("value").alias("y"),
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).cache()  # feeds the pass-through, endpoint and interior branches
+    out_cols = [
+        F.col("user_id"),
+        F.col("x").alias("ts_s"),
+        F.col("y").alias("value"),
+    ]
+    small = pts.filter(F.col("n") <= B).select(*out_cols)
+    big = pts.filter(F.col("n") > B)
+    endpoints = big.filter(
+        (F.col("pos") == 1) | (F.col("pos") == F.col("n"))
+    ).select(*out_cols)
+    interior = big.filter(
+        (F.col("pos") > 1) & (F.col("pos") < F.col("n"))
+    ).select(
+        "user_id",
+        "event_id",
+        "x",
+        "y",
+        F.least(
+            F.lit(B - 3),
+            F.expr(f"((pos - 2) * {B - 2}) div (n - 2)"),
+        ).alias("b"),
+    ).cache()  # scored twice: bucket means + area join
+    ends = big.filter((F.col("pos") == 1) | (F.col("pos") == F.col("n"))).groupBy(
+        "user_id"
+    ).agg(
+        F.min(F.when(F.col("pos") == 1, F.col("x"))).cast("double").alias("x1"),
+        F.min(F.when(F.col("pos") == 1, F.col("y"))).alias("y1"),
+        F.min(F.when(F.col("pos") == F.col("n"), F.col("x"))).cast("double").alias("xn"),
+        F.min(F.when(F.col("pos") == F.col("n"), F.col("y"))).alias("yn"),
+    )
+    avgs = interior.groupBy("user_id", "b").agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("xbar"),
+        (
+            F.sum(F.col("y").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ybar"),
+    )
+    u = Window.partitionBy("user_id").orderBy("b")
+    anchors = avgs.join(ends, "user_id").select(
+        "user_id",
+        "b",
+        F.coalesce(F.lag("xbar").over(u), F.col("x1")).alias("ax"),
+        F.coalesce(F.lag("ybar").over(u), F.col("y1")).alias("ay"),
+        F.coalesce(F.lead("xbar").over(u), F.col("xn")).alias("cx"),
+        F.coalesce(F.lead("ybar").over(u), F.col("yn")).alias("cy"),
+    )
+    area = F.abs(
+        (F.col("ax") - F.col("x").cast("double")) * (F.col("cy") - F.col("ay"))
+        - (F.col("ax") - F.col("cx")) * (F.col("y") - F.col("ay"))
+    )
+    pick_w = Window.partitionBy("user_id", "b").orderBy(
+        F.col("area").desc(), "event_id"
+    )
+    picked = (
+        interior.join(F.broadcast(anchors), ["user_id", "b"])
+        .withColumn("area", area)
+        .withColumn("rn", F.row_number().over(pick_w))
+        .filter(F.col("rn") == 1)
+        .select(*out_cols)
+    )
+    return small.unionAll(endpoints).unionAll(picked)

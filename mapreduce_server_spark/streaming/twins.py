@@ -575,3 +575,64 @@ def cusum(stream: DataFrame, baseline: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def pattern(stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``stream_pattern``: CEP sequence matching with
+    O(pattern length) state — exactly the last two (event_type, epoch-s)
+    pairs per user live in the state store, so a match is decided the
+    moment its final event arrives (Flink-CEP's NFA for a fixed
+    contiguous pattern degenerates to this sliding tuple). Counts are
+    cumulative per user; matches spanning micro-batch boundaries are
+    caught because the lookback rides in state, not in the batch.
+
+    Fold discipline mirrors the batch op: rows sorted by (ts, event_id)
+    within each micro-batch; the time guard compares integer epoch
+    seconds, so equality with the batch lead()-plan is exact, not
+    approximate (``test_pattern_twin_matches_batch``)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = stream.select(
+        "user_id", "ts", "event_id", "event_type", F.unix_seconds("ts").alias("ts_s")
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            t2, s2, t1, s1, funnel, burst = state.get
+        else:
+            t2, s2, t1, s1, funnel, burst = None, 0, None, 0, 0, 0
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for te, se in zip(pdf["event_type"], pdf["ts_s"]):
+                se = int(se)
+                if t1 == "error" and te == "error":
+                    burst += 1
+                if (
+                    t2 == "view"
+                    and t1 == "click"
+                    and te == "purchase"
+                    and se - s2 <= 3600
+                ):
+                    funnel += 1
+                t2, s2, t1, s1 = t1, s1, te, se
+            state.update((t2, int(s2), t1, int(s1), int(funnel), int(burst)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_funnel": [funnel],
+                    "n_error_burst": [burst],
+                }
+            )
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id BIGINT, n_funnel BIGINT, n_error_burst BIGINT",
+        stateStructType=(
+            "t2 STRING, s2 BIGINT, t1 STRING, s1 BIGINT,"
+            " funnel BIGINT, burst BIGINT"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

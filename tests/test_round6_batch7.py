@@ -116,3 +116,84 @@ def test_dataset_card_invariants(spark):
         assert abs(r.avg_chars - r.total_chars / r.n_docs) < 1e-9
         assert r.n_langs >= 1
         assert r.n_tokens > r.n_docs  # every doc has >1 token
+
+
+def test_pattern_twin_matches_batch(spark, tmp_path):
+    """One drain of the streaming CEP twin reproduces the batch
+    stream_pattern counts exactly — including matches that would span
+    micro-batch boundaries (state carries the 2-event lookback)."""
+    import os
+    import shutil
+
+    from mapreduce_server_spark.streaming import twins
+
+    events_dir = str(tmp_path / "events_src")
+    os.makedirs(events_dir, exist_ok=True)
+    shutil.copyfile(
+        f"{SF001}/events.parquet", os.path.join(events_dir, "events.parquet")
+    )
+    ckpt = str(tmp_path / "pattern_ckpt")
+    stream = twins.events_stream(spark, events_dir, max_files_per_trigger=1)
+    rows = twins.run_collect(twins.pattern(stream), "update", ckpt)
+    # update mode re-emits per trigger — keep the LAST row per user
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_funnel, r.n_error_burst)
+    batch = {
+        r.user_id: (r.n_funnel, r.n_error_burst)
+        for r in REGISTRY["stream_pattern"].fn(spark, SF001).collect()
+    }
+    for uid, counts in batch.items():
+        assert final.get(uid) == counts, (uid, counts, final.get(uid))
+    # users outside the batch result must have matched nothing
+    for uid, (f, b) in final.items():
+        if uid not in batch:
+            assert f == 0 and b == 0, (uid, f, b)
+
+
+def test_lttb_shape_and_endpoints(spark):
+    """Every user series reduces to ≤ B points, endpoints always
+    survive, and every output point is a real input point."""
+    from mapreduce_server_spark.operators.stats_ml import _LTTB_B
+
+    out = REGISTRY["ts_lttb"].fn(spark, SF001).collect()
+    ev = (
+        load_table(spark, SF001, "events")
+        .select("user_id", F.unix_seconds("ts").alias("s"), "value", "event_id")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.s, r.event_id, r.value))
+    got: dict[int, set] = {}
+    for r in out:
+        got.setdefault(r.user_id, set()).add((r.ts_s, r.value))
+    assert set(got) == set(by_user)
+    all_pts = {
+        (u, s, v) for u, rows in by_user.items() for s, _, v in rows
+    }
+    for u, pts in got.items():
+        series = sorted(by_user[u])
+        n = len(series)
+        assert len(pts) == min(n, _LTTB_B), (u, len(pts))
+        if n > _LTTB_B:
+            first, last = series[0], series[-1]
+            assert (first[0], first[2]) in pts
+            assert (last[0], last[2]) in pts
+        for s, v in pts:
+            assert (u, s, v) in all_pts
+
+
+def test_cli_sql_subcommand(spark, capsys):
+    """The ad-hoc SQL surface registers all fixture tables through the
+    normalizing loader and executes a statement end-to-end."""
+    from mapreduce_server_spark.__main__ import main
+
+    rc = main(
+        [
+            "sql",
+            "SELECT count(*) AS n FROM events JOIN orders ON user_id = o_custkey % 1000",
+        ]
+    )
+    assert rc == 0
+    assert "n" in capsys.readouterr().out
