@@ -1397,3 +1397,191 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*out_cols)
     )
     return small.unionAll(endpoints).unionAll(picked)
+
+
+@query(
+    "ml_eval_prf",
+    category="J.sim",
+    oracle=f"""
+WITH conf AS (
+  SELECT t.label AS true_label, p.pred_label, count(*)::BIGINT AS n
+  FROM ({_KNN_LABEL_ORACLE}) p
+  JOIN embeddings t ON t.vec_id = p.vec_id
+  GROUP BY 1, 2
+),
+labels AS (
+  SELECT true_label AS label FROM conf
+  UNION
+  SELECT pred_label FROM conf
+),
+cells AS (
+  SELECT l.label,
+         coalesce(sum(CASE WHEN c.true_label = l.label
+                            AND c.pred_label = l.label THEN c.n END), 0)
+           ::BIGINT AS tp,
+         coalesce(sum(CASE WHEN c.pred_label = l.label
+                            AND c.true_label <> l.label THEN c.n END), 0)
+           ::BIGINT AS fp,
+         coalesce(sum(CASE WHEN c.true_label = l.label
+                            AND c.pred_label <> l.label THEN c.n END), 0)
+           ::BIGINT AS fn
+  FROM labels l LEFT JOIN conf c
+    ON c.true_label = l.label OR c.pred_label = l.label
+  GROUP BY l.label
+)
+SELECT label, tp, fp, fn,
+       round(CASE WHEN tp + fp = 0 THEN 0.0
+                  ELSE tp::DOUBLE / (tp + fp) END, 6) AS precision_,
+       round(CASE WHEN tp + fn = 0 THEN 0.0
+                  ELSE tp::DOUBLE / (tp + fn) END, 6) AS recall_,
+       round(CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                  ELSE (2 * tp)::DOUBLE / (2 * tp + fp + fn) END, 6) AS f1
+FROM cells
+""",
+)
+def ml_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label precision / recall / F1 for the k-NN label propagation
+    — the metric block every weak-supervision run reports next to its
+    confusion matrix. Derived entirely from the (true, pred, n) cells:
+    tp/fp/fn are exact integer sums over the tiny confusion relation
+    (≤ |labels|² rows, broadcast), and each metric is one division of
+    exact integers (F1 in the 2tp/(2tp+fp+fn) single-division form, so
+    no compounded rounding) → bit-identical cross-engine, rounded 6 dp.
+    The label list is the union of observed true and predicted labels,
+    so a label the classifier never emits still reports recall 0."""
+    conf = ml_eval_confusion(spark, sf_dir).cache()
+    labels = (
+        conf.select(F.col("true_label").alias("label"))
+        .union(conf.select("pred_label"))
+        .distinct()
+    )
+    joined = labels.join(
+        conf,
+        (F.col("true_label") == F.col("label"))
+        | (F.col("pred_label") == F.col("label")),
+        "left",
+    )
+    cells = joined.groupBy("label").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("true_label") == F.col("label"))
+                    & (F.col("pred_label") == F.col("label")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        ).alias("tp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("pred_label") == F.col("label"))
+                    & (F.col("true_label") != F.col("label")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        ).alias("fp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("true_label") == F.col("label"))
+                    & (F.col("pred_label") != F.col("label")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        ).alias("fn"),
+    )
+    div = lambda num, den: F.round(
+        F.when(den == 0, F.lit(0.0)).otherwise(
+            num.cast("double") / den
+        ),
+        6,
+    )
+    return cells.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        div(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision_"),
+        div(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall_"),
+        div(2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn")).alias(
+            "f1"
+        ),
+    )
+
+
+_LOGREG_ORACLE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb,
+                  (label % 2)::DOUBLE AS y
+           FROM embeddings),
+x1 AS (SELECT y, generate_subscripts(emb, 1) AS dim1, unnest(emb) AS v
+       FROM e),
+w1 AS (SELECT dim1, round(avg((y - 0.5) * v), 6) AS w FROM x1 GROUP BY 1),
+wv AS (SELECT list(w ORDER BY dim1) AS wl FROM w1),
+s AS (SELECT y, emb,
+             list_sum(list_transform(list_zip(emb, wl),
+                                     p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS z
+      FROM e CROSS JOIN wv),
+p AS (SELECT y, emb, 1.0 / (1.0 + exp(-z)) AS prob FROM s),
+x2 AS (SELECT y, prob, generate_subscripts(emb, 1) AS dim1, unnest(emb) AS v
+       FROM p),
+g2 AS (SELECT dim1, round(avg((y - prob) * v), 6) AS g FROM x2 GROUP BY 1)
+SELECT (w1.dim1 - 1)::BIGINT AS dim, w1.w AS w1,
+       round(w1.w + g2.g, 6) AS w2
+FROM w1 JOIN g2 USING (dim1)
+"""
+
+
+@query("ml_logreg_step", category="J.sim", oracle=_LOGREG_ORACLE)
+def ml_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic full-batch gradient-descent steps of logistic
+    regression (target: label parity) over the embedding corpus — the
+    in-engine trainer shape for linear probes on features the engine
+    already serves. Start at w₀ = 0, where σ(0) = ½ EXACTLY, so step 1's
+    gradient avg((y − ½)·x) needs no transcendental at all; step 2
+    scores z = ⟨x, w₁⟩ with the exact sequential fold and uses the same
+    1/(1+exp(−z)) expression tree on both engines (exp() parity holds
+    in-container — the scalar_trig precedent). Learning rate 1, 6-dp
+    weight pins per step (ml_kmeans hand-off discipline), ascent on
+    avg(y − p)·x. Each step is one corpus scan + one dim-sized
+    partial-agg shuffle — the ml_pca_power cost shape; at 100 TB more
+    epochs are more scans with (dim)-bounded state, i.e. exactly how
+    MLlib's LBFGS/GD treemalized gradients work. Returns (dim, w1, w2).
+    """
+    from ..functions.vector import dot
+
+    e = Tables(spark, sf_dir).embeddings.select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        (F.col("label") % 2).cast("double").alias("y"),
+    ).cache()  # scanned by both steps
+    w1 = (
+        e.select("y", F.posexplode("emb").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.round(F.avg((F.col("y") - 0.5) * F.col("v")), 6).alias("w"))
+    )
+    wv = w1.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "w"))),
+            lambda p: p.getField("w"),
+        ).alias("wl")
+    )
+    scored = e.crossJoin(F.broadcast(wv)).select(
+        "y", "emb", dot(F.col("emb"), F.col("wl")).alias("z")
+    )
+    probs = scored.select(
+        "y", "emb", (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))).alias("prob")
+    )
+    g2 = (
+        probs.select("y", "prob", F.posexplode("emb").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg((F.col("y") - F.col("prob")) * F.col("v")), 6).alias("g")
+        )
+    )
+    return w1.join(g2, "dim").select(
+        F.col("dim").cast("long").alias("dim"),
+        F.col("w").alias("w1"),
+        F.round(F.col("w") + F.col("g"), 6).alias("w2"),
+    )

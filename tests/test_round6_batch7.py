@@ -197,3 +197,52 @@ def test_cli_sql_subcommand(spark, capsys):
     )
     assert rc == 0
     assert "n" in capsys.readouterr().out
+
+
+def test_prf_consistent_with_confusion(spark):
+    """P/R/F1 must recompute exactly from the confusion matrix cells."""
+    conf = REGISTRY["ml_eval_confusion"].fn(spark, SF001).collect()
+    prf = {r.label: r for r in REGISTRY["ml_eval_prf"].fn(spark, SF001).collect()}
+    labels = {r.true_label for r in conf} | {r.pred_label for r in conf}
+    assert set(prf) == labels
+    for lbl in labels:
+        tp = sum(r.n for r in conf if r.true_label == lbl and r.pred_label == lbl)
+        fp = sum(r.n for r in conf if r.pred_label == lbl and r.true_label != lbl)
+        fn = sum(r.n for r in conf if r.true_label == lbl and r.pred_label != lbl)
+        row = prf[lbl]
+        assert (row.tp, row.fp, row.fn) == (tp, fp, fn), lbl
+        if tp + fp:
+            assert abs(row.precision_ - tp / (tp + fp)) < 1e-6
+        if tp + fn:
+            assert abs(row.recall_ - tp / (tp + fn)) < 1e-6
+        if 2 * tp + fp + fn:
+            assert abs(row.f1 - 2 * tp / (2 * tp + fp + fn)) < 1e-6
+
+
+def test_logreg_step_matches_numpy_and_descends(spark):
+    """Replay both 6-dp-pinned GD steps in numpy; the loss after w2 must
+    not exceed the w=0 baseline loss (the step actually learns)."""
+    rows = (
+        load_table(spark, SF001, "embeddings")
+        .select("embedding", "label")
+        .collect()
+    )
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    y = np.array([r.label % 2 for r in rows], dtype=np.float64)
+    w1 = np.round(((y - 0.5)[:, None] * X).mean(axis=0), 6)
+    p = 1.0 / (1.0 + np.exp(-(X @ w1)))
+    w2 = np.round(w1 + np.round(((y - p)[:, None] * X).mean(axis=0), 6), 6)
+    got = {
+        r.dim: (r.w1, r.w2)
+        for r in REGISTRY["ml_logreg_step"].fn(spark, SF001).collect()
+    }
+    assert len(got) == X.shape[1]
+    for j in range(X.shape[1]):
+        assert abs(got[j][0] - w1[j]) < 2e-6, j
+        assert abs(got[j][1] - w2[j]) < 2e-6, j
+
+    def loss(w):
+        z = X @ w
+        return float(np.mean(np.log1p(np.exp(-np.abs(z))) + np.maximum(-z * (2 * y - 1), 0)))
+
+    assert loss(w2) <= loss(np.zeros_like(w2)) + 1e-9
