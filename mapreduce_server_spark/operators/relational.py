@@ -833,3 +833,92 @@ def join_asof_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("last_c_ts").alias("last_click_us"),
         )
     )
+
+
+@query(
+    "join_asof_forward",
+    category="C.join",
+    oracle="""
+SELECT p.event_id, p.user_id, epoch_us(c.ts::TIMESTAMP) AS next_click_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each purchase, the EARLIEST click at-or-
+    after it (pandas ``merge_asof(direction='forward')``; the backward
+    twin is ``join_asof``). Same join+row_number shape with the order
+    flipped; DuckDB verifies with its native forward ASOF JOIN
+    (``p.ts <= c.ts``). The union-form scale path flips too: ascending
+    ts with ``first(click_ts, ignorenulls)`` over the FOLLOWING frame,
+    or equivalently a descending running last — one shuffle, no
+    candidate blow-up on hot users."""
+    ev = Tables(spark, sf_dir).events
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = p.join(
+        c, (p.user_id == F.col("c_user")) & (F.col("p_ts") <= F.col("c_ts"))
+    )
+    w = Window.partitionBy("event_id").orderBy(F.asc("c_ts"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id", "user_id", F.unix_micros("c_ts").alias("next_click_us")
+        )
+    )
+
+
+@query(
+    "join_asof_nearest",
+    category="C.join",
+    oracle="""
+SELECT event_id, user_id, nearest_click_us
+FROM (
+  SELECT p.event_id, p.user_id,
+         epoch_us(c.ts::TIMESTAMP) AS nearest_click_us,
+         abs(epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP)) AS d
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id
+)
+QUALIFY row_number() OVER (PARTITION BY event_id
+                           ORDER BY d, nearest_click_us) = 1
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: for each purchase, the click CLOSEST in time
+    in either direction (pandas ``merge_asof(direction='nearest')``),
+    earlier-click tiebreak on equidistant pairs. Distances are exact
+    integer microsecond deltas, so the argmin is deterministic
+    cross-engine. Completes the as-of family (backward ``join_asof``,
+    forward ``join_asof_forward``, union-form ``join_asof_union``).
+    Scale note: nearest needs BOTH neighbors, so the union form computes
+    a backward running last and a forward running first in one ordered
+    pass per user and keeps the closer — still one shuffle; the
+    join+row_number form here stays candidate-bounded by the user_id
+    equi-key."""
+    ev = Tables(spark, sf_dir).events
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = p.join(c, p.user_id == F.col("c_user")).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("c_ts").alias("nearest_click_us"),
+        F.abs(F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("d"),
+    )
+    w = Window.partitionBy("event_id").orderBy("d", "nearest_click_us")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "nearest_click_us")
+    )

@@ -246,3 +246,36 @@ def test_logreg_step_matches_numpy_and_descends(spark):
         return float(np.mean(np.log1p(np.exp(-np.abs(z))) + np.maximum(-z * (2 * y - 1), 0)))
 
     assert loss(w2) <= loss(np.zeros_like(w2)) + 1e-9
+
+
+def test_asof_nearest_is_min_of_directional(spark):
+    """For every purchase that has both a backward and a forward match,
+    nearest must pick whichever directional candidate is closer (earlier
+    click on exact ties); purchases with only one direction match that
+    one."""
+    back = {
+        r.event_id: r.last_click_us
+        for r in REGISTRY["join_asof"].fn(spark, SF001).collect()
+    }
+    fwd = {
+        r.event_id: r.next_click_us
+        for r in REGISTRY["join_asof_forward"].fn(spark, SF001).collect()
+    }
+    near = {
+        r.event_id: r.nearest_click_us
+        for r in REGISTRY["join_asof_nearest"].fn(spark, SF001).collect()
+    }
+    p_ts = {
+        r.event_id: r.us
+        for r in load_table(spark, SF001, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    }
+    assert set(near) == set(back) | set(fwd)
+    for eid, nv in near.items():
+        b, f = back.get(eid), fwd.get(eid)
+        cands = [c for c in (b, f) if c is not None]
+        best = min(abs(c - p_ts[eid]) for c in cands)
+        ties = sorted(c for c in cands if abs(c - p_ts[eid]) == best)
+        assert nv == ties[0], (eid, nv, b, f)
