@@ -821,3 +821,98 @@ def sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return days.join(users, "event_type").select(
         "event_type", "n_days", "n_users"
     )
+
+
+_KMV_K = 32
+
+
+@query(
+    "sketch_kmv",
+    category="D.agg",
+    oracle=f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashes
+),
+per_type AS (
+  SELECT event_type AS scope,
+         count(*) AS n_keys,
+         max(CASE WHEN rn <= {_KMV_K} THEN h END)::BIGINT AS kth_hash
+  FROM ranked GROUP BY event_type
+),
+merged AS (
+  SELECT '__all__' AS scope, count(*) AS n_keys,
+         max(CASE WHEN rn <= {_KMV_K} THEN h END)::BIGINT AS kth_hash
+  FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM ranked WHERE rn <= {_KMV_K})
+  )
+),
+u AS (
+  SELECT scope, n_keys, kth_hash FROM per_type
+  UNION ALL SELECT scope, n_keys, kth_hash FROM merged
+)
+SELECT scope, n_keys::BIGINT AS n_keys, kth_hash,
+       round(CASE WHEN n_keys < {_KMV_K} THEN n_keys::DOUBLE
+                  ELSE ({_KMV_K} - 1) * 4294967296.0 / kth_hash END, 4)
+         AS est_distinct
+FROM u
+""",
+)
+def sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002) per
+    event type, PLUS the union sketch merged from the per-type sketches
+    alone — the mergeability demo that matters at 100 TB: each partition
+    keeps its k smallest hashes (k·8 bytes of state), partials combine
+    by re-taking the k smallest of the union, and the estimator
+    (k−1)·2³²/h₍ₖ₎ reads cardinality off the kth minimum. Hashes are
+    md5-derived 32-bit ints (sketch_countmin discipline) so the ENTIRE
+    sketch — not just the estimate — is a deterministic pure function of
+    the data, bit-replayable in the oracle; under-filled sketches
+    (n < k) degrade to the exact count. The ``__all__`` row is computed
+    ONLY from the per-type k-mins, never from re-scanning the raw data:
+    that is the sketch-merge contract (matview/rollup-friendly).
+    Note ``n_keys`` counts distinct HASHES (the sketch's own universe;
+    32-bit collisions are the estimator's error term, identically on
+    both engines)."""
+    k = _KMV_K
+    ev = Tables(spark, sf_dir).events
+    hashes = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashes.withColumn("rn", F.row_number().over(w)).cache()
+    per_type = ranked.groupBy(F.col("event_type").alias("scope")).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max(F.when(F.col("rn") <= k, F.col("h"))).alias("kth_hash"),
+    )
+    wall = Window.orderBy("h")
+    merged = (
+        ranked.filter(F.col("rn") <= k)
+        .select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wall))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max(F.when(F.col("rn") <= k, F.col("h"))).alias("kth_hash"),
+        )
+        .select(F.lit("__all__").alias("scope"), "n_keys", "kth_hash")
+    )
+    est = F.round(
+        F.when(F.col("n_keys") < k, F.col("n_keys").cast("double")).otherwise(
+            F.lit(float(k - 1)) * 4294967296.0 / F.col("kth_hash")
+        ),
+        4,
+    )
+    return per_type.unionAll(merged).select(
+        "scope", "n_keys", "kth_hash", est.alias("est_distinct")
+    )

@@ -279,3 +279,37 @@ def test_asof_nearest_is_min_of_directional(spark):
         best = min(abs(c - p_ts[eid]) for c in cands)
         ties = sorted(c for c in cands if abs(c - p_ts[eid]) == best)
         assert nv == ties[0], (eid, nv, b, f)
+
+
+def test_kmv_estimates_and_merge_contract(spark):
+    """KMV estimates land within the theoretical relative-error envelope
+    (~1/sqrt(k-2) ≈ 18% at k=32; allow 3x) of the true distinct-hash
+    counts, and the __all__ sketch derives purely from per-type k-mins."""
+    from mapreduce_server_spark.operators.aggregates import _KMV_K
+
+    rows = {r.scope: r for r in REGISTRY["sketch_kmv"].fn(spark, SF001).collect()}
+    ev = load_table(spark, SF001, "events")
+    types = [r.event_type for r in ev.select("event_type").distinct().collect()]
+    assert set(rows) == set(types) | {"__all__"}
+    # truth for __all__ is the GLOBAL distinct-user count (the merged
+    # row's n_keys is the union-of-kmins size, a sketch-side quantity)
+    truth = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    truth["__all__"] = ev.select("user_id").distinct().count()
+    for scope, r in rows.items():
+        if r.n_keys < _KMV_K:
+            assert r.est_distinct == r.n_keys
+        else:
+            rel = abs(r.est_distinct - truth[scope]) / truth[scope]
+            assert rel < 3.0 / (_KMV_K - 2) ** 0.5, (
+                scope,
+                r.est_distinct,
+                truth[scope],
+            )
+    # merge contract: the union row's kth hash is the kth smallest of the
+    # union of the per-type sketches' k-mins (not of the raw data)
+    assert rows["__all__"].kth_hash >= min(r.kth_hash for r in rows.values())
