@@ -909,3 +909,130 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_pairs"),
         F.round(r, 9).alias("autocorr_lag1"),
     )
+
+
+@query(
+    "ts_holt_seasonal",
+    category="E.window",
+    oracle="""
+WITH RECURSIVE
+gm AS (SELECT sum(value::DECIMAL(18,2))::DOUBLE / count(*) AS m FROM events),
+sz AS (
+  SELECT hour(ts) AS h,
+         sum(value::DECIMAL(18,2))::DOUBLE / count(*) - gm.m AS s
+  FROM events CROSS JOIN gm GROUP BY hour(ts), gm.m
+),
+series AS (
+  SELECT e.user_id, e.value - sz.s AS x, hour(e.ts) AS h,
+         row_number() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts, e.event_id) AS i
+  FROM events e JOIN sz ON sz.h = hour(e.ts)
+),
+holt AS (
+  SELECT user_id, 1::BIGINT AS i, x AS l, 0.0::DOUBLE AS b
+  FROM series WHERE i = 1
+  UNION ALL
+  SELECT s.user_id, s.i,
+         s.x * 0.5 + (h.l + h.b) * 0.5,
+         ((s.x * 0.5 + (h.l + h.b) * 0.5) - h.l) * 0.5 + h.b * 0.5
+  FROM holt h JOIN series s ON s.user_id = h.user_id AND s.i = h.i + 1
+),
+last AS (
+  SELECT user_id, max(i) AS n_events FROM holt GROUP BY 1
+),
+lasth AS (
+  SELECT user_id, h AS h_last FROM series s
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY i DESC) = 1
+)
+SELECT h.user_id, last.n_events, h.l AS level_last, h.b AS trend_last,
+       h.l + h.b + nz.s AS forecast_next
+FROM holt h
+JOIN last ON h.user_id = last.user_id AND h.i = last.n_events
+JOIN lasth ON lasth.user_id = h.user_id
+JOIN sz nz ON nz.h = (lasth.h_last + 1) % 24
+""",
+)
+def ts_holt_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal exponential smoothing in the two-pass production form:
+    (1) an ADDITIVE hour-of-day seasonal index from exact decimal means
+    (hourly mean − global mean, each a single division — the
+    ts_seasonality discipline), broadcast as one 24-slot array; (2) the
+    ``ts_holt`` α=β=½ level+trend fold over the DESEASONALIZED series,
+    re-seasonalizing the one-step forecast with the next hour's index.
+    This is how pipelines actually run Holt-Winters at scale — frozen
+    seasonal profile from history, cheap (level, trend) state per entity
+    — and it completes the smoothing family (ts_ewma → ts_holt →
+    seasonal) without the 24-slot recursive state a full HW fold would
+    need. Bit-exact cross-engine: the index is deterministic division
+    arithmetic, subtraction and the ½-weighted fold are exact IEEE ops
+    in identical association, seed l₁ = x′₁, b₁ = 0.
+
+    Plan: one events scan for the 24-row index (partial agg), one for
+    the fold (user_id shuffle); the index rides a broadcast cross-join.
+    """
+    ev = Tables(spark, sf_dir).events
+    gm = ev.agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    sz = (
+        ev.groupBy(F.hour("ts").alias("h"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("hm")
+        )
+        .crossJoin(F.broadcast(gm))
+        .select("h", (F.col("hm") - F.col("m")).alias("s"))
+    )
+    sarr = sz.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("h", "s"))),
+            lambda p: p.getField("s"),
+        ).alias("sarr")
+    )
+    deseason = ev.crossJoin(F.broadcast(sarr)).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.hour("ts").alias("h"),
+        (
+            F.col("value") - F.element_at(F.col("sarr"), F.hour("ts") + 1)
+        ).alias("x"),
+        F.col("sarr"),
+    )
+    vals = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "x"))),
+        lambda e: e.getField("x"),
+    )
+    last_h = F.element_at(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "h"))),
+            lambda e: e.getField("h"),
+        ),
+        -1,
+    )
+    half = F.lit(0.5)
+    seed = F.struct(F.element_at(vals, 1).alias("l"), F.lit(0.0).alias("b"))
+    new_l = lambda s, x: x * half + (s.getField("l") + s.getField("b")) * half
+    st = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        seed,
+        lambda s, x: F.struct(
+            new_l(s, x).alias("l"),
+            (
+                (new_l(s, x) - s.getField("l")) * half
+                + s.getField("b") * half
+            ).alias("b"),
+        ),
+    )
+    next_s = F.element_at(F.first("sarr"), ((last_h + 1) % 24) + 1)
+    return deseason.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        st.getField("l").alias("level_last"),
+        st.getField("b").alias("trend_last"),
+        (st.getField("l") + st.getField("b") + next_s).alias("forecast_next"),
+    )

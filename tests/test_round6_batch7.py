@@ -313,3 +313,37 @@ def test_kmv_estimates_and_merge_contract(spark):
     # merge contract: the union row's kth hash is the kth smallest of the
     # union of the per-type sketches' k-mins (not of the raw data)
     assert rows["__all__"].kth_hash >= min(r.kth_hash for r in rows.values())
+
+
+def test_holt_seasonal_reduces_to_holt_on_flat_season(spark):
+    """On the deseasonalized series the fold is exactly ts_holt's; check
+    the composition by replaying index + fold in Python for 5 users."""
+    ev = (
+        load_table(spark, SF001, "events")
+        .select("user_id", "ts", "event_id", "value", F.hour("ts").alias("h"))
+        .collect()
+    )
+    tot = sum(round(r.value * 100) for r in ev) / 100.0
+    gm = tot / len(ev)
+    by_h: dict[int, list] = {}
+    for r in ev:
+        by_h.setdefault(r.h, []).append(round(r.value * 100))
+    s = {h: (sum(v) / 100.0) / len(v) - gm for h, v in by_h.items()}
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value, r.h))
+    got = {
+        r.user_id: r for r in REGISTRY["ts_holt_seasonal"].fn(spark, SF001).collect()
+    }
+    for uid in sorted(by_user)[:5]:
+        rows = sorted(by_user[uid])
+        xs = [v - s[h] for _, _, v, h in rows]
+        l, b = xs[0], 0.0
+        for x in xs[1:]:
+            nl = x * 0.5 + (l + b) * 0.5
+            b = (nl - l) * 0.5 + b * 0.5
+            l = nl
+        r = got[uid]
+        assert r.n_events == len(rows)
+        assert r.level_last == l and r.trend_last == b, uid
+        assert r.forecast_next == l + b + s[(rows[-1][3] + 1) % 24], uid
