@@ -1036,3 +1036,128 @@ def ts_holt_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.getField("b").alias("trend_last"),
         (st.getField("l") + st.getField("b") + next_s).alias("forecast_next"),
     )
+
+
+@query(
+    "rec_lift_pairs",
+    category="D.agg",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+item AS (SELECT l_partkey, count(*) AS n_item FROM op GROUP BY 1),
+pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT part_a, part_b, n_ab,
+       round((p.n_ab * n.n_orders)::DOUBLE / (ia.n_item * ib.n_item), 6)
+         AS lift
+FROM pair p
+JOIN item ia ON ia.l_partkey = p.part_a
+JOIN item ib ON ib.l_partkey = p.part_b
+CROSS JOIN n
+QUALIFY row_number() OVER (ORDER BY lift DESC, part_a, part_b) <= 20
+""",
+)
+def rec_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining: the 20 part pairs with the highest LIFT
+    (P(ab)/(P(a)·P(b)), min support 3 baskets) — the market-basket
+    recommendation score, computed as (n_ab · N)/(n_a · n_b): ALL
+    integer products with ONE final division, so the ranking key is
+    bit-deterministic cross-engine (with a (part_a, part_b) tiebreak
+    for equal lifts). Reuses the cooccur_parts basket-local pair plan —
+    the per-item counts broadcast onto the pair aggregate, the global
+    basket count rides a 1-row cross join, and the top-20 runs on the
+    already-aggregated pair relation (bounded single-partition sort,
+    the topk_global discipline)."""
+    li = Tables(spark, sf_dir).lineitem
+    op = li.select("l_orderkey", "l_partkey").distinct().cache()
+    n = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pair = (
+        a.join(b, ["l_orderkey"])
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("na"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("nb"))
+    scored = (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift"), "part_a", "part_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+
+
+_BENFORD_DIGITS = list(range(1, 10))
+
+
+@query(
+    "stat_benford",
+    category="D.agg",
+    oracle="""
+WITH pos AS (SELECT event_type, value FROM events WHERE value >= 1.0),
+digits AS (
+  SELECT event_type,
+         floor(value / power(10, floor(log10(value))))::BIGINT AS d
+  FROM pos
+),
+n AS (SELECT event_type, count(*) AS n_values FROM digits GROUP BY 1)
+SELECT d.event_type, d.d AS digit, count(*) AS n,
+       round(count(*)::DOUBLE / n.n_values, 6) AS share,
+       round(log10(1.0 + 1.0 / d.d), 6) AS benford_share
+FROM digits d JOIN n USING (event_type)
+GROUP BY d.event_type, d.d, n.n_values
+""",
+)
+def stat_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen: observed vs theoretical first-significant-
+    digit distribution of event values per type — the classic
+    fabricated-data / instrumentation-bug detector. The digit extraction
+    floor(v / 10^⌊log10 v⌋) and the reference shares log10(1 + 1/d) use
+    the engines' shared libm (scalar_trig parity precedent; ties at
+    exact powers of 10 cannot flip because 2-dp values hit them exactly
+    and log10 of an exact power is exact); observed share is one
+    division of exact counts. Values < 1 are excluded (their first
+    significant digit needs a different normalization — a WHERE, not a
+    special case). One scan, one (type, digit) partial-agg shuffle."""
+    ev = Tables(spark, sf_dir).events
+    pos = ev.filter(F.col("value") >= 1.0)
+    digits = pos.select(
+        "event_type",
+        (F.col("value") / F.pow(F.lit(10.0), F.floor(F.log10("value"))))
+        .cast("long")
+        .alias("d"),
+    )
+    counts = digits.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n = counts.groupBy("event_type").agg(F.sum("n").alias("n_values"))
+    return counts.join(F.broadcast(n), "event_type").select(
+        "event_type",
+        F.col("d").alias("digit"),
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_values"), 6).alias("share"),
+        F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("benford_share"),
+    )

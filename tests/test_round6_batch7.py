@@ -347,3 +347,55 @@ def test_holt_seasonal_reduces_to_holt_on_flat_season(spark):
         assert r.n_events == len(rows)
         assert r.level_last == l and r.trend_last == b, uid
         assert r.forecast_next == l + b + s[(rows[-1][3] + 1) % 24], uid
+
+
+def test_benford_shares_partition_and_reference_sums_to_one(spark):
+    """Per type the observed shares sum to 1 (within 9 roundings) and
+    the Benford reference shares are the textbook log10(1+1/d) table."""
+    import math
+
+    rows = REGISTRY["stat_benford"].fn(spark, SF001).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert 1 <= r.digit <= 9
+        assert abs(r.benford_share - round(math.log10(1 + 1 / r.digit), 6)) < 1e-9
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        assert abs(sum(r.share for r in rs) - 1.0) < 9e-6, t
+        n_tot = sum(r.n for r in rs)
+        for r in rs:
+            assert abs(r.share - r.n / n_tot) < 1e-6
+
+
+def test_lift_pairs_replay(spark):
+    """Replay lift scoring in Python from raw baskets for the returned
+    top-20: values must match and the list must be lift-descending."""
+    li = (
+        load_table(spark, SF001, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    from collections import Counter, defaultdict
+
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    n_orders = len(baskets)
+    item = Counter()
+    pair = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        item.update(ps)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                pair[(a, b)] += 1
+    out = REGISTRY["rec_lift_pairs"].fn(spark, SF001).collect()
+    assert len(out) == 20
+    lifts = [r.lift for r in out]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in out:
+        n_ab = pair[(r.part_a, r.part_b)]
+        assert n_ab == r.n_ab and n_ab >= 3
+        expect = round(n_ab * n_orders / (item[r.part_a] * item[r.part_b]), 6)
+        assert abs(r.lift - expect) < 1e-9
