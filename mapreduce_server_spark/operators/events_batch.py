@@ -388,3 +388,68 @@ def stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_funnel") > 0) | (F.col("n_error_burst") > 0))
     )
+
+
+@query(
+    "matview_incremental",
+    category="A.sink",
+    oracle="""
+SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS day_s,
+       event_type,
+       count(*) AS n,
+       sum(value::DECIMAL(18,2))::DOUBLE AS sum_value,
+       max(value) AS max_value,
+       count(DISTINCT user_id) AS n_users_exact
+FROM events
+GROUP BY 1, 2
+""",
+)
+def matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance, verified against full
+    recompute: the daily (day × type) rollup is built as BASE (all days
+    but the last) + DELTA (the last day only), merged by RE-AGGREGATING
+    PARTIALS — count via sum, decimal sum via sum, max via max, and the
+    distinct-user count via the union of per-side distinct (day, type,
+    user) keys (the only non-trivially-mergeable metric; at 100 TB this
+    slot is an HLL/bitmap partial — sketch_hll_merge / sketch_
+    bitmap_distinct are the registered scale forms). The ORACLE is the
+    one-shot full recompute, so the driver hash proves merge ≡ rebuild —
+    the invariant that makes nightly-view + intraday-delta serving
+    correct. Plan: each side aggregates partially before its shuffle;
+    the delta side's scan prunes to one day (at scale: one partition of
+    a day-partitioned sink, so refresh cost is O(delta), not O(view))."""
+    ev = Tables(spark, sf_dir).events
+    day = F.unix_seconds(F.date_trunc("day", "ts")).alias("day_s")
+    cutoff = ev.agg(
+        F.max(F.unix_seconds(F.date_trunc("day", "ts"))).alias("last_day")
+    )
+    tagged = ev.select(
+        day, "event_type", "value", "user_id"
+    ).crossJoin(F.broadcast(cutoff))
+
+    def rollup(side):
+        return side.groupBy("day_s", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+            F.max("value").alias("max_value"),
+        )
+
+    base = rollup(tagged.filter(F.col("day_s") < F.col("last_day")))
+    delta = rollup(tagged.filter(F.col("day_s") == F.col("last_day")))
+    merged = (
+        base.unionAll(delta)
+        .groupBy("day_s", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    # distinct users: merge per-side key sets (union is the partial)
+    keys = tagged.select("day_s", "event_type", "user_id").distinct()
+    users = keys.groupBy("day_s", "event_type").agg(
+        F.count(F.lit(1)).alias("n_users_exact")
+    )
+    return merged.join(users, ["day_s", "event_type"]).select(
+        "day_s", "event_type", "n", "sum_value", "max_value", "n_users_exact"
+    )

@@ -1585,3 +1585,133 @@ def ml_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("w1"),
         F.round(F.col("w") + F.col("g"), 6).alias("w2"),
     )
+
+
+_PCA2_ORACLE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+x1 AS (SELECT emb[1] AS s, generate_subscripts(emb, 1) AS dim1,
+              unnest(emb) AS v
+       FROM e),
+a1 AS (SELECT dim1, round(avg(v * s), 6) AS w FROM x1 GROUP BY 1),
+n1 AS (SELECT sqrt(list_sum(list_transform(list(w ORDER BY dim1),
+                                           x -> x * x))) AS nrm
+       FROM a1),
+v1 AS (SELECT list(round(w / nrm, 6) ORDER BY dim1) AS vv
+       FROM a1 CROSS JOIN n1),
+s2 AS (SELECT vec_id, emb,
+              list_sum(list_transform(list_zip(emb, vv),
+                                      p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS s
+       FROM e CROSS JOIN v1),
+x2 AS (SELECT s, generate_subscripts(emb, 1) AS dim1, unnest(emb) AS v
+       FROM s2),
+a2 AS (SELECT dim1, round(avg(v * s), 6) AS w FROM x2 GROUP BY 1),
+n2 AS (SELECT sqrt(list_sum(list_transform(list(w ORDER BY dim1),
+                                           x -> x * x))) AS nrm
+       FROM a2),
+pc1 AS (SELECT list(round(w / nrm, 6) ORDER BY dim1) AS vv
+        FROM a2 CROSS JOIN n2),
+sc AS (SELECT vec_id, emb, vv,
+              list_sum(list_transform(list_zip(emb, vv),
+                                      p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS t
+       FROM e CROSS JOIN pc1),
+d AS (SELECT vec_id,
+             list_transform(list_zip(emb, vv),
+                            p -> p[1]::DOUBLE - t * p[2]::DOUBLE) AS emb
+      FROM sc),
+y1 AS (SELECT emb[2] AS s, generate_subscripts(emb, 1) AS dim1,
+              unnest(emb) AS v
+       FROM d),
+b1 AS (SELECT dim1, round(avg(v * s), 6) AS w FROM y1 GROUP BY 1),
+m1 AS (SELECT sqrt(list_sum(list_transform(list(w ORDER BY dim1),
+                                           x -> x * x))) AS nrm
+       FROM b1),
+u1 AS (SELECT list(round(w / nrm, 6) ORDER BY dim1) AS vv
+       FROM b1 CROSS JOIN m1),
+t2 AS (SELECT vec_id, emb,
+              list_sum(list_transform(list_zip(emb, vv),
+                                      p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS s
+       FROM d CROSS JOIN u1),
+y2 AS (SELECT s, generate_subscripts(emb, 1) AS dim1, unnest(emb) AS v
+       FROM t2),
+b2 AS (SELECT dim1, round(avg(v * s), 6) AS w FROM y2 GROUP BY 1),
+m2 AS (SELECT sqrt(list_sum(list_transform(list(w ORDER BY dim1),
+                                           x -> x * x))) AS nrm
+       FROM b2)
+SELECT (dim1 - 1)::BIGINT AS dim, round(w / nrm, 6) AS loading
+FROM b2 CROSS JOIN m2
+"""
+
+
+@query("ml_pca_deflate", category="J.sim", oracle=_PCA2_ORACLE)
+def ml_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second principal direction via DEFLATION: every row is projected
+    off the ml_pca_power direction map-side (x′ = x − ⟨x, v₁⟩·v₁ — one
+    fold and one zip per row, no shuffle), then the same two 6-dp-pinned
+    power iterations run on the deflated corpus (start vector e₁).
+    Composes the REGISTERED pc1 plan — the deflation ladder is how all
+    further components come out of the same machinery, one corpus scan
+    pair per component, state never exceeding the dim-sized aggregate.
+    The pc1 hand-off is the 6-dp rounded unit vector, so the oracle
+    replays pc1, the projection, and both pc2 iterations bit-for-bit.
+    """
+    from ..functions.vector import dot, fsum
+
+    e = Tables(spark, sf_dir).embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    ).cache()  # scanned by pc1 (via its own cache), deflation and both pc2 iterations
+    pc1_row = ml_pca_power(spark, sf_dir).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "loading"))),
+            lambda p: p.getField("loading"),
+        ).alias("vv")
+    )
+    sc = e.crossJoin(F.broadcast(pc1_row)).select(
+        "vec_id", "emb", "vv", dot(F.col("emb"), F.col("vv")).alias("t")
+    )
+    d = sc.select(
+        "vec_id",
+        F.zip_with("emb", "vv", lambda x, v: x - F.col("t") * v).alias("emb"),
+    ).cache()  # deflated corpus feeds both pc2 iterations
+
+    def agg_dir(scored: DataFrame) -> DataFrame:
+        return (
+            scored.select("s", F.posexplode("emb").alias("dim", "v"))
+            .groupBy("dim")
+            .agg(F.round(F.avg(F.col("v") * F.col("s")), 6).alias("w"))
+        )
+
+    b1 = agg_dir(d.select("emb", F.col("emb").getItem(1).alias("s")))
+    u1 = b1.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "w"))),
+            lambda p: p.getField("w"),
+        ).alias("wv")
+    ).select(
+        F.transform(
+            "wv",
+            lambda x: F.round(
+                x / F.sqrt(fsum(F.transform("wv", lambda y: y * y))), 6
+            ),
+        ).alias("vv")
+    )
+    b2 = agg_dir(
+        d.crossJoin(F.broadcast(u1)).select(
+            "emb", dot(F.col("emb"), F.col("vv")).alias("s")
+        )
+    )
+    m2 = b2.agg(
+        F.sqrt(
+            fsum(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "w"))),
+                    lambda p: p.getField("w") * p.getField("w"),
+                )
+            )
+        ).alias("nrm")
+    )
+    return b2.crossJoin(F.broadcast(m2)).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("w") / F.col("nrm"), 6).alias("loading"),
+    )

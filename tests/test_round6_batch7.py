@@ -399,3 +399,54 @@ def test_lift_pairs_replay(spark):
         assert n_ab == r.n_ab and n_ab >= 3
         expect = round(n_ab * n_orders / (item[r.part_a] * item[r.part_b]), 6)
         assert abs(r.lift - expect) < 1e-9
+
+
+def test_pca_deflate_orthogonal_and_unit(spark):
+    """PC2 must be (near-)unit and (near-)orthogonal to PC1, and must
+    capture less or equal variance than PC1 on the raw corpus."""
+    v1 = np.array(
+        [
+            r.loading
+            for r in sorted(
+                REGISTRY["ml_pca_power"].fn(spark, SF001).collect(),
+                key=lambda r: r.dim,
+            )
+        ]
+    )
+    v2 = np.array(
+        [
+            r.loading
+            for r in sorted(
+                REGISTRY["ml_pca_deflate"].fn(spark, SF001).collect(),
+                key=lambda r: r.dim,
+            )
+        ]
+    )
+    assert abs(np.linalg.norm(v2) - 1.0) < 1e-4
+    assert abs(float(v1 @ v2)) < 1e-2  # 2 power iterations ≈ orthogonal
+    rows = load_table(spark, SF001, "embeddings").select("embedding").collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    assert float(((X @ v2) ** 2).mean()) <= float(((X @ v1) ** 2).mean()) * 1.01
+
+
+def test_matview_incremental_equals_full_rebuild(spark):
+    """Merged base+delta partials must equal the one-shot rollup."""
+    full = (
+        load_table(spark, SF001, "events")
+        .groupBy(
+            F.unix_seconds(F.date_trunc("day", "ts")).alias("day_s"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sv"),
+            F.countDistinct("user_id").alias("u"),
+        )
+        .collect()
+    )
+    want = {(r.day_s, r.event_type): (r.n, r.sv, r.u) for r in full}
+    got = {
+        (r.day_s, r.event_type): (r.n, r.sum_value, r.n_users_exact)
+        for r in REGISTRY["matview_incremental"].fn(spark, SF001).collect()
+    }
+    assert got == want
