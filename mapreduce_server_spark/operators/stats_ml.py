@@ -659,8 +659,8 @@ def stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH RECURSIVE series AS (
   SELECT user_id, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
-         coalesce((epoch(ts)::BIGINT
-                   - lag(epoch(ts)::BIGINT)
+         coalesce((epoch_us(ts) // 1000000
+                   - lag(epoch_us(ts) // 1000000)
                      OVER (PARTITION BY user_id ORDER BY ts, event_id))
                   // 3600, 0) AS dh
   FROM events
@@ -688,8 +688,9 @@ def ts_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the shift in range; beyond that the contribution is < 2⁻⁶²) —
     so every multiply is an exponent shift and the adds run in
     identical order. Δh comes from integer epoch-second arithmetic
-    (floor-div 3600; DuckDB's epoch()::BIGINT truncation matches
-    unix_seconds — ARCHITECTURE §4 rule 5). The gap is computed with a
+    (floor-div 3600; the oracle uses epoch_us // 1e6 because DuckDB's
+    epoch()::BIGINT ROUNDS sub-second fractions where unix_seconds
+    truncates — ARCHITECTURE §4 rule 5, re-verified building ts_lttb). The gap is computed with a
     lag window BEFORE the collect fold, so the whole op is one
     user-keyed shuffle; the oracle is a recursive CTE (scalar state, but
     kept consistent with the ts_holt template). Output is unrounded —
