@@ -636,3 +636,67 @@ def pattern(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def kmv(stream: DataFrame, k: int = 32) -> DataFrame:
+    """Streaming twin of ``sketch_kmv``: a running k-minimum-values
+    distinct-user estimate per event type. State is exactly the sketch —
+    the k smallest md5-derived hashes seen so far (k·8 bytes per key,
+    the mergeable partial the batch op re-aggregates) — so the drained
+    final state must BIT-MATCH the batch sketch on the same data
+    (``test_kmv_twin_matches_batch``): same hashes, same kth minimum,
+    same estimate arithmetic ((k−1)·2³²/h₍ₖ₎, exact count when
+    under-filled)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = stream.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        mins = list(state.get[0]) if state.exists else []
+        have = set(mins)
+        for pdf in pdf_iter:
+            for h in pdf["h"]:
+                h = int(h)
+                if h in have:
+                    continue
+                if len(mins) < k:
+                    mins.append(h)
+                    have.add(h)
+                    mins.sort()
+                elif h < mins[-1]:
+                    have.discard(mins[-1])
+                    mins[-1] = h
+                    have.add(h)
+                    mins.sort()
+        state.update((mins,))
+        kth = mins[-1] if len(mins) == k else None
+        est = (
+            float(len(mins))
+            if kth is None
+            else (k - 1) * 4294967296.0 / kth
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_mins": [len(mins)],
+                "kth_hash": [kth],
+                "est_distinct": [round(est, 4)],
+            }
+        )
+
+    return src.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "event_type STRING, n_mins BIGINT, kth_hash BIGINT,"
+            " est_distinct DOUBLE"
+        ),
+        stateStructType="mins ARRAY<BIGINT>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

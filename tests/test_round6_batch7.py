@@ -450,3 +450,30 @@ def test_matview_incremental_equals_full_rebuild(spark):
         for r in REGISTRY["matview_incremental"].fn(spark, SF001).collect()
     }
     assert got == want
+
+
+def test_kmv_twin_matches_batch(spark, tmp_path):
+    """The drained streaming KMV state reproduces the batch sketch
+    bit-for-bit per event type: same kth minimum, same estimate."""
+    import os
+    import shutil
+
+    from mapreduce_server_spark.streaming import twins
+
+    events_dir = str(tmp_path / "events_src")
+    os.makedirs(events_dir, exist_ok=True)
+    shutil.copyfile(
+        f"{SF001}/events.parquet", os.path.join(events_dir, "events.parquet")
+    )
+    ckpt = str(tmp_path / "kmv_ckpt")
+    stream = twins.events_stream(spark, events_dir, max_files_per_trigger=1)
+    rows = twins.run_collect(twins.kmv(stream), "update", ckpt)
+    final = {}
+    for r in rows:
+        final[r.event_type] = (r.kth_hash, r.est_distinct)
+    batch = {
+        r.scope: (r.kth_hash, r.est_distinct)
+        for r in REGISTRY["sketch_kmv"].fn(spark, SF001).collect()
+        if r.scope != "__all__"
+    }
+    assert final == batch
