@@ -28,9 +28,10 @@ SFS = [
 def main() -> int:
     from pyspark.sql import SparkSession
 
+    from bench import HEADLINE
     from mapreduce_server_spark import REGISTRY
 
-    keys = sorted(k for k, s in REGISTRY.items() if "headline" in s.tags)
+    keys = list(HEADLINE)  # the exact bench-gate query set
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
