@@ -922,3 +922,63 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "nearest_click_us")
     )
+
+
+@query(
+    "join_attribution",
+    category="C.join",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts,
+             json_extract_string(props, '$.k')::BIGINT % 10 AS campaign
+      FROM events WHERE event_type = 'click'),
+attr AS (
+  SELECT p.event_id, coalesce(c.campaign, -1) AS campaign, p.value
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT campaign,
+       count(*) AS n_purchases,
+       sum(value::DECIMAL(18,2))::DOUBLE AS revenue
+FROM attr
+GROUP BY campaign
+""",
+)
+def join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase's value is credited
+    to the CAMPAIGN of the user's latest click at-or-before it (campaign
+    = click props.k mod 10 — the JSON-typed dimension), purchases with
+    no prior click to the organic bucket −1 — the marketing-analytics
+    query every events platform serves, composed from machinery already
+    verified piecewise (backward as-of match, JSON extraction, decimal
+    revenue sums). DuckDB verifies with a native ASOF LEFT JOIN. The
+    Spark plan is the join+row_number as-of bounded by the user_id
+    equi-key, then one (campaign)-keyed partial-agg shuffle; at 100 TB
+    the as-of step flips to the union-form running last
+    (join_asof_union) and the aggregate is unchanged."""
+    ev = Tables(spark, sf_dir).events
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        (F.get_json_object("props", "$.k").cast("long") % 10).alias("campaign"),
+    )
+    joined = p.join(
+        c, (p.user_id == F.col("c_user")) & (F.col("p_ts") >= F.col("c_ts")), "left"
+    )
+    w = Window.partitionBy("event_id").orderBy(F.desc_nulls_last("c_ts"))
+    attr = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            F.coalesce(F.col("campaign"), F.lit(-1)).alias("campaign"),
+            "value",
+        )
+    )
+    return attr.groupBy("campaign").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )

@@ -477,3 +477,22 @@ def test_kmv_twin_matches_batch(spark, tmp_path):
         if r.scope != "__all__"
     }
     assert final == batch
+
+
+def test_attribution_conserves_revenue(spark):
+    """Attribution is a partition of purchases: counts and revenue sum
+    to the raw purchase totals regardless of campaign assignment."""
+    out = REGISTRY["join_attribution"].fn(spark, SF001).collect()
+    ev = load_table(spark, SF001, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    n = ev.count()
+    total = sum(
+        r.c
+        for r in ev.select(
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c")
+        ).collect()
+    )
+    assert sum(r.n_purchases for r in out) == n
+    assert abs(sum(r.revenue for r in out) - total / 100.0) < 1e-6
+    assert {r.campaign for r in out} <= set(range(-1, 10))
