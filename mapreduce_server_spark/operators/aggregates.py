@@ -916,3 +916,120 @@ def sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.unionAll(merged).select(
         "scope", "n_keys", "kth_hash", est.alias("est_distinct")
     )
+
+
+@query(
+    "sketch_kmv_jaccard",
+    category="D.agg",
+    oracle=f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS h
+  FROM events
+),
+sk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hashes
+  ) WHERE rn <= {_KMV_K}
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM sk) a
+  JOIN (SELECT DISTINCT event_type FROM sk) b ON a.event_type < b.event_type
+),
+uni AS (
+  SELECT p.type_a, p.type_b, s.h,
+         row_number() OVER (PARTITION BY p.type_a, p.type_b ORDER BY s.h) AS rn
+  FROM pairs p
+  JOIN (SELECT DISTINCT event_type, h FROM sk) s
+    ON s.event_type IN (p.type_a, p.type_b)
+  GROUP BY p.type_a, p.type_b, s.h
+),
+kmin AS (SELECT type_a, type_b, h FROM uni WHERE rn <= {_KMV_K}),
+inter AS (
+  SELECT k.type_a, k.type_b,
+         count(*) AS k_eff,
+         sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                  THEN 1 ELSE 0 END)::BIGINT AS n_both
+  FROM kmin k
+  LEFT JOIN sk sa ON sa.event_type = k.type_a AND sa.h = k.h
+  LEFT JOIN sk sb ON sb.event_type = k.type_b AND sb.h = k.h
+  GROUP BY k.type_a, k.type_b
+)
+SELECT type_a, type_b, k_eff::BIGINT AS k_eff, n_both,
+       round(n_both::DOUBLE / k_eff, 6) AS jaccard_est
+FROM inter
+""",
+)
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA: pairwise user-set Jaccard between event types
+    estimated purely from the per-type KMV sketches — the k smallest
+    hashes of the union of two sketches form a uniform sample of the
+    union, and the fraction present in BOTH sketches estimates
+    J = |A∩B|/|A∪B| (Beyer et al., SIGMOD'07). Nothing re-touches the
+    raw data after the one sketch-build scan: pair enumeration, union
+    k-mins and membership probes all run on |types|·k rows — this is
+    how audience-overlap questions get answered at 100 TB, from
+    partials a rollup already maintains. Deterministic md5 hashing
+    end-to-end, so the estimate replays exactly in the oracle."""
+    k = _KMV_K
+    ev = Tables(spark, sf_dir).events
+    hashes = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("event_type", "h")
+        .cache()  # probed three times (pair union + two membership sides)
+    )
+    types = sk.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    uni = (
+        pairs.join(
+            sk.withColumnRenamed("event_type", "et"),
+            (F.col("et") == F.col("type_a")) | (F.col("et") == F.col("type_b")),
+        )
+        .select("type_a", "type_b", "h")
+        .distinct()
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy("h")
+    kmin = uni.withColumn("rn", F.row_number().over(wu)).filter(F.col("rn") <= k)
+    sa = sk.select(
+        F.col("event_type").alias("type_a"), F.col("h").alias("h"), F.lit(1).alias("ina")
+    )
+    sb = sk.select(
+        F.col("event_type").alias("type_b"), F.col("h").alias("h"), F.lit(1).alias("inb")
+    )
+    inter = (
+        kmin.join(F.broadcast(sa), ["type_a", "h"], "left")
+        .join(F.broadcast(sb), ["type_b", "h"], "left")
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("k_eff"),
+            F.sum(
+                ((F.col("ina") == 1) & (F.col("inb") == 1)).cast("long")
+            ).alias("n_both"),
+        )
+    )
+    return inter.select(
+        "type_a",
+        "type_b",
+        "k_eff",
+        "n_both",
+        F.round(F.col("n_both").cast("double") / F.col("k_eff"), 6).alias(
+            "jaccard_est"
+        ),
+    )

@@ -444,3 +444,107 @@ def quality_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.round(F.max(dist), 6).alias("ks"))
     )
+
+
+_DRIFT_COLS = ("text", "lang", "source", "n_chars")
+
+
+def _schema_drift_oracle() -> str:
+    branches = []
+    for c in _DRIFT_COLS:
+        branches.append(
+            f"""SELECT '{c}' AS col_name, side, count(*) AS n_rows,
+       count(*) - count({c}) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       min({c}::VARCHAR) AS min_str, max({c}::VARCHAR) AS max_str
+FROM halves GROUP BY side"""
+        )
+    inner = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH halves AS (
+  SELECT CASE WHEN doc_id % 10 >= 8 THEN 'incoming' ELSE 'base' END AS side,
+         text, lang, source, n_chars
+  FROM documents
+),
+prof AS ({inner})
+SELECT b.col_name,
+       b.n_rows AS base_rows, i.n_rows AS inc_rows,
+       round(b.n_null::DOUBLE / b.n_rows, 6) AS base_null_rate,
+       round(i.n_null::DOUBLE / i.n_rows, 6) AS inc_null_rate,
+       b.n_distinct AS base_distinct, i.n_distinct AS inc_distinct,
+       (i.min_str < b.min_str OR i.max_str > b.max_str) AS range_expanded
+FROM (SELECT * FROM prof WHERE side = 'base') b
+JOIN (SELECT * FROM prof WHERE side = 'incoming') i USING (col_name)
+"""
+
+
+@query("quality_schema_drift", category="L.quality", oracle=_schema_drift_oracle())
+def quality_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-gate schema/profile drift: the incoming batch (doc_id %
+    10 ≥ 8 — the pipeline_incremental_dedup split) profiled against the
+    existing corpus column-by-column — null-rate shift, distinct-count
+    shift, and whether the incoming batch EXPANDS a column's observed
+    lexicographic range (new categories / out-of-range values), which is
+    the cheap proxy for "this load would break downstream assumptions".
+    ONE scan over both halves (side is a derived column, so base and
+    incoming profile in the same wide aggregate — the dq_profile shape
+    with a side key), then a |cols|-row self-join. At 100 TB the
+    incoming side reads only the new partition; rates are single
+    divisions of exact counts."""
+    d = Tables(spark, sf_dir).documents
+    halves = d.select(
+        F.when(F.col("doc_id") % 10 >= 8, "incoming").otherwise("base").alias(
+            "side"
+        ),
+        *_DRIFT_COLS,
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _DRIFT_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__mn"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__mx"),
+        ]
+    prof_wide = halves.groupBy("side").agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in _DRIFT_COLS
+    )
+    prof = prof_wide.selectExpr(
+        "side",
+        "n_rows",
+        f"stack({len(_DRIFT_COLS)}, {stack_args})"
+        " AS (col_name, n_notnull, n_distinct, min_str, max_str)",
+    )
+    b = prof.filter(F.col("side") == "base").select(
+        "col_name",
+        F.col("n_rows").alias("base_rows"),
+        (F.col("n_rows") - F.col("n_notnull")).alias("b_null"),
+        F.col("n_distinct").alias("base_distinct"),
+        F.col("min_str").alias("b_min"),
+        F.col("max_str").alias("b_max"),
+    )
+    i = prof.filter(F.col("side") == "incoming").select(
+        "col_name",
+        F.col("n_rows").alias("inc_rows"),
+        (F.col("n_rows") - F.col("n_notnull")).alias("i_null"),
+        F.col("n_distinct").alias("inc_distinct"),
+        F.col("min_str").alias("i_min"),
+        F.col("max_str").alias("i_max"),
+    )
+    return b.join(i, "col_name").select(
+        "col_name",
+        "base_rows",
+        "inc_rows",
+        F.round(F.col("b_null").cast("double") / F.col("base_rows"), 6).alias(
+            "base_null_rate"
+        ),
+        F.round(F.col("i_null").cast("double") / F.col("inc_rows"), 6).alias(
+            "inc_null_rate"
+        ),
+        "base_distinct",
+        "inc_distinct",
+        (
+            (F.col("i_min") < F.col("b_min")) | (F.col("i_max") > F.col("b_max"))
+        ).alias("range_expanded"),
+    )

@@ -496,3 +496,33 @@ def test_attribution_conserves_revenue(spark):
     assert sum(r.n_purchases for r in out) == n
     assert abs(sum(r.revenue for r in out) - total / 100.0) < 1e-6
     assert {r.campaign for r in out} <= set(range(-1, 10))
+
+
+def test_kmv_jaccard_tracks_exact_overlap(spark):
+    """The sketch-only Jaccard estimate must land near the exact
+    user-set Jaccard for every type pair (k=32 → generous envelope),
+    and all 10 unordered pairs of the 5 types must appear."""
+    out = REGISTRY["sketch_kmv_jaccard"].fn(spark, SF001).collect()
+    assert len(out) == 10
+    ev = load_table(spark, SF001, "events").select("event_type", "user_id").collect()
+    sets: dict[str, set] = {}
+    for r in ev:
+        sets.setdefault(r.event_type, set()).add(r.user_id)
+    for r in out:
+        a, b = sets[r.type_a], sets[r.type_b]
+        exact = len(a & b) / len(a | b)
+        assert abs(r.jaccard_est - exact) < 0.35, (r.type_a, r.type_b, exact)
+        assert 0.0 <= r.jaccard_est <= 1.0
+
+
+def test_schema_drift_profiles_are_consistent(spark):
+    """Row counts per side must match the split; distinct counts of the
+    incoming side can never exceed the side's row count."""
+    out = {r.col_name: r for r in REGISTRY["quality_schema_drift"].fn(spark, SF001).collect()}
+    d = load_table(spark, SF001, "documents")
+    n_inc = d.filter(F.col("doc_id") % 10 >= 8).count()
+    n_base = d.count() - n_inc
+    for c, r in out.items():
+        assert (r.base_rows, r.inc_rows) == (n_base, n_inc), c
+        assert r.inc_distinct <= r.inc_rows and r.base_distinct <= r.base_rows
+        assert 0.0 <= r.base_null_rate <= 1.0 and 0.0 <= r.inc_null_rate <= 1.0
