@@ -1716,3 +1716,147 @@ def ml_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("long").alias("dim"),
         F.round(F.col("w") / F.col("nrm"), 6).alias("loading"),
     )
+
+
+_NB_ORACLE = """
+WITH train AS (SELECT source, text FROM documents WHERE (doc_id // 20) % 2 = 0),
+test AS (SELECT doc_id, source AS true_source, text FROM documents
+         WHERE (doc_id // 20) % 2 = 1),
+tok AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM train),
+wc AS (SELECT source, word, count(*) AS cnt FROM tok GROUP BY 1, 2),
+tot AS (SELECT source, sum(cnt)::BIGINT AS tot_c FROM wc GROUP BY 1),
+vocab AS (SELECT DISTINCT word FROM tok),
+vsize AS (SELECT count(*)::BIGINT AS v FROM vocab),
+prior AS (
+  SELECT source, count(*) AS n_c,
+         (SELECT count(*) FROM train) AS n FROM train GROUP BY 1
+),
+grid AS (
+  SELECT t.source, v.word, coalesce(wc.cnt, 0) AS cnt, t.tot_c
+  FROM vocab v CROSS JOIN tot t
+  LEFT JOIN wc ON wc.source = t.source AND wc.word = v.word
+),
+twc AS (
+  SELECT doc_id, true_source, word, count(*) AS n_w
+  FROM (SELECT doc_id, true_source,
+               unnest(string_split(text, ' ')) AS word FROM test)
+  GROUP BY 1, 2, 3
+),
+terms AS (
+  SELECT t.doc_id, t.true_source, g.source AS cls, t.word,
+         t.n_w * ln((g.cnt + 1)::DOUBLE / (g.tot_c + vs.v)) AS term
+  FROM twc t JOIN grid g ON g.word = t.word CROSS JOIN vsize vs
+),
+scores AS (
+  SELECT doc_id, true_source, cls,
+         list_sum(list(term ORDER BY word)) AS s
+  FROM terms GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT sc.doc_id, sc.true_source, sc.cls,
+         sc.s + ln(p.n_c::DOUBLE / p.n) AS score
+  FROM scores sc JOIN prior p ON p.source = sc.cls
+),
+pred AS (
+  SELECT doc_id, true_source, cls AS pred_source FROM scored
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, cls) = 1
+)
+SELECT true_source, pred_source, count(*) AS n
+FROM pred GROUP BY 1, 2
+"""
+
+
+@query("ml_naive_bayes", category="J.text", oracle=_NB_ORACLE)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes text classification entirely in-engine:
+    train Laplace-smoothed per-source token likelihoods on alternating
+    20-doc blocks (the fixture's source cycles with doc_id % 20, so a
+    plain parity split would give disjoint class sets), score the other
+    blocks, report the (true, predicted) confusion counts —
+    the classical supervised text baseline every curation pipeline
+    reaches for before anything neural. All model state is exact
+    integer counts; each per-(doc, class) log-likelihood folds its terms
+    in WORD ORDER (the stat_entropy ordered-fold discipline ≡ DuckDB's
+    list(… ORDER BY word) + list_sum), and ln() parity holds in-container
+    (scalar_trig / ml_logreg_step precedent), so the scores — and
+    therefore the argmax with class tiebreak — replay exactly. OOV test
+    tokens are ignored by definition (a constant per-doc shift that
+    cannot move the argmax). Scale: the model grid is vocab × classes
+    (broadcast); scoring is one shuffle keyed by (doc, class); training
+    is one token-count aggregation — the engine's wordcount with a class
+    key."""
+    from ..functions.vector import fsum
+
+    d = Tables(spark, sf_dir).documents
+    train = d.filter((F.col("doc_id") / 20).cast("long") % 2 == 0).select(
+        "source", "text"
+    )
+    test = d.filter((F.col("doc_id") / 20).cast("long") % 2 == 1).select(
+        "doc_id", F.col("source").alias("true_source"), "text"
+    )
+    tok = train.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).cache()  # feeds wc, vocab
+    wc = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("cnt")).cache()
+    tot = wc.groupBy("source").agg(F.sum("cnt").alias("tot_c"))
+    vocab = tok.select("word").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    prior = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_c"))
+    n_train = train.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        vocab.crossJoin(tot)
+        .join(wc, ["source", "word"], "left")
+        .select(
+            "source", "word", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"), "tot_c"
+        )
+    )
+    twc = (
+        test.select(
+            "doc_id", "true_source", F.explode(F.split("text", " ")).alias("word")
+        )
+        .groupBy("doc_id", "true_source", "word")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    terms = (
+        twc.join(F.broadcast(grid.withColumnRenamed("source", "cls")), "word")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "doc_id",
+            "true_source",
+            "cls",
+            "word",
+            (
+                F.col("n_w")
+                * F.log((F.col("cnt") + 1).cast("double") / (F.col("tot_c") + F.col("v")))
+            ).alias("term"),
+        )
+    )
+    scores = terms.groupBy("doc_id", "true_source", "cls").agg(
+        fsum(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("word", "term"))),
+                lambda p: p.getField("term"),
+            )
+        ).alias("s")
+    )
+    scored = scores.join(
+        F.broadcast(
+            prior.crossJoin(n_train).select(
+                F.col("source").alias("cls"),
+                F.log(F.col("n_c").cast("double") / F.col("n")).alias("logp"),
+            )
+        ),
+        "cls",
+    ).select(
+        "doc_id", "true_source", "cls", (F.col("s") + F.col("logp")).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cls")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("true_source", F.col("cls").alias("pred_source"))
+    )
+    return pred.groupBy("true_source", "pred_source").agg(
+        F.count(F.lit(1)).alias("n")
+    )

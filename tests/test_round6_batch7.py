@@ -526,3 +526,53 @@ def test_schema_drift_profiles_are_consistent(spark):
         assert (r.base_rows, r.inc_rows) == (n_base, n_inc), c
         assert r.inc_distinct <= r.inc_rows and r.base_distinct <= r.base_rows
         assert 0.0 <= r.base_null_rate <= 1.0 and 0.0 <= r.inc_null_rate <= 1.0
+
+
+def test_naive_bayes_confusion_covers_test_split(spark):
+    """Confusion counts partition the held-out block split, labels come
+    from the training source set, and a Python replay of the model
+    agrees on predictions for a sample of docs."""
+    import math
+    from collections import Counter, defaultdict
+
+    docs = load_table(spark, SF001, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    train = [(r.source, r.text.split(" ")) for r in docs if (r.doc_id // 20) % 2 == 0]
+    test = [
+        (r.doc_id, r.source, r.text.split(" "))
+        for r in docs
+        if (r.doc_id // 20) % 2 == 1
+    ]
+    out = REGISTRY["ml_naive_bayes"].fn(spark, SF001).collect()
+    assert sum(r.n for r in out) == len(test)
+    srcs = {s for s, _ in train}
+    assert {r.true_source for r in out} <= srcs
+    assert {r.pred_source for r in out} <= srcs
+    # replay the model
+    wc: dict = defaultdict(Counter)
+    nc = Counter()
+    for s, toks in train:
+        wc[s].update(toks)
+        nc[s] += 1
+    vocab = {w for s in wc for w in wc[s]}
+    V = len(vocab)
+    tot = {s: sum(wc[s].values()) for s in wc}
+    n = sum(nc.values())
+
+    def predict(toks):
+        best = None
+        for s in sorted(wc):
+            sc = math.log(nc[s] / n) + sum(
+                cnt * math.log((wc[s][w] + 1) / (tot[s] + V))
+                for w, cnt in sorted(Counter(t for t in toks if t in vocab).items())
+            )
+            if best is None or sc > best[0] + 1e-12:
+                best = (sc, s)
+        return best[1]
+
+    replay = Counter()
+    for _, true_s, toks in test:
+        replay[(true_s, predict(toks))] += 1
+    got = {(r.true_source, r.pred_source): r.n for r in out}
+    assert got == dict(replay)
