@@ -1860,3 +1860,135 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_source", "pred_source").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "ts_m4",
+    category="E.window",
+    oracle="""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS x, value AS y,
+         row_number() OVER w AS pos, count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+b AS (
+  SELECT user_id, x, y, event_id,
+         least(11, ((pos - 1) * 12) // n) AS bkt
+  FROM pts
+)
+SELECT user_id, bkt,
+       count(*) AS n,
+       min(x) AS t_first, max(x) AS t_last,
+       (min({'x': x, 'id': event_id, 'y': y})).y AS first_v,
+       (max({'x': x, 'id': event_id, 'y': y})).y AS last_v,
+       min(y) AS min_v, max(y) AS max_v
+FROM b GROUP BY 1, 2
+""",
+)
+def ts_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per (user, pixel
+    bucket) keep min/max/first/last — the error-free line-rendering
+    aggregation (a width-w plot drawn from M4 is pixel-identical to one
+    drawn from raw data), complementing ``ts_lttb``'s
+    perceptual-but-lossy pick. 12 equal-COUNT buckets per user series;
+    first/last are lexicographic struct min/max with event_id tiebreak
+    (the ts_ohlc discipline — plain partial aggregates, no window sort
+    in the reduce), so the whole operator is ONE user-keyed window pass
+    for positions + one partial-agg shuffle. At 100 TB, M4 is the
+    rollup you materialize per zoom level; buckets here are count-based
+    (equal-time buckets would just swap the bucket expression)."""
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_seconds("ts").alias("x"),
+        F.col("value").alias("y"),
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    b = pts.select(
+        "user_id",
+        "x",
+        "y",
+        "event_id",
+        F.least(
+            F.lit(11), F.expr("((pos - 1) * 12) div n")
+        ).alias("bkt"),
+    )
+    o = F.struct("x", F.col("event_id").alias("id"), F.col("y").alias("yv"))
+    return b.groupBy("user_id", "bkt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("t_first"),
+        F.max("x").alias("t_last"),
+        F.min(o).getField("yv").alias("first_v"),
+        F.max(o).getField("yv").alias("last_v"),
+        F.min("y").alias("min_v"),
+        F.max("y").alias("max_v"),
+    )
+
+
+@query(
+    "win_drawdown",
+    category="E.window",
+    oracle="""
+WITH series AS (
+  SELECT user_id, event_id, value,
+         sum(value::DECIMAL(18,2)) OVER w AS cum,
+         row_number() OVER w AS i
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+dd AS (
+  SELECT user_id, i, cum,
+         max(cum) OVER (PARTITION BY user_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS peak
+  FROM series
+)
+SELECT user_id,
+       max(peak - cum)::DOUBLE AS max_drawdown,
+       max(cum)::DOUBLE AS peak_cum,
+       count(*) AS n
+FROM dd GROUP BY user_id
+""",
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's cumulative value series — the
+    running-peak-minus-current metric (finance's risk staple, equally
+    the "how far below its high-water mark did this queue/budget fall"
+    ops question). Everything is DECIMAL-exact: running sum and running
+    max are windowed decimal aggregates over the total (ts, event_id)
+    order, the drawdown is a decimal difference, and only the final
+    report casts to DOUBLE. TWO stacked running frames — cumsum, then
+    peak — compile into the same single window pass per user (one
+    shuffle); both are O(n) running frames, never the O(n²)
+    unbounded-following shape (ARCHITECTURE §13)."""
+    ev = Tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    series = ev.select(
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("cum"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("i"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = series.select(
+        "user_id", "cum", "i", F.max("cum").over(wp).alias("peak")
+    )
+    return dd.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("cum")).cast("double").alias("max_drawdown"),
+        F.max("cum").cast("double").alias("peak_cum"),
+        F.count(F.lit(1)).alias("n"),
+    )

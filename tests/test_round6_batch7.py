@@ -576,3 +576,48 @@ def test_naive_bayes_confusion_covers_test_split(spark):
         replay[(true_s, predict(toks))] += 1
     got = {(r.true_source, r.pred_source): r.n for r in out}
     assert got == dict(replay)
+
+
+def test_m4_buckets_cover_and_bound(spark):
+    """Every user gets ≤12 buckets covering all events; min/max bound
+    first/last; t ranges are disjoint and ordered per user."""
+    out = REGISTRY["ts_m4"].fn(spark, SF001).collect()
+    ev = load_table(spark, SF001, "events")
+    per_user = {r.user_id: r.n for r in ev.groupBy("user_id").count().collect()}
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+        assert r.min_v <= r.first_v <= r.max_v
+        assert r.min_v <= r.last_v <= r.max_v
+        assert r.t_first <= r.t_last
+    for u, rows in by_user.items():
+        rows.sort(key=lambda r: r.bkt)
+        assert len(rows) <= 12
+        assert sum(r.n for r in rows) == per_user[u]
+        for a, b in zip(rows, rows[1:]):
+            assert a.t_last <= b.t_first or a.t_last <= b.t_last
+
+
+def test_drawdown_replay(spark):
+    """Replay cumulative-sum drawdown in integer cents for 5 users."""
+    ev = (
+        load_table(spark, SF001, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    got = {r.user_id: r for r in REGISTRY["win_drawdown"].fn(spark, SF001).collect()}
+    for u in sorted(by_user)[:5]:
+        rows = sorted(by_user[u])
+        cum = peak = 0
+        worst = 0
+        for _, _, v in rows:
+            cum += round(v * 100)
+            peak = max(peak, cum)
+            worst = max(worst, peak - cum)
+        r = got[u]
+        assert r.n == len(rows)
+        assert abs(r.max_drawdown - worst / 100.0) < 1e-9
+        assert abs(r.peak_cum - peak / 100.0) < 1e-9
