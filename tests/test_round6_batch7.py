@@ -583,7 +583,9 @@ def test_m4_buckets_cover_and_bound(spark):
     first/last; t ranges are disjoint and ordered per user."""
     out = REGISTRY["ts_m4"].fn(spark, SF001).collect()
     ev = load_table(spark, SF001, "events")
-    per_user = {r.user_id: r.n for r in ev.groupBy("user_id").count().collect()}
+    per_user = {
+        r.user_id: r["count"] for r in ev.groupBy("user_id").count().collect()
+    }
     by_user: dict[int, list] = {}
     for r in out:
         by_user.setdefault(r.user_id, []).append(r)
