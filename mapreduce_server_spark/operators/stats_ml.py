@@ -1992,3 +1992,92 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cum").cast("double").alias("peak_cum"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "stat_runs_test",
+    category="D.agg",
+    oracle="""
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+),
+s AS (
+  SELECT e.event_type, e.value > m.med AS above,
+         row_number() OVER (PARTITION BY e.event_type
+                            ORDER BY e.ts, e.event_id) AS i
+  FROM events e JOIN med m USING (event_type)
+  WHERE e.value <> m.med
+),
+runs AS (
+  SELECT event_type, above,
+         CASE WHEN lag(above) OVER (PARTITION BY event_type ORDER BY i)
+                   IS DISTINCT FROM above THEN 1 ELSE 0 END AS new_run
+  FROM s
+),
+agg AS (
+  SELECT event_type,
+         sum(new_run)::BIGINT AS r,
+         count(*) AS n,
+         sum(CASE WHEN above THEN 1 ELSE 0 END)::BIGINT AS n1
+  FROM runs GROUP BY 1
+)
+SELECT event_type,
+       r AS n_runs, n1, (n - n1) AS n2,
+       round((r
+              - (2.0 * n1 * (n - n1) / n + 1))
+             / sqrt(2.0 * n1 * (n - n1) * (2.0 * n1 * (n - n1) - n)
+                    / (n * n * (n - 1.0))), 6) AS z_score
+FROM agg
+""",
+)
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per event type: is the above/below-
+    median sequence of values RANDOM in time, or does it cluster
+    (autocorrelated instrumentation, batching artifacts)? Values equal
+    to the exact median are excluded (standard dichotomization), runs
+    are counted with a lag-transition flag (one window pass), and
+    z = (R − μ_R)/σ_R uses the textbook moments μ = 2n₁n₂/n + 1,
+    σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)) — every input an exact integer, the
+    score one fixed double expression, 6-dp rounded. Completes the
+    randomness/drift battery (zscore, MAD, CUSUM, KS, PSI, U,
+    Benford). One median aggregate (broadcast back) + one
+    type-keyed window pass + one partial agg."""
+    ev = Tables(spark, sf_dir).events
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    s = (
+        ev.join(F.broadcast(med), "event_type")
+        .filter(F.col("value") != F.col("med"))
+        .select(
+            "event_type",
+            (F.col("value") > F.col("med")).alias("above"),
+            "ts",
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    runs = s.select(
+        "event_type",
+        "above",
+        F.when(
+            ~F.lag("above").over(w).eqNullSafe(F.col("above")), 1
+        ).otherwise(0).alias("new_run"),
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.sum("new_run").alias("r"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("above").cast("long")).alias("n1"),
+    )
+    n, n1 = F.col("n"), F.col("n1")
+    n2 = n - n1
+    r = F.col("r")
+    mu = 2.0 * n1 * n2 / n + 1
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+    )
+    return agg.select(
+        "event_type",
+        r.alias("n_runs"),
+        n1.alias("n1"),
+        n2.alias("n2"),
+        F.round((r - mu) / F.sqrt(var), 6).alias("z_score"),
+    )

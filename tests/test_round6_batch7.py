@@ -623,3 +623,30 @@ def test_drawdown_replay(spark):
         assert r.n == len(rows)
         assert abs(r.max_drawdown - worst / 100.0) < 1e-9
         assert abs(r.peak_cum - peak / 100.0) < 1e-9
+
+
+def test_runs_test_replay(spark):
+    """Replay the run counting and z-score per event type in Python."""
+    import statistics as st
+
+    ev = (
+        load_table(spark, SF001, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    by_t: dict[str, list] = {}
+    for r in ev:
+        by_t.setdefault(r.event_type, []).append((r.ts, r.event_id, r.value))
+    got = {r.event_type: r for r in REGISTRY["stat_runs_test"].fn(spark, SF001).collect()}
+    assert set(got) == set(by_t)
+    for t, rows in by_t.items():
+        med = st.median([v for _, _, v in rows])
+        seq = [v > med for _, _, v in sorted(rows) if v != med]
+        runs = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+        n, n1 = len(seq), sum(seq)
+        n2 = n - n1
+        mu = 2.0 * n1 * n2 / n + 1
+        var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+        r = got[t]
+        assert (r.n_runs, r.n1, r.n2) == (runs, n1, n2), t
+        assert abs(r.z_score - (runs - mu) / var**0.5) < 2e-6, t
