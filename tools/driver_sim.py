@@ -27,7 +27,17 @@ def main() -> int:
     from parity import assert_fetch_dtypes, assert_parity
 
     master = os.environ.get("MRSS_MASTER", "local[8]")
-    spark = SparkSession.builder.master(master).appName("driver-sim").getOrCreate()
+    # The real driver grades 50 keys; this sim runs the FULL registry in
+    # one session, so per-operator cache() blocks accumulate for 230+
+    # queries and the default 1 GiB driver heap dies on the late
+    # collect-heavy queries at sf0.1 (observed: scalar_math lost-task).
+    # Memory sizing only — query semantics stay vanilla.
+    spark = (
+        SparkSession.builder.master(master)
+        .appName("driver-sim")
+        .config("spark.driver.memory", os.environ.get("MRSS_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     rows = entrymod.entry(spark).collect()
@@ -42,7 +52,11 @@ def main() -> int:
 
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
     bad, rows_only = [], []
-    for key, fn in queries.items():
+    for i, (key, fn) in enumerate(queries.items()):
+        if i and i % 40 == 0:
+            # bound cached-block accumulation across the sweep; each
+            # query's correctness is independent of cache residency
+            spark.catalog.clearCache()
         try:
             df = fn(spark, sf_dir)
             sql = oracles.get(key)
