@@ -2081,3 +2081,252 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2.alias("n2"),
         F.round((r - mu) / F.sqrt(var), 6).alias("z_score"),
     )
+
+
+@query(
+    "stat_anova",
+    category="D.agg",
+    oracle="""
+WITH g AS (
+  SELECT source, count(*) AS n, sum(n_chars)::BIGINT AS s,
+         sum(n_chars * n_chars)::BIGINT AS q
+  FROM documents GROUP BY 1
+),
+t AS (
+  SELECT count(*) AS k, sum(n)::BIGINT AS nt, sum(s)::BIGINT AS st,
+         sum(q)::BIGINT AS qt,
+         list_reduce(
+           list_prepend(0.0,
+             list((s * s)::DOUBLE / n ORDER BY source)),
+           (acc, x) -> acc + x) AS t_between
+  FROM g
+)
+SELECT k::BIGINT AS k, nt AS n,
+       round(t_between - st::DOUBLE * st / nt, 6) AS ss_between,
+       round(qt - t_between, 6) AS ss_within,
+       round(((t_between - st::DOUBLE * st / nt) * (nt - k))
+             / ((qt - t_between) * (k - 1)), 6) AS f_stat
+FROM t
+""",
+)
+def stat_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic across sources over doc length — the
+    k-group generalization of ``stat_welch_t`` (equal-variance form):
+    does ANY shard differ in mean length? The screening statistic a
+    curation pipeline runs before drilling into per-source drift tests.
+
+    Exactness: per-group n/Σx/Σx² are INTEGER sums; the only
+    fold-order-sensitive float quantity is T = Σ_g s_g²/n_g, computed as
+    a SOURCE-ORDERED left fold over the 20 per-group doubles
+    (collect_list+sort_array+aggregate ≡ DuckDB
+    list_reduce(list(... ORDER BY source))), the quality_drift_psi
+    pattern. SSB = T − st²/nt, SSW = qt − T, and
+    F = SSB·(nt−k) / (SSW·(k−1)) keeps one division. One scan, one
+    20-row aggregate — the heavy work is the map-side partial sum."""
+    d = Tables(spark, sf_dir).documents
+    x = F.col("n_chars")
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s"),
+        F.sum(x * x).alias("q"),
+    )
+    terms = F.aggregate(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("source"),
+                    ((F.col("s") * F.col("s")).cast("double") / F.col("n")
+                     ).alias("term"),
+                )
+            )
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e.getField("term"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.sum("q").alias("qt"),
+        terms.alias("t_between"),
+    )
+    tb = F.col("t_between")
+    nt, k = F.col("nt"), F.col("k")
+    ssb = tb - F.col("st").cast("double") * F.col("st") / nt
+    ssw = F.col("qt") - tb
+    return t.select(
+        k.alias("k"),
+        nt.alias("n"),
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round((ssb * (nt - k)) / (ssw * (k - 1)), 6).alias("f_stat"),
+    )
+
+
+@query(
+    "stat_spearman",
+    category="D.agg",
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag,
+         2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+           + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1
+           AS rx,
+         2 * rank() OVER (PARTITION BY l_returnflag
+                          ORDER BY l_extendedprice)
+           + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1
+           AS ry
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(rx)::DECIMAL(38,0)::DOUBLE AS sx,
+         sum(ry)::DECIMAL(38,0)::DOUBLE AS sy,
+         sum(rx * ry)::DECIMAL(38,0)::DOUBLE AS sxy,
+         sum(rx * rx)::DECIMAL(38,0)::DOUBLE AS sxx,
+         sum(ry * ry)::DECIMAL(38,0)::DOUBLE AS syy
+  FROM r GROUP BY 1
+)
+SELECT l_returnflag, n::BIGINT AS n,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS rho
+FROM m
+""",
+)
+def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (quantity vs price per return flag) —
+    the outlier-robust partner of ``agg_corr``'s Pearson: monotone but
+    non-linear relationships score |rho| ≈ 1 where Pearson underreads.
+
+    Tie handling is EXACT via the doubled-midrank trick
+    (``stat_mannwhitney``): midrank = rank() + (cnt−1)/2, so
+    2·midrank = 2·rank() + cnt − 1 is an INTEGER, and Pearson is
+    invariant under the ×2 rescale. All five moments are exact integer
+    sums (DECIMAL(38,0) — Σrx·ry grows as n·(2n)², past BIGINT at
+    cluster scale); the final formula is one identical double op
+    sequence on identical operands in both engines. Plan: two in-shuffle
+    sort windows (same partition key — ONE exchange) + one partial agg."""
+    li = Tables(spark, sf_dir).lineitem
+    flag = "l_returnflag"
+    wx = Window.partitionBy(flag).orderBy("l_quantity")
+    wxc = Window.partitionBy(flag, "l_quantity")
+    wy = Window.partitionBy(flag).orderBy("l_extendedprice")
+    wyc = Window.partitionBy(flag, "l_extendedprice")
+    r = li.select(
+        flag,
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(wxc) - 1)
+        .cast("decimal(38,0)").alias("rx"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(wyc) - 1)
+        .cast("decimal(38,0)").alias("ry"),
+    )
+    m = r.groupBy(flag).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").cast("double").alias("sx"),
+        F.sum("ry").cast("double").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("double").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        flag, n.alias("n"), F.round(num / den, 6).alias("rho")
+    )
+
+
+@query(
+    "ml_dtree_stump",
+    category="J.sim",
+    oracle="""
+WITH g AS (
+  SELECT n_chars AS v, count(*) AS cnt,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(cnt)::BIGINT AS n, sum(pos)::BIGINT AS p FROM g),
+cum AS (
+  SELECT v, sum(cnt) OVER w AS nl, sum(pos) OVER w AS pl
+  FROM g WINDOW w AS (ORDER BY v)
+),
+s AS (
+  SELECT c.v AS threshold, c.nl, t.n - c.nl AS nr,
+         c.pl, t.p - c.pl AS pr,
+         round(((c.pl * c.pl + (c.nl - c.pl) * (c.nl - c.pl))
+                  * (t.n - c.nl)
+                + ((t.p - c.pl) * (t.p - c.pl)
+                   + (t.n - c.nl - t.p + c.pl)
+                     * (t.n - c.nl - t.p + c.pl))
+                  * c.nl)::DOUBLE
+               / (c.nl * (t.n - c.nl)), 6) AS purity
+  FROM cum c CROSS JOIN tot t
+  WHERE c.nl < t.n
+)
+SELECT threshold, nl::BIGINT AS n_left, nr::BIGINT AS n_right,
+       pl * 2 > nl AS pred_left, pr * 2 > nr AS pred_right,
+       purity
+FROM s
+QUALIFY row_number() OVER (ORDER BY purity DESC, threshold) = 1
+""",
+)
+def ml_dtree_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-tree STUMP: the exact best binary split of
+    ``lang = 'en'`` on doc length by weighted Gini impurity — the inner
+    loop of every tree/GBDT trainer, expressed as one declarative plan
+    (the split-finding histogram pass of LightGBM/XGBoost's exact mode).
+
+    Split search: candidates are the DISTINCT feature values (split at
+    x ≤ v); cumulative class counts come from ONE running window over
+    the per-value histogram, so cost is O(distinct values), not O(n·
+    candidates). Minimizing weighted Gini  n_L·gini_L + n_R·gini_R  ≡
+    maximizing  purity = [(p_L²+q_L²)·n_R + (p_R²+q_R²)·n_L]/(n_L·n_R)
+    (same n − ·/(n_L n_R) rearrangement both sides) — an INTEGER-ratio
+    criterion, so the argmax double is computed identically in both
+    engines; ties break on the smaller threshold. Majority predictions
+    use the 2·pos > n integer form (ties → False deterministically).
+
+    Scale: the histogram shrinks the data to |distinct| rows BEFORE the
+    single-partition running window (the bounded-aggregate-then-window
+    shape); a 100 TB trainer would pre-bin features to ~256 quantile
+    buckets first (the LightGBM move), same plan otherwise."""
+    d = Tables(spark, sf_dir).documents
+    g = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("pos"),
+    )
+    tot = g.agg(
+        F.sum("cnt").alias("n"), F.sum("pos").alias("p")
+    )
+    wc = Window.orderBy("v")
+    cum = g.select(
+        "v",
+        F.sum("cnt").over(wc).alias("nl"),
+        F.sum("pos").over(wc).alias("pl"),
+    )
+    j = cum.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("n"))
+    nl, pl = F.col("nl"), F.col("pl")
+    nr = F.col("n") - nl
+    pr = F.col("p") - pl
+    ql = nl - pl
+    qr = nr - pr
+    purity = (
+        ((pl * pl + ql * ql) * nr + (pr * pr + qr * qr) * nl)
+        .cast("double") / (nl * nr)
+    )
+    s = j.select(
+        F.col("v").alias("threshold"),
+        nl.alias("n_left"),
+        nr.alias("n_right"),
+        (pl * 2 > nl).alias("pred_left"),
+        (pr * 2 > nr).alias("pred_right"),
+        F.round(purity, 6).alias("purity"),
+    )
+    wbest = Window.orderBy(F.col("purity").desc(), "threshold")
+    return (
+        s.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -12,6 +12,8 @@ operator module.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -307,3 +309,48 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         return len(set(text.split(" ")))
 
     return d.select("doc_id", unique_tokens("text").alias("n_unique"))
+
+
+@query(
+    "udf_pandas_iter",
+    category="K.udf",
+    oracle="""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '),
+                       w -> regexp_full_match(w, '[a-z]+')))::BIGINT
+         AS n_alpha_tokens
+FROM documents
+""",
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SCALAR_ITER`` pandas UDF — the amortized-initialization rung of
+    the cost ladder: the iterator form runs per-worker setup ONCE (here
+    a compiled regex; in production a tokenizer vocab, an ONNX session,
+    a language-ID model) and then streams every Arrow batch through it,
+    where the plain SCALAR form would re-enter Python state per batch
+    boundary with no place to hang the setup. Counts lowercase-alpha
+    tokens per doc; equivalent built-in:
+    ``F.size(F.filter(F.split(...), rlike))``. Pure integer output —
+    exact oracle (Python ``re.fullmatch`` ≡ RE2 ``regexp_full_match``
+    on the char-class pattern).
+
+    Scale: narrow map over Arrow batches, no shuffle; the once-per-task
+    init is exactly what makes model-assisted curation (quality
+    classifiers over 100 TB of text) affordable in this tier."""
+    d = Tables(spark, sf_dir).documents
+
+    @F.pandas_udf("long")
+    def alpha_tokens(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import re
+
+        pat = re.compile(r"[a-z]+")  # once per task, reused per batch
+        for texts in it:
+            yield texts.map(
+                lambda t: sum(
+                    1 for w in t.split(" ") if pat.fullmatch(w)
+                )
+            )
+
+    return d.select(
+        "doc_id", alpha_tokens("text").alias("n_alpha_tokens")
+    )

@@ -315,3 +315,48 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(med, 6).alias("med7"),
     )
+
+
+@query(
+    "win_ntile",
+    category="E.window",
+    oracle="""
+WITH t AS (
+  SELECT event_type, value,
+         ntile(4) OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS tile
+  FROM events
+)
+SELECT event_type, tile, count(*) AS n,
+       min(value) AS lo, max(value) AS hi,
+       round(sum(value::DECIMAL(18,2))::DOUBLE / count(*), 6) AS avg_value
+FROM t GROUP BY 1, 2
+""",
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing per event type (``ntile(4)``) + per-bucket
+    profile — the equi-depth-histogram window (quartile summaries,
+    quantile-binned features for tree trainers). NTILE's fill rule
+    (first ``n mod k`` tiles get the extra row) is ANSI-identical across
+    engines, and the ORDER BY ends in ``event_id`` so the assignment is
+    a total order — bucket membership is reproducible, not
+    partition-order luck. Per-bucket sums go through DECIMAL(18,2) (the
+    2-dp value discipline) so the averages are fold-order-free.
+
+    Plan: ONE hash exchange on event_type feeds both the in-partition
+    sort window and the downstream (type, tile) partial agg."""
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    t = ev.select(
+        "event_type", "value", F.ntile(4).over(w).alias("tile")
+    )
+    return t.groupBy("event_type", "tile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_value"),
+    )

@@ -1,0 +1,118 @@
+"""Semantics tests for the round-6 batch-8 operators (stat_anova,
+stat_spearman, ml_dtree_stump, win_ntile, udf_pandas_iter): parity vs
+DuckDB is covered by test_oracle_parity's registry sweep; these pin the
+math against independent numpy/pandas/pure-Python replays."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from mapreduce_server_spark.registry import REGISTRY
+
+from .conftest import SF001
+
+
+def test_anova_matches_numpy(spark, duck):
+    row = REGISTRY["stat_anova"].fn(spark, SF001).collect()[0]
+    d = duck.execute("SELECT source, n_chars FROM documents").fetchnumpy()
+    groups = [
+        d["n_chars"][d["source"] == s].astype(float)
+        for s in set(d["source"])
+    ]
+    allv = np.concatenate(groups)
+    grand = allv.mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    k, n = len(groups), len(allv)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["k"] == k and row["n"] == n
+    assert abs(row["ss_between"] - ssb) < 1e-3
+    assert abs(row["ss_within"] - ssw) < 1e-3
+    assert abs(row["f_stat"] - f) < 1e-6
+
+
+def test_spearman_matches_pandas(spark, duck):
+    rows = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["stat_spearman"].fn(spark, SF001).collect()
+    }
+    li = duck.execute(
+        "SELECT l_returnflag, l_quantity, l_extendedprice FROM lineitem"
+    ).df()
+    for flag, g in li.groupby("l_returnflag"):
+        # average-method ranks == midranks; Pearson over them == rho
+        rx = g["l_quantity"].rank(method="average")
+        ry = g["l_extendedprice"].rank(method="average")
+        rho = np.corrcoef(rx, ry)[0, 1]
+        got = rows[flag]
+        assert got["n"] == len(g)
+        assert abs(got["rho"] - rho) < 1e-6
+
+
+def test_dtree_stump_is_true_argmin(spark, duck):
+    got = REGISTRY["ml_dtree_stump"].fn(spark, SF001).collect()[0]
+    d = duck.execute("SELECT n_chars, lang FROM documents").df()
+    x = d["n_chars"].to_numpy()
+    y = (d["lang"] == "en").to_numpy()
+    n = len(x)
+
+    def weighted_gini(thr: int) -> float:
+        left = x <= thr
+        nl, nr = int(left.sum()), int((~left).sum())
+        pl, pr = int(y[left].sum()), int(y[~left].sum())
+        gl = 1 - (pl / nl) ** 2 - ((nl - pl) / nl) ** 2
+        gr = 1 - (pr / nr) ** 2 - ((nr - pr) / nr) ** 2
+        return nl * gl + nr * gr
+
+    cands = sorted(set(x))[:-1]
+    best = min(cands, key=lambda t: (weighted_gini(t), t))
+    assert got["threshold"] == best
+    left = x <= best
+    assert got["n_left"] == int(left.sum())
+    assert got["n_right"] == n - int(left.sum())
+    assert got["pred_left"] == (2 * int(y[left].sum()) > int(left.sum()))
+    # purity is the n − wg/(nl·nr) rearrangement of weighted Gini
+    nl, nr = int(left.sum()), n - int(left.sum())
+    wg = weighted_gini(best)
+    assert abs((n - got["purity"]) - wg) < 1e-4
+
+
+def test_ntile_fill_rule(spark, duck):
+    rows = REGISTRY["win_ntile"].fn(spark, SF001).collect()
+    n_by_type = dict(
+        duck.execute(
+            "SELECT event_type, count(*) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r["tile"])
+        assert [r["tile"] for r in rs] == [1, 2, 3, 4]
+        total = n_by_type[t]
+        # ANSI fill: first (total mod 4) tiles get one extra row
+        base, extra = divmod(total, 4)
+        assert [r["n"] for r in rs] == [
+            base + (1 if i < extra else 0) for i in range(4)
+        ]
+        # value ranges are non-decreasing across tiles
+        for a, b in zip(rs, rs[1:]):
+            assert a["lo"] <= a["hi"] <= b["lo"] + 1e-9
+            assert a["lo"] <= a["avg_value"] <= a["hi"]
+
+
+def test_pandas_iter_matches_python_replay(spark, duck):
+    got = {
+        r["doc_id"]: r["n_alpha_tokens"]
+        for r in REGISTRY["udf_pandas_iter"].fn(spark, SF001).collect()
+    }
+    pat = re.compile(r"[a-z]+")
+    for doc_id, text in duck.execute(
+        "SELECT doc_id, text FROM documents LIMIT 100"
+    ).fetchall():
+        want = sum(1 for w in text.split(" ") if pat.fullmatch(w))
+        assert got[doc_id] == want
