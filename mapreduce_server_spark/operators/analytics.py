@@ -1161,3 +1161,66 @@ def stat_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") / F.col("n_values"), 6).alias("share"),
         F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("benford_share"),
     )
+
+
+@query(
+    "rec_item_cosine",
+    category="D.agg",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ic AS (SELECT l_partkey, count(*) AS c FROM op GROUP BY 1),
+pc AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS n_both
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT pc.part_a, pc.part_b, pc.n_both,
+       round(pc.n_both / sqrt(ca.c::DOUBLE * cb.c), 6) AS cosine
+FROM pc JOIN ic ca ON pc.part_a = ca.l_partkey
+        JOIN ic cb ON pc.part_b = cb.l_partkey
+""",
+)
+def rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item–item COSINE similarity over binary basket vectors —
+    cos(a,b) = |A∩B| / √(|A|·|B|) — the other classic co-occurrence
+    score next to ``rec_lift_pairs``'s lift: cosine normalizes away
+    item popularity, so "bought together beyond chance" pairs rank
+    above "both just popular" pairs. All inputs are INTEGER counts;
+    one sqrt + one division at the end — exact at 6 dp.
+
+    Plan: the pair counts reuse the cooccur_parts basket-local
+    self-join (pair blowup bounded per order, never global) and the
+    per-item counts are a |parts|-row dimension joined in BROADCAST —
+    two small hash joins after the one heavy shuffle. At 100 TB the
+    per-item table still broadcasts (items ≪ interactions)."""
+    li = Tables(spark, sf_dir).lineitem
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    ic = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pc = (
+        a.join(b, ["l_orderkey"])
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= 2)
+    )
+    ca = ic.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    cb = ic.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pc.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                / F.sqrt(F.col("ca").cast("double") * F.col("cb")),
+                6,
+            ).alias("cosine"),
+        )
+    )

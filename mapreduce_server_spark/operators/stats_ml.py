@@ -2330,3 +2330,217 @@ def ml_dtree_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+_RIDGE_LAMBDA = 1000.0
+
+_RIDGE_ORACLE = f"""
+WITH m AS (
+  SELECT count(*) AS n,
+         sum(l_quantity::DECIMAL(18,2))::DOUBLE AS s1,
+         sum(l_discount::DECIMAL(18,2))::DOUBLE AS s2,
+         sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sy,
+         sum((l_quantity * l_quantity)::DECIMAL(30,4))::DOUBLE
+           + {_RIDGE_LAMBDA} AS q11,
+         sum((l_quantity * l_discount)::DECIMAL(30,4))::DOUBLE AS q12,
+         sum((l_discount * l_discount)::DECIMAL(30,4))::DOUBLE
+           + {_RIDGE_LAMBDA} AS q22,
+         sum((l_quantity * l_extendedprice)::DECIMAL(30,4))::DOUBLE AS p1,
+         sum((l_discount * l_extendedprice)::DECIMAL(30,4))::DOUBLE AS p2
+  FROM lineitem
+),
+d AS (
+  SELECT n, s1, s2, sy, q11, q12, q22, p1, p2,
+         n * (q11 * q22 - q12 * q12) - s1 * (s1 * q22 - q12 * s2)
+           + s2 * (s1 * q12 - q11 * s2) AS det
+  FROM m
+)
+SELECT n::BIGINT AS n,
+       round((sy * (q11 * q22 - q12 * q12) - s1 * (p1 * q22 - q12 * p2)
+              + s2 * (p1 * q12 - q11 * p2)) / det, 6) AS w0,
+       round((n * (p1 * q22 - q12 * p2) - sy * (s1 * q22 - q12 * s2)
+              + s2 * (s1 * p2 - p1 * s2)) / det, 6) AS w1,
+       round((n * (q11 * p2 - p1 * q12) - s1 * (s1 * p2 - p1 * s2)
+              + sy * (s1 * q12 - q11 * s2)) / det, 6) AS w2
+FROM d
+"""
+
+
+@query("ml_ridge_normal", category="J.sim", oracle=_RIDGE_ORACLE)
+def ml_ridge_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form RIDGE regression (price ~ quantity + discount,
+    λ = 1000 on the non-intercept diagonal) via the normal equations
+    (XᵀX + λI)w = Xᵀy — the "d² partial sums" pattern that makes
+    linear-model training a pure aggregation at any scale: ONE scan
+    reduces 100 TB to the 9 Gram-matrix moments, and the 3×3 solve is
+    O(1) wherever it runs. Here even the solve stays in the engine:
+    Cramer's rule expands the determinants as literal arithmetic —
+    identical textual op sequence in both engines over EXACT
+    decimal-summed moments (quantity integer-valued, discount/price
+    2-dp; products 4-dp-clean, the stat_linreg recovery argument) — so
+    the coefficients are reproducible to the rounded 6 dp.
+
+    This is the multivariate upgrade of ``stat_linreg`` (which Cramers a
+    2×2 implicitly) and the convex-counterpart of ``ml_logreg_step``'s
+    iterative path. Plan: map-side partial aggregate → 1-row result; no
+    shuffle beyond the final 1-row merge."""
+    li = Tables(spark, sf_dir).lineitem
+    x1 = F.col("l_quantity")
+    x2 = F.col("l_discount")
+    y = F.col("l_extendedprice")
+    dec2 = lambda c: c.cast("decimal(18,2)")  # noqa: E731
+    dec4 = lambda c: c.cast("decimal(30,4)")  # noqa: E731
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec2(x1)).cast("double").alias("s1"),
+        F.sum(dec2(x2)).cast("double").alias("s2"),
+        F.sum(dec2(y)).cast("double").alias("sy"),
+        (F.sum(dec4(x1 * x1)).cast("double") + F.lit(_RIDGE_LAMBDA)).alias(
+            "q11"
+        ),
+        F.sum(dec4(x1 * x2)).cast("double").alias("q12"),
+        (F.sum(dec4(x2 * x2)).cast("double") + F.lit(_RIDGE_LAMBDA)).alias(
+            "q22"
+        ),
+        F.sum(dec4(x1 * y)).cast("double").alias("p1"),
+        F.sum(dec4(x2 * y)).cast("double").alias("p2"),
+    )
+    n, s1, s2, sy = F.col("n"), F.col("s1"), F.col("s2"), F.col("sy")
+    q11, q12, q22 = F.col("q11"), F.col("q12"), F.col("q22")
+    p1, p2 = F.col("p1"), F.col("p2")
+    det = (
+        n * (q11 * q22 - q12 * q12)
+        - s1 * (s1 * q22 - q12 * s2)
+        + s2 * (s1 * q12 - q11 * s2)
+    )
+    d = m.withColumn("det", det)
+    detc = F.col("det")
+    return d.select(
+        n.alias("n"),
+        F.round(
+            (
+                sy * (q11 * q22 - q12 * q12)
+                - s1 * (p1 * q22 - q12 * p2)
+                + s2 * (p1 * q12 - q11 * p2)
+            )
+            / detc,
+            6,
+        ).alias("w0"),
+        F.round(
+            (
+                n * (p1 * q22 - q12 * p2)
+                - sy * (s1 * q22 - q12 * s2)
+                + s2 * (s1 * p2 - p1 * s2)
+            )
+            / detc,
+            6,
+        ).alias("w1"),
+        F.round(
+            (
+                n * (q11 * p2 - p1 * q12)
+                - s1 * (s1 * p2 - p1 * s2)
+                + sy * (s1 * q12 - q11 * s2)
+            )
+            / detc,
+            6,
+        ).alias("w2"),
+    )
+
+
+@query(
+    "ts_sax",
+    category="I.stream",
+    oracle="""
+WITH base AS (
+  SELECT user_id, value::DECIMAL(18,2) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+f AS (SELECT * FROM base WHERE n >= 8),
+seg AS (
+  SELECT user_id, n, ((rn - 1) * 8) // n AS seg,
+         count(*) AS cnt, sum(v) AS sv,
+         sum((v * v)::DECIMAL(30,4)) AS sq
+  FROM f GROUP BY 1, 2, 3
+),
+mu AS (
+  SELECT user_id, sum(cnt)::BIGINT AS nt, sum(sv) AS st, sum(sq) AS qt
+  FROM seg GROUP BY 1
+),
+z AS (
+  SELECT s.user_id, s.seg,
+         (s.sv::DOUBLE / s.cnt - m.st::DOUBLE / m.nt)
+           / sqrt(m.qt::DOUBLE / m.nt
+                  - (m.st::DOUBLE / m.nt) * (m.st::DOUBLE / m.nt)) AS zz
+  FROM seg s JOIN mu m ON s.user_id = m.user_id
+)
+SELECT user_id,
+       string_agg(CASE WHEN zz < -0.6745 THEN 'a'
+                       WHEN zz < 0.0 THEN 'b'
+                       WHEN zz < 0.6745 THEN 'c'
+                       ELSE 'd' END, '' ORDER BY seg) AS sax
+FROM z GROUP BY 1
+""",
+)
+def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic approximation of each user's value series: PAA into
+    8 equal-count segments (exact DECIMAL segment means), then
+    z-scored against the user's own exact moments and discretized on
+    the standard 4-symbol Gaussian breakpoints (±0.6745, 0) into an
+    8-char word — the representation under symbolic motif/novelty
+    detection at 100 TB (series become fixed-width tokens; similarity
+    becomes string equality / edit distance; the dedup and text tiers
+    apply directly on top).
+
+    Exactness: segment assignment is integer floor((rn−1)·8/n); PAA
+    means and the user μ/σ derive from DECIMAL sums (2-dp values, 4-dp
+    squares); the z expression and breakpoint CASE run the identical
+    double op sequence in both engines. Users with n < 8 are excluded
+    (a degenerate word AND σ=0 hazard). Plan: one user-keyed window
+    exchange feeds the segment aggregate; the per-user moments
+    re-aggregate the same cells — no second scan of events."""
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).filter(F.col("n") >= 8)
+    seg = base.groupBy(
+        "user_id",
+        "n",
+        F.expr("((rn - 1) * 8L) div n").alias("seg"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("v").alias("sv"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(30,4)")).alias("sq"),
+    ).cache()
+    mu = seg.groupBy("user_id").agg(
+        F.sum("cnt").alias("nt"),
+        F.sum("sv").alias("st"),
+        F.sum("sq").alias("qt"),
+    )
+    j = seg.join(mu, "user_id")
+    mean = F.col("st").cast("double") / F.col("nt")
+    z = (F.col("sv").cast("double") / F.col("cnt") - mean) / F.sqrt(
+        F.col("qt").cast("double") / F.col("nt") - mean * mean
+    )
+    sym = (
+        F.when(z < -0.6745, "a")
+        .when(z < 0.0, "b")
+        .when(z < 0.6745, "c")
+        .otherwise("d")
+    )
+    syms = j.select("user_id", "seg", sym.alias("sym"))
+    word = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("seg", "sym"))),
+            lambda e: e.getField("sym"),
+        ),
+        "",
+    )
+    return syms.groupBy("user_id").agg(word.alias("sax"))

@@ -628,3 +628,68 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cb), "w2")
         .select("w1", "w2", "c_ab", F.round(pmi, 6).alias("pmi"))
     )
+
+
+@query(
+    "text_bpe_pair",
+    category="J.text",
+    oracle="""
+WITH vocab AS (
+  SELECT w, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) >= 2
+  GROUP BY 1
+),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, sum(freq)::BIGINT AS n
+  FROM vocab, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  GROUP BY 1
+)
+SELECT pair, n
+FROM pairs
+QUALIFY row_number() OVER (ORDER BY n DESC, pair) <= 10
+""",
+)
+def text_bpe_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer's inner loop: count ADJACENT SYMBOL PAIRS across
+    the corpus (weighted by word frequency) and emit the top-10 merge
+    candidates — step 1 of byte-pair-encoding tokenizer training
+    (Sennrich et al. 2016), the canonical tokenizer workload of an LLM
+    data pipeline. Subsequent merge rounds are this same plan over a
+    re-symbolized vocab.
+
+    The crucial scale move is counting over the DEDUPLICATED vocabulary
+    (word → freq) rather than raw text: pair explosion runs over
+    |vocab| · avg_len rows, not corpus tokens — at 100 TB the vocab
+    aggregate collapses the corpus ~1000× before the per-character
+    explode. Pure integer counts, character-based substr in both
+    engines (UTF-8 safe for the zh docs) — exact oracle; ties rank by
+    pair text."""
+    from pyspark.sql import Window
+
+    d = Tables(spark, sf_dir).documents
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        vocab.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+    )
+    wtop = Window.orderBy(F.col("n").desc(), "pair")
+    return (
+        pairs.withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") <= 10)
+        .drop("rn")
+    )

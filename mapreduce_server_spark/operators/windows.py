@@ -360,3 +360,50 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_value"),
     )
+
+
+@query(
+    "win_percent_rank",
+    category="E.window",
+    oracle="""
+WITH t AS (
+  SELECT event_id, event_type, value,
+         percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+           AS pr,
+         cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+  FROM events
+)
+SELECT event_id, event_type, value,
+       round(pr, 9) AS pct_rank, round(cd, 9) AS cume_dist
+FROM t WHERE event_id % 100 = 0
+""",
+)
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing within the type distribution:
+    ``percent_rank`` ((rank−1)/(n−1)) and ``cume_dist`` (≤-share) per
+    event — the window-side complement of the quantile aggregates
+    (agg_percentile asks "what value sits at p?"; this asks "what p
+    does each value sit at?" — the percentile-feature transform for
+    model training). Both are rank-based, so ties on value are
+    deterministic without a tiebreak column, and each is ONE division
+    of exact integers — fold-order-free, exact at 9 dp.
+
+    The output sample (event_id % 100) filters AFTER the window so
+    ranks reflect the full distribution — predicate stays above the
+    window in the plan, but the scan prunes to 3 columns."""
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("event_type").orderBy("value")
+    t = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return t.where(F.col("event_id") % 100 == 0).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("pr", 9).alias("pct_rank"),
+        F.round("cd", 9).alias("cume_dist"),
+    )

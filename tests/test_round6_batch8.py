@@ -116,3 +116,94 @@ def test_pandas_iter_matches_python_replay(spark, duck):
     ).fetchall():
         want = sum(1 for w in text.split(" ") if pat.fullmatch(w))
         assert got[doc_id] == want
+
+
+def test_ridge_matches_numpy(spark, duck):
+    row = REGISTRY["ml_ridge_normal"].fn(spark, SF001).collect()[0]
+    li = duck.execute(
+        "SELECT l_quantity, l_discount, l_extendedprice FROM lineitem"
+    ).fetchnumpy()
+    X = np.column_stack(
+        [np.ones(len(li["l_quantity"])), li["l_quantity"], li["l_discount"]]
+    )
+    y = li["l_extendedprice"]
+    lam = 1000.0
+    A = X.T @ X + lam * np.diag([0.0, 1.0, 1.0])  # intercept unpenalized
+    w = np.linalg.solve(A, X.T @ y)
+    assert row["n"] == len(y)
+    assert abs(row["w0"] - w[0]) < 1e-3
+    assert abs(row["w1"] - w[1]) < 1e-4
+    assert abs(row["w2"] - w[2]) < 1e-2
+
+
+def test_sax_words(spark, duck):
+    rows = REGISTRY["ts_sax"].fn(spark, SF001).collect()
+    n_users = duck.execute(
+        "SELECT count(*) FROM (SELECT user_id FROM events"
+        " GROUP BY 1 HAVING count(*) >= 8)"
+    ).fetchone()[0]
+    assert len(rows) == n_users
+    for r in rows:
+        assert len(r["sax"]) == 8
+        assert set(r["sax"]) <= set("abcd")
+    # z-scored PAA words cannot ALL be one flat symbol corpus-wide
+    assert len({r["sax"] for r in rows}) > 1
+
+
+def test_item_cosine_bounds(spark, duck):
+    rows = REGISTRY["rec_item_cosine"].fn(spark, SF001).collect()
+    assert rows, "expected at least one pair with support >= 2"
+    for r in rows:
+        assert 0.0 < r["cosine"] <= 1.0 + 1e-9
+        assert r["n_both"] >= 2
+        assert r["part_a"] < r["part_b"]
+    # cross-check one pair against a direct DuckDB recount
+    r0 = max(rows, key=lambda r: (r["n_both"], r["part_a"]))
+    ca, cb, nb = duck.execute(
+        """
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT (SELECT count(*) FROM op WHERE l_partkey = ?),
+               (SELECT count(*) FROM op WHERE l_partkey = ?),
+               (SELECT count(*) FROM (
+                  SELECT l_orderkey FROM op WHERE l_partkey = ?
+                  INTERSECT
+                  SELECT l_orderkey FROM op WHERE l_partkey = ?))
+        """,
+        [r0["part_a"], r0["part_b"], r0["part_a"], r0["part_b"]],
+    ).fetchone()
+    assert r0["n_both"] == nb
+    assert abs(r0["cosine"] - nb / (ca * cb) ** 0.5) < 1e-6
+
+
+def test_bpe_pair_python_replay(spark, duck):
+    got = [
+        (r["pair"], r["n"])
+        for r in REGISTRY["text_bpe_pair"].fn(spark, SF001).collect()
+    ]
+    from collections import Counter
+
+    vocab: Counter = Counter()
+    for (text,) in duck.execute("SELECT text FROM documents").fetchall():
+        for w in text.split(" "):
+            if len(w) >= 2:
+                vocab[w] += 1
+    pairs: Counter = Counter()
+    for w, freq in vocab.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += freq
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == want
+
+
+def test_percent_rank_definition(spark, duck):
+    rows = REGISTRY["win_percent_rank"].fn(spark, SF001).collect()
+    df = duck.execute(
+        "SELECT event_id, event_type, value FROM events"
+    ).df()
+    for r in rows[:50]:
+        g = df[df["event_type"] == r["event_type"]]["value"]
+        n = len(g)
+        below = int((g < r["value"]).sum())
+        at_or_below = int((g <= r["value"]).sum())
+        assert abs(r["pct_rank"] - below / (n - 1)) < 1e-8
+        assert abs(r["cume_dist"] - at_or_below / n) < 1e-8
