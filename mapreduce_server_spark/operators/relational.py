@@ -982,3 +982,44 @@ def join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("revenue"),
     )
+
+
+@query(
+    "join_shuffle_hash",
+    category="C.join",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS n_items,
+       sum(l.l_extendedprice::DECIMAL(18,2))::DOUBLE AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY 1
+""",
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD physical join strategy, requested explicitly: a
+    SHUFFLE_HASH hint makes Spark build an in-memory hash table per
+    partition of the smaller (filtered orders) side instead of
+    sort-merging — skipping BOTH sort passes. Same logical semantics as
+    ``join_inner``/``join_broadcast``; this trio documents the physical
+    ladder (broadcast ≪ shuffle-hash ≪ sort-merge) and when each wins:
+    shuffle-hash beats sort-merge when one side is much smaller than
+    the other but too big to broadcast — the mid-size-dimension case —
+    at the cost of build-side OOM risk under skew (no spill-to-sort
+    fallback pre-AQE). The hint is advisory: under AQE the tiny fixture
+    side may still upgrade to broadcast at runtime, which is exactly
+    the adaptivity you want at 100 TB.
+
+    Revenue stays exact through the DECIMAL(18,2) sum; the status
+    filter pushes to the orders scan (PushedFilters)."""
+    t = Tables(spark, sf_dir)
+    o = t.orders.where(F.col("o_orderstatus") == "O").hint("shuffle_hash")
+    return (
+        t.lineitem.join(o, t.lineitem.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -2544,3 +2544,147 @@ def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "",
     )
     return syms.groupBy("user_id").agg(word.alias("sax"))
+
+
+_TREE2_ORACLE = """
+WITH g AS (
+  SELECT n_chars AS v, count(*) AS cnt,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(cnt)::BIGINT AS n, sum(pos)::BIGINT AS p FROM g),
+cum AS (
+  SELECT v, sum(cnt) OVER w AS nl, sum(pos) OVER w AS pl
+  FROM g WINDOW w AS (ORDER BY v)
+),
+root AS (
+  SELECT v AS t1
+  FROM cum c CROSS JOIN tot t
+  WHERE c.nl < t.n
+  QUALIFY row_number() OVER (ORDER BY
+    round(((c.pl * c.pl + (c.nl - c.pl) * (c.nl - c.pl)) * (t.n - c.nl)
+           + ((t.p - c.pl) * (t.p - c.pl)
+              + (t.n - c.nl - t.p + c.pl) * (t.n - c.nl - t.p + c.pl))
+             * c.nl)::DOUBLE / (c.nl * (t.n - c.nl)), 6) DESC, v) = 1
+),
+lg AS (
+  SELECT CASE WHEN g.v <= r.t1 THEN 'L' ELSE 'R' END AS leaf,
+         g.v, g.cnt, g.pos
+  FROM g CROSS JOIN root r
+),
+lt AS (SELECT leaf, sum(cnt)::BIGINT AS n, sum(pos)::BIGINT AS p
+       FROM lg GROUP BY 1),
+c2 AS (
+  SELECT leaf, v, sum(cnt) OVER w AS nl, sum(pos) OVER w AS pl
+  FROM lg WINDOW w AS (PARTITION BY leaf ORDER BY v)
+),
+s2 AS (
+  SELECT c.leaf, c.v AS threshold, c.nl, t.n - c.nl AS nr,
+         c.pl, t.p - c.pl AS pr,
+         round(((c.pl * c.pl + (c.nl - c.pl) * (c.nl - c.pl))
+                  * (t.n - c.nl)
+                + ((t.p - c.pl) * (t.p - c.pl)
+                   + (t.n - c.nl - t.p + c.pl)
+                     * (t.n - c.nl - t.p + c.pl))
+                  * c.nl)::DOUBLE
+               / (c.nl * (t.n - c.nl)), 6) AS purity
+  FROM c2 c JOIN lt t USING (leaf)
+  WHERE c.nl < t.n
+)
+SELECT leaf, threshold, nl::BIGINT AS n_left, nr::BIGINT AS n_right,
+       pl * 2 > nl AS pred_left, pr * 2 > nr AS pred_right, purity
+FROM s2
+QUALIFY row_number() OVER (PARTITION BY leaf
+                           ORDER BY purity DESC, threshold) = 1
+"""
+
+
+@query("ml_tree_depth2", category="J.sim", oracle=_TREE2_ORACLE)
+def ml_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grow ``ml_dtree_stump`` one level: find the root's best Gini
+    split, partition the histogram into the two leaves, and find each
+    leaf's best split — level-wise tree growth exactly as distributed
+    GBDT trainers do it (ALL nodes of a level split from ONE pass over
+    the per-node histograms; depth-d training is d such passes, not
+    2^d). The root threshold is data-dependent, so it joins back as a
+    broadcast 1-row scalar — never a driver-side collect.
+
+    Same integer-ratio purity criterion and 6-dp argmax discipline as
+    the stump (see there for the rearrangement proof); per-leaf argmax
+    is one row_number over a leaf-partitioned window. Output: 2 rows
+    (best L and R child splits). Scale: everything after the first
+    histogram aggregate operates on |distinct values| rows."""
+    d = Tables(spark, sf_dir).documents
+    g = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("pos"),
+    ).cache()  # feeds root search AND leaf re-partition
+    tot = g.agg(F.sum("cnt").alias("n"), F.sum("pos").alias("p"))
+
+    def purity_col(nl, pl, n, p):
+        nr = n - nl
+        pr = p - pl
+        ql = nl - pl
+        qr = nr - pr
+        return F.round(
+            ((pl * pl + ql * ql) * nr + (pr * pr + qr * qr) * nl)
+            .cast("double") / (nl * nr),
+            6,
+        )
+
+    wc = Window.orderBy("v")
+    cum = g.select(
+        "v",
+        F.sum("cnt").over(wc).alias("nl"),
+        F.sum("pos").over(wc).alias("pl"),
+    )
+    rootc = cum.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("n"))
+    wroot = Window.orderBy(
+        purity_col(
+            F.col("nl"), F.col("pl"), F.col("n"), F.col("p")
+        ).desc(),
+        "v",
+    )
+    root = (
+        rootc.withColumn("rn", F.row_number().over(wroot))
+        .filter(F.col("rn") == 1)
+        .select(F.col("v").alias("t1"))
+    )
+    lg = g.crossJoin(F.broadcast(root)).select(
+        F.when(F.col("v") <= F.col("t1"), "L").otherwise("R").alias("leaf"),
+        "v",
+        "cnt",
+        "pos",
+    )
+    lt = lg.groupBy("leaf").agg(
+        F.sum("cnt").alias("n"), F.sum("pos").alias("p")
+    )
+    wl = Window.partitionBy("leaf").orderBy("v")
+    c2 = lg.select(
+        "leaf",
+        "v",
+        F.sum("cnt").over(wl).alias("nl"),
+        F.sum("pos").over(wl).alias("pl"),
+    )
+    j = c2.join(F.broadcast(lt), "leaf").filter(F.col("nl") < F.col("n"))
+    nl, pl = F.col("nl"), F.col("pl")
+    n, p = F.col("n"), F.col("p")
+    nr = n - nl
+    pr = p - pl
+    s2 = j.select(
+        "leaf",
+        F.col("v").alias("threshold"),
+        nl.alias("n_left"),
+        nr.alias("n_right"),
+        (pl * 2 > nl).alias("pred_left"),
+        (pr * 2 > nr).alias("pred_right"),
+        purity_col(nl, pl, n, p).alias("purity"),
+    )
+    wbest = Window.partitionBy("leaf").orderBy(
+        F.col("purity").desc(), "threshold"
+    )
+    return (
+        s2.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

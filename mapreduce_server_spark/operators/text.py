@@ -693,3 +693,133 @@ def text_bpe_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .drop("rn")
     )
+
+
+_PPL_ORACLE = """
+WITH train AS (SELECT text FROM documents WHERE (doc_id // 20) % 2 = 0),
+test AS (SELECT doc_id, text FROM documents WHERE (doc_id // 20) % 2 = 1),
+ttk AS (SELECT string_split(text, ' ') AS t FROM train),
+bgp AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM ttk, unnest(generate_series(1, len(t) - 1)) AS u(i)
+),
+bg AS (SELECT w1, w2, count(*) AS c12 FROM bgp GROUP BY 1, 2),
+heads AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM bg GROUP BY 1),
+vsize AS (
+  SELECT count(DISTINCT w)::BIGINT AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM train)
+),
+tp AS (
+  SELECT doc_id, i, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM test),
+       unnest(generate_series(1, len(t) - 1)) AS u(i)
+),
+terms AS (
+  SELECT tp.doc_id, tp.i,
+         ln((coalesce(bg.c12, 0) + 1)::DOUBLE
+            / (coalesce(h.c1, 0) + vs.v)) AS term
+  FROM tp
+  LEFT JOIN bg ON bg.w1 = tp.w1 AND bg.w2 = tp.w2
+  LEFT JOIN heads h ON h.w1 = tp.w1
+  CROSS JOIN vsize vs
+),
+sc AS (
+  SELECT doc_id, count(*) AS n,
+         list_sum(list(term ORDER BY i)) AS s
+  FROM terms GROUP BY 1
+)
+SELECT doc_id, n::BIGINT AS n_bigrams,
+       round(-s / n, 6) AS avg_nll,
+       round(exp(-s / n), 6) AS perplexity
+FROM sc
+"""
+
+
+@query("text_perplexity", category="J.text", oracle=_PPL_ORACLE)
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PERPLEXITY under the corpus's own add-1 bigram LM —
+    the classic model-based quality filter of pretraining pipelines
+    (CCNet-style: train a cheap LM on the corpus, drop the docs the
+    model finds surprising). Trains on alternating 20-doc blocks (the
+    ml_naive_bayes block-split discipline — `source` cycles with
+    doc_id % 20) and scores the held-out blocks:
+    P(w2|w1) = (c12+1)/(c1+|V|), ppl = exp(−Σ ln P / n).
+
+    Exactness: counts are integers, each probability is one division,
+    and the per-doc log-likelihood folds in POSITION order (fsum ≡
+    DuckDB list(term ORDER BY i) + list_sum); ln/exp parity per the
+    ml_naive_bayes / scalar_trig precedent. Unseen heads degrade to
+    1/|V| by the same formula — no special-casing. Scale: the model is
+    the train half's observed-bigram table, joined on (w1,w2) then w1
+    — the same partitioning cascade text_bigram_lm documents; scoring
+    is wordcount-shaped, nothing is ever all-pairs."""
+    from ..functions.vector import fsum
+
+    d = Tables(spark, sf_dir).documents
+    train = d.filter(F.expr("(doc_id div 20) % 2 = 0")).select("text")
+    test = d.filter(F.expr("(doc_id div 20) % 2 = 1")).select("doc_id", "text")
+    tt = train.select(F.split("text", " ").alias("t"))
+    idx = F.sequence(F.lit(1), F.size(F.col("t")) - 1)
+    tpairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(F.col("t"), i).alias("w1"),
+            F.element_at(F.col("t"), i + 1).alias("w2"),
+        ),
+    )
+    bg = (
+        tt.where(F.size("t") >= 2)
+        .select(F.explode(tpairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .cache()  # feeds both the bigram join and the head marginals
+    )
+    heads = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vsize = (
+        train.select(F.explode(F.split("text", " ")).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    ipairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("i"),
+            F.element_at(F.col("t"), i).alias("w1"),
+            F.element_at(F.col("t"), i + 1).alias("w2"),
+        ),
+    )
+    tp = (
+        test.select("doc_id", F.split("text", " ").alias("t"))
+        .where(F.size("t") >= 2)
+        .select("doc_id", F.explode(ipairs).alias("p"))
+        .select("doc_id", "p.i", "p.w1", "p.w2")
+    )
+    terms = (
+        tp.join(bg, ["w1", "w2"], "left")
+        .join(heads, ["w1"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "doc_id",
+            "i",
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            ).alias("term"),
+        )
+    )
+    sc = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        fsum(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "term"))),
+                lambda p: p.getField("term"),
+            )
+        ).alias("s"),
+    )
+    s, n = F.col("s"), F.col("n")
+    return sc.select(
+        "doc_id",
+        n.alias("n_bigrams"),
+        F.round(-s / n, 6).alias("avg_nll"),
+        F.round(F.exp(-s / n), 6).alias("perplexity"),
+    )

@@ -207,3 +207,111 @@ def test_percent_rank_definition(spark, duck):
         at_or_below = int((g <= r["value"]).sum())
         assert abs(r["pct_rank"] - below / (n - 1)) < 1e-8
         assert abs(r["cume_dist"] - at_or_below / n) < 1e-8
+
+
+def test_perplexity_python_replay(spark, duck):
+    import math
+    from collections import Counter
+
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["text_perplexity"].fn(spark, SF001).collect()
+    }
+    docs = duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    train = [t for i, t in docs if (i // 20) % 2 == 0]
+    test = [(i, t) for i, t in docs if (i // 20) % 2 == 1]
+    bg: Counter = Counter()
+    vocab = set()
+    for t in train:
+        w = t.split(" ")
+        vocab.update(w)
+        for a, b in zip(w, w[1:]):
+            bg[(a, b)] += 1
+    heads: Counter = Counter()
+    for (a, _), c in bg.items():
+        heads[a] += c
+    v = len(vocab)
+    assert len(rows) == len(test)
+    for doc_id, t in test[:20]:
+        w = t.split(" ")
+        terms = [
+            math.log((bg[(a, b)] + 1) / (heads[a] + v))
+            for a, b in zip(w, w[1:])
+        ]
+        s = 0.0
+        for x in terms:  # left fold, matching the engine discipline
+            s += x
+        nll = -s / len(terms)
+        got = rows[doc_id]
+        assert got["n_bigrams"] == len(terms)
+        assert abs(got["avg_nll"] - nll) < 1e-5
+        assert abs(got["perplexity"] - math.exp(nll)) < 1e-2
+        assert got["perplexity"] > 1.0
+
+
+def test_tree_depth2_refines_stump(spark, duck):
+    stump = REGISTRY["ml_dtree_stump"].fn(spark, SF001).collect()[0]
+    leaves = {
+        r["leaf"]: r
+        for r in REGISTRY["ml_tree_depth2"].fn(spark, SF001).collect()
+    }
+    t1 = stump["threshold"]
+    assert set(leaves) == {"L", "R"}
+    # child split thresholds live strictly inside their leaf's range
+    assert leaves["L"]["threshold"] < t1
+    assert leaves["R"]["threshold"] > t1
+    # leaf populations re-partition the root's
+    assert (
+        leaves["L"]["n_left"] + leaves["L"]["n_right"] == stump["n_left"]
+    )
+    assert (
+        leaves["R"]["n_left"] + leaves["R"]["n_right"] == stump["n_right"]
+    )
+    # replay the R leaf's best split in python
+    d = duck.execute("SELECT n_chars, lang FROM documents").df()
+    x = d["n_chars"].to_numpy()
+    y = (d["lang"] == "en").to_numpy()
+    xr, yr = x[x > t1], y[x > t1]
+
+    def purity(thr):
+        left = xr <= thr
+        nl, nr = int(left.sum()), int((~left).sum())
+        pl, pr = int(yr[left].sum()), int(yr[~left].sum())
+        ql, qr = nl - pl, nr - pr
+        return round(
+            ((pl * pl + ql * ql) * nr + (pr * pr + qr * qr) * nl)
+            / (nl * nr),
+            6,
+        )
+
+    cands = sorted(set(xr))[:-1]
+    best = max(cands, key=lambda t: (purity(t), -t))
+    assert leaves["R"]["threshold"] == best
+
+
+def test_shuffle_hash_matches_plain_join(spark):
+    from mapreduce_server_spark.sources.loader import Tables
+    import pyspark.sql.functions as F
+
+    t = Tables(spark, SF001)
+    plain = (
+        t.lineitem.join(
+            t.orders.where(F.col("o_orderstatus") == "O"),
+            t.lineitem.l_orderkey == t.orders.o_orderkey,
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    got = {
+        r["o_orderpriority"]: r
+        for r in REGISTRY["join_shuffle_hash"].fn(spark, SF001).collect()
+    }
+    for r in plain.collect():
+        g = got[r["o_orderpriority"]]
+        assert g["n_items"] == r["n_items"]
+        assert g["revenue"] == r["revenue"]  # decimal-exact → bit-equal
