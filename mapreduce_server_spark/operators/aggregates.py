@@ -1033,3 +1033,64 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard_est"
         ),
     )
+
+
+@query(
+    "sketch_hist_quantile",
+    category="D.agg",
+    oracle="""
+WITH h AS (
+  SELECT event_type, value AS v, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, v, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum
+  FROM h
+),
+t AS (SELECT event_type, sum(cnt)::BIGINT AS n FROM h GROUP BY 1)
+SELECT c.event_type, t.n,
+       min(CASE WHEN c.cum >= (t.n * 50 + 99) // 100 THEN c.v END) AS p50,
+       min(CASE WHEN c.cum >= (t.n * 90 + 99) // 100 THEN c.v END) AS p90,
+       min(CASE WHEN c.cum >= (t.n * 99 + 99) // 100 THEN c.v END) AS p99
+FROM c JOIN t USING (event_type)
+GROUP BY 1, 2
+""",
+)
+def sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable quantiles (p50/p90/p99 per event type) via the
+    value-HISTOGRAM trick: when the value domain is bounded (2-dp
+    readings here — ≤ ~56k distinct buckets), the (value → count)
+    histogram is a perfectly mergeable sketch — per-partition maps
+    merge by key-wise addition (one partial-agg shuffle of |domain|
+    rows), and any quantile reads off the cumulative counts exactly.
+    This completes the distinct-count analogy: sketch_bitmap_distinct
+    is to approx_distinct what this is to approx_percentile — the
+    exact-when-domain-allows alternative the lakehouse rollup tier
+    should prefer (histograms re-aggregate across days/grains;
+    GK/KLL-style approximate sketches are the unbounded-domain
+    fallback, surfaced as agg_approx_percentile).
+
+    Quantile convention pinned engine-neutrally: type-1 (lower) —
+    smallest v with cum ≥ ⌈p·n⌉, the ceil done in INTEGER arithmetic
+    ((n·p + 99) div 100), so every output is an actual data value,
+    bit-exact. Plan: one partial-agg shuffle to the histogram, one
+    type-keyed window over ≤|domain| rows, one final 5-row aggregate."""
+    ev = Tables(spark, sf_dir).events
+    h = ev.groupBy("event_type", F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).cache()  # feeds the cumulative window AND the per-type totals
+    w = Window.partitionBy("event_type").orderBy("v")
+    c = h.select(
+        "event_type", "v", F.sum("cnt").over(w).alias("cum")
+    )
+    t = h.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    j = c.join(F.broadcast(t), "event_type")
+
+    def q(p: int):
+        k = F.expr(f"(n * {p} + 99) div 100")
+        return F.min(F.when(F.col("cum") >= k, F.col("v")))
+
+    return j.groupBy("event_type", "n").agg(
+        q(50).alias("p50"), q(90).alias("p90"), q(99).alias("p99")
+    )

@@ -1197,8 +1197,11 @@ def rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     two small hash joins after the one heavy shuffle. At 100 TB the
     per-item table still broadcasts (items ≪ interactions)."""
     li = Tables(spark, sf_dir).lineitem
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    ic = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    # op feeds 3 logical copies (both self-join sides + item counts) and
+    # ic feeds 2 — cache both or each copy re-plans the whole subtree
+    # (ReuseExchange does not dedupe logical duplicates, ARCHITECTURE §13)
+    op = li.select("l_orderkey", "l_partkey").distinct().cache()
+    ic = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c")).cache()
     a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = op.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     pc = (

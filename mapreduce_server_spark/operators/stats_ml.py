@@ -2688,3 +2688,83 @@ def ml_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "ml_regression_stump",
+    category="J.sim",
+    oracle="""
+WITH g AS (
+  SELECT l_quantity AS v, count(*) AS cnt,
+         sum(l_extendedprice::DECIMAL(18,2)) AS sy
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(cnt)::BIGINT AS n, sum(sy) AS s FROM g),
+c AS (
+  SELECT v, sum(cnt) OVER w AS nl, sum(sy) OVER w AS sl
+  FROM g WINDOW w AS (ORDER BY v)
+),
+s AS (
+  SELECT c.v AS threshold, c.nl, t.n - c.nl AS nr,
+         c.sl, t.s - c.sl AS sr,
+         round(c.sl::DOUBLE * c.sl / c.nl
+               + (t.s - c.sl)::DOUBLE * (t.s - c.sl) / (t.n - c.nl), 6)
+           AS score
+  FROM c CROSS JOIN tot t
+  WHERE c.nl < t.n
+)
+SELECT threshold, nl::BIGINT AS n_left, nr::BIGINT AS n_right,
+       round(sl::DOUBLE / nl, 6) AS mean_left,
+       round(sr::DOUBLE / nr, 6) AS mean_right,
+       score
+FROM s
+QUALIFY row_number() OVER (ORDER BY score DESC, threshold) = 1
+""",
+)
+def ml_regression_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGRESSION-tree stump (price ~ quantity): the best
+    variance-reduction split, the squared-loss sibling of
+    ``ml_dtree_stump``'s Gini split and the per-round weak learner of
+    gradient boosting (each GBDT round fits exactly this to the
+    residuals). Minimizing SSE_L + SSE_R ≡ maximizing
+    S_L²/n_L + S_R²/n_R (total Σy² is split-invariant, so it drops out
+    of the argmax — no squared-target moments needed at all).
+
+    The leaf sums are EXACT DECIMAL(18,2); the score is the identical
+    double op sequence both engines, 6-dp-rounded before the argmax,
+    ties to the smaller threshold. Same histogram-then-running-window
+    shape as the classifier stump: the feature has 50 distinct values,
+    so everything after the first aggregate is ~50 rows."""
+    li = Tables(spark, sf_dir).lineitem
+    g = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sy"),
+    )
+    tot = g.agg(F.sum("cnt").alias("n"), F.sum("sy").alias("s"))
+    wc = Window.orderBy("v")
+    c = g.select(
+        "v",
+        F.sum("cnt").over(wc).alias("nl"),
+        F.sum("sy").over(wc).alias("sl"),
+    )
+    j = c.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("n"))
+    nl, sl = F.col("nl"), F.col("sl")
+    nr = F.col("n") - nl
+    sr = F.col("s") - sl
+    score = F.round(
+        sl.cast("double") * sl / nl + sr.cast("double") * sr / nr, 6
+    )
+    s = j.select(
+        F.col("v").alias("threshold"),
+        nl.alias("n_left"),
+        nr.alias("n_right"),
+        F.round(sl.cast("double") / nl, 6).alias("mean_left"),
+        F.round(sr.cast("double") / nr, 6).alias("mean_right"),
+        score.alias("score"),
+    )
+    wbest = Window.orderBy(F.col("score").desc(), "threshold")
+    return (
+        s.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -315,3 +315,41 @@ def test_shuffle_hash_matches_plain_join(spark):
         g = got[r["o_orderpriority"]]
         assert g["n_items"] == r["n_items"]
         assert g["revenue"] == r["revenue"]  # decimal-exact → bit-equal
+
+
+def test_hist_quantile_matches_numpy(spark, duck):
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["sketch_hist_quantile"].fn(spark, SF001).collect()
+    }
+    ev = duck.execute("SELECT event_type, value FROM events").df()
+    for t, g in ev.groupby("event_type"):
+        v = np.sort(g["value"].to_numpy())
+        n = len(v)
+        got = rows[t]
+        assert got["n"] == n
+        for p, col in ((50, "p50"), (90, "p90"), (99, "p99")):
+            k = -(-n * p // 100)  # ceil(n*p/100)
+            assert got[col] == v[k - 1]  # type-1 lower quantile
+
+
+def test_regression_stump_is_true_argmax(spark, duck):
+    got = REGISTRY["ml_regression_stump"].fn(spark, SF001).collect()[0]
+    li = duck.execute(
+        "SELECT l_quantity, l_extendedprice FROM lineitem"
+    ).df()
+    x = li["l_quantity"].to_numpy()
+    y = li["l_extendedprice"].to_numpy()
+
+    def sse(thr):
+        l, r = y[x <= thr], y[x > thr]
+        return ((l - l.mean()) ** 2).sum() + ((r - r.mean()) ** 2).sum()
+
+    cands = sorted(set(x))[:-1]
+    best = min(cands, key=lambda t: (sse(t), t))
+    assert got["threshold"] == best
+    l = y[x <= best]
+    r = y[x > best]
+    assert got["n_left"] == len(l) and got["n_right"] == len(r)
+    assert abs(got["mean_left"] - l.mean()) < 1e-4
+    assert abs(got["mean_right"] - r.mean()) < 1e-4
