@@ -2296,7 +2296,7 @@ def ml_dtree_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = d.groupBy(F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum((F.col("lang") == "en").cast("long")).alias("pos"),
-    )
+    ).cache()  # feeds totals AND the cumulative window (§13 dedup rule)
     tot = g.agg(
         F.sum("cnt").alias("n"), F.sum("pos").alias("p")
     )
@@ -2475,6 +2475,7 @@ z AS (
            / sqrt(m.qt::DOUBLE / m.nt
                   - (m.st::DOUBLE / m.nt) * (m.st::DOUBLE / m.nt)) AS zz
   FROM seg s JOIN mu m ON s.user_id = m.user_id
+  WHERE m.qt * m.nt > m.st * m.st
 )
 SELECT user_id,
        string_agg(CASE WHEN zz < -0.6745 THEN 'a'
@@ -2497,8 +2498,10 @@ def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: segment assignment is integer floor((rn−1)·8/n); PAA
     means and the user μ/σ derive from DECIMAL sums (2-dp values, 4-dp
     squares); the z expression and breakpoint CASE run the identical
-    double op sequence in both engines. Users with n < 8 are excluded
-    (a degenerate word AND σ=0 hazard). Plan: one user-keyed window
+    double op sequence in both engines. Users with n < 8 (degenerate
+    words) and constant series (σ = 0, decided in exact decimal
+    arithmetic — Spark would NaN where DuckDB errors on the rounded-
+    negative sqrt operand) are excluded. Plan: one user-keyed window
     exchange feeds the segment aggregate; the per-user moments
     re-aggregate the same cells — no second scan of events."""
     ev = Tables(spark, sf_dir).events
@@ -2524,7 +2527,12 @@ def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sv").alias("st"),
         F.sum("sq").alias("qt"),
     )
-    j = seg.join(mu, "user_id")
+    # constant series (variance exactly 0, decided in EXACT decimal
+    # arithmetic so both engines agree) would make sqrt's operand round
+    # negative in DuckDB (error) vs NaN in Spark — exclude them
+    j = seg.join(mu, "user_id").filter(
+        F.col("qt") * F.col("nt") > F.col("st") * F.col("st")
+    )
     mean = F.col("st").cast("double") / F.col("nt")
     z = (F.col("sv").cast("double") / F.col("cnt") - mean) / F.sqrt(
         F.col("qt").cast("double") / F.col("nt") - mean * mean
@@ -2739,7 +2747,7 @@ def ml_regression_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = li.groupBy(F.col("l_quantity").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sy"),
-    )
+    ).cache()  # feeds totals AND the cumulative window (§13 dedup rule)
     tot = g.agg(F.sum("cnt").alias("n"), F.sum("sy").alias("s"))
     wc = Window.orderBy("v")
     c = g.select(

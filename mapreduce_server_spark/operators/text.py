@@ -669,7 +669,7 @@ def text_bpe_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Tables(spark, sf_dir).documents
     vocab = (
-        d.select(F.explode(F.split("text", " ")).alias("w"))
+        d.select(F.explode(tokens()).alias("w"))
         .where(F.length("w") >= 2)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -758,7 +758,7 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Tables(spark, sf_dir).documents
     train = d.filter(F.expr("(doc_id div 20) % 2 = 0")).select("text")
     test = d.filter(F.expr("(doc_id div 20) % 2 = 1")).select("doc_id", "text")
-    tt = train.select(F.split("text", " ").alias("t"))
+    tt = train.select(tokens().alias("t"))
     idx = F.sequence(F.lit(1), F.size(F.col("t")) - 1)
     tpairs = F.transform(
         idx,
@@ -777,7 +777,7 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     heads = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vsize = (
-        train.select(F.explode(F.split("text", " ")).alias("w"))
+        train.select(F.explode(tokens()).alias("w"))
         .agg(F.countDistinct("w").alias("v"))
     )
     ipairs = F.transform(
@@ -789,7 +789,7 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     tp = (
-        test.select("doc_id", F.split("text", " ").alias("t"))
+        test.select("doc_id", tokens().alias("t"))
         .where(F.size("t") >= 2)
         .select("doc_id", F.explode(ipairs).alias("p"))
         .select("doc_id", "p.i", "p.w1", "p.w2")

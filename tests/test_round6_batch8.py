@@ -67,8 +67,20 @@ def test_dtree_stump_is_true_argmin(spark, duck):
         gr = 1 - (pr / nr) ** 2 - ((nr - pr) / nr) ** 2
         return nl * gl + nr * gr
 
+    def purity(thr: int) -> float:
+        # the engine's 6-dp-rounded argmax criterion (purity form)
+        left = x <= thr
+        nl, nr = int(left.sum()), int((~left).sum())
+        pl, pr = int(y[left].sum()), int(y[~left].sum())
+        ql, qr = nl - pl, nr - pr
+        return round(
+            ((pl * pl + ql * ql) * nr + (pr * pr + qr * qr) * nl)
+            / (nl * nr),
+            6,
+        )
+
     cands = sorted(set(x))[:-1]
-    best = min(cands, key=lambda t: (weighted_gini(t), t))
+    best = max(cands, key=lambda t: (purity(t), -t))
     assert got["threshold"] == best
     left = x <= best
     assert got["n_left"] == int(left.sum())
@@ -231,8 +243,9 @@ def test_perplexity_python_replay(spark, duck):
     for (a, _), c in bg.items():
         heads[a] += c
     v = len(vocab)
-    assert len(rows) == len(test)
-    for doc_id, t in test[:20]:
+    scorable = [(i, t) for i, t in test if len(t.split(" ")) >= 2]
+    assert len(rows) == len(scorable)
+    for doc_id, t in scorable[:20]:
         w = t.split(" ")
         terms = [
             math.log((bg[(a, b)] + 1) / (heads[a] + v))
@@ -341,12 +354,15 @@ def test_regression_stump_is_true_argmax(spark, duck):
     x = li["l_quantity"].to_numpy()
     y = li["l_extendedprice"].to_numpy()
 
-    def sse(thr):
+    def score(thr):
+        # the engine's 6-dp-rounded argmax criterion (SSE drop-out form)
         l, r = y[x <= thr], y[x > thr]
-        return ((l - l.mean()) ** 2).sum() + ((r - r.mean()) ** 2).sum()
+        return round(
+            l.sum() ** 2 / len(l) + r.sum() ** 2 / len(r), 6
+        )
 
     cands = sorted(set(x))[:-1]
-    best = min(cands, key=lambda t: (sse(t), t))
+    best = max(cands, key=lambda t: (score(t), -t))
     assert got["threshold"] == best
     l = y[x <= best]
     r = y[x > best]
