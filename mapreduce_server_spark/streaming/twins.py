@@ -700,3 +700,67 @@ def kmv(stream: DataFrame, k: int = 32) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def histq(stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``sketch_hist_quantile``: a running exact
+    p50/p90/p99 per event type. State is exactly the mergeable sketch
+    the batch op argues for — the (value → count) histogram, held as
+    integer CENTS so the state stays exact (2-dp fixture values;
+    cents/100 re-rounds to the identical double the batch path reads,
+    both being the nearest double to the same 2-dp rational). Each
+    micro-batch merges key-wise by addition — the associative merge IS
+    the 100 TB story — and quantiles read off the cumulative counts
+    with the same integer-ceil rank pick ⌈p·n/100⌉ as the batch
+    oracle, so the drained final state must match the batch result
+    bit-for-bit (``test_histq_twin_matches_batch``)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = stream.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            vals, cnts = state.get
+            hist = dict(zip(list(vals), list(cnts)))
+        else:
+            hist = {}
+        for pdf in pdf_iter:
+            for c in pdf["cents"]:
+                c = int(c)
+                hist[c] = hist.get(c, 0) + 1
+        items = sorted(hist.items())
+        state.update(([k for k, _ in items], [v for _, v in items]))
+        n = sum(hist.values())
+        out = {}
+        for p, name in ((50, "p50"), (90, "p90"), (99, "p99")):
+            k = -(-n * p // 100)  # ceil(n*p/100), integer form
+            cum = 0
+            for c, cnt in items:
+                cum += cnt
+                if cum >= k:
+                    out[name] = c / 100.0
+                    break
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n": [n],
+                "p50": [out["p50"]],
+                "p90": [out["p90"]],
+                "p99": [out["p99"]],
+            }
+        )
+
+    return src.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "event_type STRING, n BIGINT, p50 DOUBLE, p90 DOUBLE,"
+            " p99 DOUBLE"
+        ),
+        stateStructType="vals ARRAY<BIGINT>, cnts ARRAY<BIGINT>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -369,3 +369,30 @@ def test_regression_stump_is_true_argmax(spark, duck):
     assert got["n_left"] == len(l) and got["n_right"] == len(r)
     assert abs(got["mean_left"] - l.mean()) < 1e-4
     assert abs(got["mean_right"] - r.mean()) < 1e-4
+
+
+def test_histq_twin_matches_batch(spark, tmp_path):
+    """The drained streaming histogram state reproduces the batch
+    quantile sketch bit-for-bit per event type (mergeability proof:
+    micro-batch partials merged key-wise == one-shot histogram)."""
+    import os
+    import shutil
+
+    from mapreduce_server_spark.streaming import twins
+
+    events_dir = str(tmp_path / "events_src")
+    os.makedirs(events_dir, exist_ok=True)
+    shutil.copyfile(
+        f"{SF001}/events.parquet", os.path.join(events_dir, "events.parquet")
+    )
+    ckpt = str(tmp_path / "histq_ckpt")
+    stream = twins.events_stream(spark, events_dir, max_files_per_trigger=1)
+    rows = twins.run_collect(twins.histq(stream), "update", ckpt)
+    final = {}
+    for r in rows:
+        final[r.event_type] = (r.n, r.p50, r.p90, r.p99)
+    batch = {
+        r.event_type: (r.n, r.p50, r.p90, r.p99)
+        for r in REGISTRY["sketch_hist_quantile"].fn(spark, SF001).collect()
+    }
+    assert final == batch
