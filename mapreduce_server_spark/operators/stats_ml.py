@@ -2776,3 +2776,74 @@ def ml_regression_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "ml_als_halfstep",
+    category="J.sim",
+    oracle="""
+WITH inter AS (
+  SELECT o.o_custkey AS c, l.l_partkey % 7 - 3 AS f2,
+         l.l_quantity::DECIMAL(18,2) AS r
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+m AS (
+  SELECT c, count(*) AS n,
+         sum(f2)::BIGINT AS s2,
+         sum(f2 * f2)::BIGINT AS q22,
+         sum(r)::DOUBLE AS b1,
+         sum(f2 * r)::DOUBLE AS b2
+  FROM inter GROUP BY 1
+)
+SELECT c AS custkey, n::BIGINT AS n_items,
+       round((b1 * (q22 + 1) - s2 * b2)
+             / ((n + 1)::DOUBLE * (q22 + 1) - s2::DOUBLE * s2), 6) AS w1,
+       round(((n + 1) * b2 - s2 * b1)
+             / ((n + 1)::DOUBLE * (q22 + 1) - s2::DOUBLE * s2), 6) AS w2
+FROM m
+""",
+)
+def ml_als_halfstep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ALS HALF-STEP of rank-2 matrix factorization over the
+    (customer, part, quantity) interaction matrix — the canonical
+    distributed recommender trainer (Spark MLlib's ALS), reduced to its
+    engine shape: with item factors FIXED, every user's factor solve is
+    an independent ridge system assembled from per-user partial sums —
+    one groupBy, then O(rank²) arithmetic per user. Full ALS alternates
+    this with the item-side mirror.
+
+    Made exactly replayable by pinning the item factors to INTEGERS
+    (f = [1, partkey mod 7 − 3] — the deterministic-init discipline of
+    ml_kmeans/ml_logreg_step): the Gram matrix is then integer sums,
+    the RHS is exact 2-dp decimal sums, λ = 1 on the diagonal, and the
+    2×2 Cramer solve (det = (n+1)(q22+1) − s2²) is one identical double
+    op sequence in both engines — ml_ridge_normal's pattern with a
+    per-user GROUP BY in front.
+
+    Plan: one equi-join (orderkey), one partial-agg shuffle on
+    custkey; rank² = 4 moments per user regardless of interaction
+    count — the reduction that makes ALS scale."""
+    t = Tables(spark, sf_dir)
+    inter = t.lineitem.join(
+        t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey
+    ).select(
+        F.col("o_custkey").alias("c"),
+        (F.col("l_partkey") % 7 - 3).alias("f2"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("r"),
+    )
+    m = inter.groupBy("c").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("f2").alias("s2"),
+        F.sum(F.col("f2") * F.col("f2")).alias("q22"),
+        F.sum("r").cast("double").alias("b1"),
+        F.sum(F.col("f2") * F.col("r")).cast("double").alias("b2"),
+    )
+    n, s2, q22 = F.col("n"), F.col("s2"), F.col("q22")
+    b1, b2 = F.col("b1"), F.col("b2")
+    det = (n + 1).cast("double") * (q22 + 1) - s2.cast("double") * s2
+    return m.select(
+        F.col("c").alias("custkey"),
+        n.alias("n_items"),
+        F.round((b1 * (q22 + 1) - s2 * b2) / det, 6).alias("w1"),
+        F.round(((n + 1) * b2 - s2 * b1) / det, 6).alias("w2"),
+    )

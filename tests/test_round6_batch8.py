@@ -396,3 +396,26 @@ def test_histq_twin_matches_batch(spark, tmp_path):
         for r in REGISTRY["sketch_hist_quantile"].fn(spark, SF001).collect()
     }
     assert final == batch
+
+
+def test_als_halfstep_matches_numpy(spark, duck):
+    rows = {
+        r["custkey"]: r
+        for r in REGISTRY["ml_als_halfstep"].fn(spark, SF001).collect()
+    }
+    inter = duck.execute(
+        """
+        SELECT o.o_custkey AS c, l.l_partkey % 7 - 3 AS f2, l.l_quantity AS r
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        """
+    ).df()
+    lam = 1.0
+    for c, g in list(inter.groupby("c"))[:50]:
+        F2 = np.column_stack([np.ones(len(g)), g["f2"].to_numpy(float)])
+        r = g["r"].to_numpy(float)
+        A = F2.T @ F2 + lam * np.eye(2)
+        w = np.linalg.solve(A, F2.T @ r)
+        got = rows[c]
+        assert got["n_items"] == len(g)
+        assert abs(got["w1"] - w[0]) < 1e-5
+        assert abs(got["w2"] - w[1]) < 1e-5
