@@ -60,3 +60,36 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media_frame(d)).select(
         "id", F.col("frame_idx").cast("long").alias("frame_idx")
     )
+
+
+@query(
+    "multimodal_dedup",
+    category="J.multimodal",
+    oracle="""
+WITH f AS (SELECT doc_id AS id, md5(text) AS digest, length(text) AS byte_len
+           FROM documents)
+SELECT digest, count(*) AS n_copies, min(id) AS survivor_id,
+       min(byte_len) AS byte_len
+FROM f GROUP BY 1 HAVING count(*) >= 2
+""",
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over OPAQUE BINARY payloads: digest each blob inside
+    the Arrow-batched featurizer (the only place the bytes are touched),
+    then dedup is an ordinary hash-groupBy over the digest column —
+    byte-identical images/audio collapse without the engine ever
+    interpreting them, the deterministic-survivor (min id) rule of
+    dedup_exact applied to media. At 100 TB this is THE first pass of
+    any multimodal curation pipeline: digests are 32 bytes regardless
+    of payload size, so the shuffle moves hashes, never media."""
+    d = Tables(spark, sf_dir).documents
+    feats = extract_features(media_frame(d))
+    return (
+        feats.groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("id").alias("survivor_id"),
+            F.min("byte_len").alias("byte_len"),
+        )
+        .where(F.col("n_copies") >= 2)
+    )

@@ -2847,3 +2847,117 @@ def ml_als_halfstep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((b1 * (q22 + 1) - s2 * b2) / det, 6).alias("w1"),
         F.round(((n + 1) * b2 - s2 * b1) / det, 6).alias("w2"),
     )
+
+
+_MFSTUMP_ORACLE = """
+WITH feat AS (
+  SELECT 'n_chars' AS feature, n_chars AS v,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+  UNION ALL
+  SELECT 'n_tokens' AS feature, len(string_split(text, ' ')) AS v,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+g AS (
+  SELECT feature, v, count(*) AS cnt, sum(y) AS pos
+  FROM feat GROUP BY 1, 2
+),
+tot AS (
+  SELECT feature, sum(cnt)::BIGINT AS n, sum(pos)::BIGINT AS p
+  FROM g GROUP BY 1
+),
+cum AS (
+  SELECT feature, v, sum(cnt) OVER w AS nl, sum(pos) OVER w AS pl
+  FROM g WINDOW w AS (PARTITION BY feature ORDER BY v)
+),
+s AS (
+  SELECT c.feature, c.v AS threshold, c.nl, t.n - c.nl AS nr,
+         c.pl, t.p - c.pl AS pr,
+         round(((c.pl * c.pl + (c.nl - c.pl) * (c.nl - c.pl))
+                  * (t.n - c.nl)
+                + ((t.p - c.pl) * (t.p - c.pl)
+                   + (t.n - c.nl - t.p + c.pl)
+                     * (t.n - c.nl - t.p + c.pl))
+                  * c.nl)::DOUBLE
+               / (c.nl * (t.n - c.nl)), 6) AS purity
+  FROM cum c JOIN tot t USING (feature)
+  WHERE c.nl < t.n
+)
+SELECT feature, threshold, nl::BIGINT AS n_left, nr::BIGINT AS n_right,
+       purity
+FROM s
+QUALIFY row_number() OVER (ORDER BY purity DESC, feature, threshold) = 1
+"""
+
+
+@query("ml_dtree_multifeature", category="J.sim", oracle=_MFSTUMP_ORACLE)
+def ml_dtree_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best Gini split across MULTIPLE features in ONE pass — the real
+    inner loop of distributed tree trainers (every feature's candidate
+    splits are scored from per-feature histograms built in a single
+    shuffle; the argmax then spans features). Features here: doc length
+    and token count; extending the feature set is one more UNION arm —
+    cost stays one scan per feature arm + one (feature,value)-keyed
+    aggregate, never a per-feature pass over candidates.
+
+    Same exact integer-ratio purity criterion as ``ml_dtree_stump``
+    (see the rearrangement proof there); the cumulative window and the
+    final argmax are feature-partition-aware; ties break (feature,
+    threshold)-lexicographically. Scale note: the unpivoted layout is
+    exactly how XGBoost/LightGBM shard split-finding — (feature, bin)
+    is the aggregation key, so feature parallelism IS partition
+    parallelism."""
+    from ..operators.text import tokens
+
+    d = Tables(spark, sf_dir).documents
+    y = (F.col("lang") == "en").cast("long").alias("y")
+    feat = d.select(
+        F.lit("n_chars").alias("feature"), F.col("n_chars").alias("v"), y
+    ).unionAll(
+        d.select(
+            F.lit("n_tokens").alias("feature"),
+            F.size(tokens()).cast("long").alias("v"),
+            y,
+        )
+    )
+    g = feat.groupBy("feature", "v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    ).cache()  # feeds per-feature totals AND the cumulative window
+    tot = g.groupBy("feature").agg(
+        F.sum("cnt").alias("n"), F.sum("pos").alias("p")
+    )
+    wc = Window.partitionBy("feature").orderBy("v")
+    cum = g.select(
+        "feature",
+        "v",
+        F.sum("cnt").over(wc).alias("nl"),
+        F.sum("pos").over(wc).alias("pl"),
+    )
+    j = cum.join(F.broadcast(tot), "feature").filter(
+        F.col("nl") < F.col("n")
+    )
+    nl, pl = F.col("nl"), F.col("pl")
+    n, p = F.col("n"), F.col("p")
+    nr = n - nl
+    pr = p - pl
+    ql = nl - pl
+    qr = nr - pr
+    purity = F.round(
+        ((pl * pl + ql * ql) * nr + (pr * pr + qr * qr) * nl)
+        .cast("double") / (nl * nr),
+        6,
+    )
+    s = j.select(
+        "feature",
+        F.col("v").alias("threshold"),
+        nl.alias("n_left"),
+        nr.alias("n_right"),
+        purity.alias("purity"),
+    )
+    wbest = Window.orderBy(F.col("purity").desc(), "feature", "threshold")
+    return (
+        s.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -419,3 +419,31 @@ def test_als_halfstep_matches_numpy(spark, duck):
         assert got["n_items"] == len(g)
         assert abs(got["w1"] - w[0]) < 1e-5
         assert abs(got["w2"] - w[1]) < 1e-5
+
+
+def test_multimodal_dedup_matches_text_dups(spark, duck):
+    rows = REGISTRY["multimodal_dedup"].fn(spark, SF001).collect()
+    want = dict(
+        duck.execute(
+            "SELECT md5(text), count(*) FROM documents"
+            " GROUP BY 1 HAVING count(*) >= 2"
+        ).fetchall()
+    )
+    assert {r["digest"]: r["n_copies"] for r in rows} == want
+    for r in rows:
+        # survivor is the smallest id carrying that digest
+        sid = duck.execute(
+            "SELECT min(doc_id) FROM documents WHERE md5(text) = ?",
+            [r["digest"]],
+        ).fetchone()[0]
+        assert r["survivor_id"] == sid
+
+
+def test_multifeature_beats_or_ties_single_feature(spark):
+    best = REGISTRY["ml_dtree_multifeature"].fn(spark, SF001).collect()[0]
+    chars_only = REGISTRY["ml_dtree_stump"].fn(spark, SF001).collect()[0]
+    assert best["feature"] in ("n_chars", "n_tokens")
+    # the cross-feature argmax can never be worse than the n_chars one
+    assert best["purity"] >= chars_only["purity"]
+    if best["feature"] == "n_chars":
+        assert best["threshold"] == chars_only["threshold"]
