@@ -2961,3 +2961,166 @@ def ml_dtree_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "stat_cramers_v",
+    category="D.agg",
+    oracle="""
+WITH o AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+r AS (SELECT source, sum(c) AS rs FROM o GROUP BY 1),
+col AS (SELECT lang, sum(c) AS cs FROM o GROUP BY 1),
+tot AS (SELECT sum(c)::BIGINT AS n FROM o),
+cells AS (
+  SELECT o.source, o.lang,
+         (o.c::DOUBLE - r.rs::DOUBLE * col.cs / tot.n)
+         * (o.c::DOUBLE - r.rs::DOUBLE * col.cs / tot.n)
+         / (r.rs::DOUBLE * col.cs / tot.n) AS term
+  FROM o JOIN r USING (source) JOIN col USING (lang) CROSS JOIN tot
+),
+chi AS (
+  SELECT round(list_reduce(list_prepend(0.0,
+           list(term ORDER BY source, lang)), (s, x) -> s + x), 6) AS chi2
+  FROM cells
+),
+dims AS (
+  SELECT (SELECT count(*) FROM r)::BIGINT AS nr,
+         (SELECT count(*) FROM col)::BIGINT AS nc,
+         (SELECT n FROM tot) AS n
+)
+SELECT chi.chi2, dims.n, dims.nr, dims.nc,
+       round(sqrt(chi.chi2
+                  / (dims.n * least(dims.nr - 1, dims.nc - 1))), 6) AS v
+FROM chi CROSS JOIN dims
+""",
+)
+def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the [0,1]-normalized EFFECT SIZE for the
+    source × language association that ``stat_chi2`` only scores as a
+    raw statistic: V = √(χ²/(n·min(r−1, c−1))). A χ² that looks huge on
+    a 60k-doc corpus can be a trivial association; V says how strong it
+    actually is, which is what a curation dashboard thresholds on.
+    Same exact-marginals + (source, lang)-ordered fold as stat_chi2;
+    the normalization uses the ROUNDED 6-dp χ² in both engines so the
+    final division sees identical operands. One shuffle (the
+    contingency table), everything else re-aggregates the cached
+    cells."""
+    d = Tables(spark, sf_dir).documents
+    o = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    ).cache()
+    r = o.groupBy("source").agg(F.sum("c").alias("rs"))
+    c = o.groupBy("lang").agg(F.sum("c").alias("cs"))
+    tot = o.agg(F.sum("c").alias("n"))
+    e = F.col("rs").cast("double") * F.col("cs") / F.col("n")
+    cells = (
+        o.join(F.broadcast(r), "source")
+        .join(F.broadcast(c), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            (
+                (F.col("c").cast("double") - e)
+                * (F.col("c").cast("double") - e)
+                / e
+            ).alias("term"),
+        )
+    )
+    fold = F.aggregate(
+        F.sort_array(
+            F.collect_list(F.struct("source", "lang", "term"))
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x.getField("term"),
+    )
+    chi = cells.agg(F.round(fold, 6).alias("chi2"))
+    dims = (
+        r.agg(F.count(F.lit(1)).alias("nr"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("nc")))
+        .crossJoin(tot)
+    )
+    j = chi.crossJoin(F.broadcast(dims))
+    return j.select(
+        "chi2",
+        "n",
+        "nr",
+        "nc",
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            ),
+            6,
+        ).alias("v"),
+    )
+
+
+_TWO_PI = "6.283185307179586"
+
+_FOURIER_ORACLE = f"""
+WITH b AS (
+  SELECT event_type, value::DECIMAL(18,2) AS v,
+         round(cos({_TWO_PI} * ((epoch_us(ts::TIMESTAMP) // 1000000)
+                                % 86400) / 86400), 6)::DECIMAL(12,6) AS cq,
+         round(sin({_TWO_PI} * ((epoch_us(ts::TIMESTAMP) // 1000000)
+                                % 86400) / 86400), 6)::DECIMAL(12,6) AS sq
+  FROM events
+),
+m AS (
+  SELECT event_type, count(*) AS n,
+         sum(v * cq) AS a1, sum(v * sq) AS b1
+  FROM b GROUP BY 1
+)
+SELECT event_type, n::BIGINT AS n,
+       round(a1::DOUBLE, 6) AS a1, round(b1::DOUBLE, 6) AS b1,
+       round(sqrt(a1::DOUBLE * a1 + b1::DOUBLE * b1), 6) AS amplitude,
+       round(atan2(b1::DOUBLE, a1::DOUBLE), 6) AS phase
+FROM m
+"""
+
+
+@query("ts_fourier_daily", category="I.stream", oracle=_FOURIER_ORACLE)
+def ts_fourier_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First Fourier coefficient of the DAILY cycle per event type —
+    a1 = Σ v·cos(2π·t/86400), b1 = Σ v·sin(·) over the second-of-day
+    phase — the spectral twin of ``ts_seasonality``'s hour-profile:
+    amplitude says HOW diurnal a signal is, phase says WHEN it peaks,
+    in two numbers instead of 24 buckets.
+
+    The float trick that keeps this a pure mergeable aggregate at
+    100 TB: the transcendental basis values are QUANTIZED to 6 dp and
+    cast to DECIMAL (the "transcendentals round to 6 dp" rule), so
+    v·cos products are exact decimals and the per-type sums are
+    fold-order-free partial aggregates — no ordered fold, no
+    collect_list, just map-side combine like any sum. Phase angles come
+    from integer second-of-day arithmetic (epoch_us // 1e6 % 86400 —
+    the epoch-rounding trap's safe form); cos/sin/atan2 run on
+    identical doubles in both engines (scalar_trig precedent). ONE
+    shuffle."""
+    ev = Tables(spark, sf_dir).events
+    sod = F.unix_seconds(F.col("ts")) % 86400
+    theta = F.expr(f"{_TWO_PI}") * sod / 86400
+    b = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.round(F.cos(theta), 6).cast("decimal(12,6)").alias("cq"),
+        F.round(F.sin(theta), 6).cast("decimal(12,6)").alias("sq"),
+    )
+    m = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v") * F.col("cq")).alias("a1"),
+        F.sum(F.col("v") * F.col("sq")).alias("b1"),
+    )
+    a1d = F.col("a1").cast("double")
+    b1d = F.col("b1").cast("double")
+    return m.select(
+        "event_type",
+        F.col("n").alias("n"),
+        F.round(a1d, 6).alias("a1"),
+        F.round(b1d, 6).alias("b1"),
+        F.round(F.sqrt(a1d * F.col("a1") + b1d * F.col("b1")), 6).alias(
+            "amplitude"
+        ),
+        F.round(F.atan2(b1d, a1d), 6).alias("phase"),
+    )

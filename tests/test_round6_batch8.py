@@ -447,3 +447,44 @@ def test_multifeature_beats_or_ties_single_feature(spark):
     assert best["purity"] >= chars_only["purity"]
     if best["feature"] == "n_chars":
         assert best["threshold"] == chars_only["threshold"]
+
+
+def test_cramers_v_bounds_and_formula(spark, duck):
+    row = REGISTRY["stat_cramers_v"].fn(spark, SF001).collect()[0]
+    assert 0.0 <= row["v"] <= 1.0
+    import math
+
+    want = round(
+        math.sqrt(
+            row["chi2"] / (row["n"] * min(row["nr"] - 1, row["nc"] - 1))
+        ),
+        6,
+    )
+    assert row["v"] == want
+    # chi2 agrees with the standalone stat_chi2 query
+    chi = REGISTRY["stat_chi2"].fn(spark, SF001).collect()[0]
+    assert row["chi2"] == chi["chi2"]
+
+
+def test_fourier_daily_matches_numpy(spark, duck):
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["ts_fourier_daily"].fn(spark, SF001).collect()
+    }
+    ev = duck.execute(
+        "SELECT event_type, value,"
+        " (epoch_us(ts::TIMESTAMP) // 1000000) % 86400 AS sod"
+        " FROM events"
+    ).df()
+    for t, g in ev.groupby("event_type"):
+        theta = 2 * np.pi * g["sod"].to_numpy(float) / 86400
+        v = g["value"].to_numpy(float)
+        a1 = float((v * np.cos(theta)).sum())
+        b1 = float((v * np.sin(theta)).sum())
+        got = rows[t]
+        assert got["n"] == len(g)
+        # engine quantizes the basis at 6 dp; tolerance covers that
+        assert abs(got["a1"] - a1) < 0.05
+        assert abs(got["b1"] - b1) < 0.05
+        assert abs(got["amplitude"] - np.hypot(a1, b1)) < 0.1
+        assert abs(got["phase"] - np.arctan2(b1, a1)) < 0.01
