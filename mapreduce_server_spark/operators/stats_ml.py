@@ -3124,3 +3124,215 @@ def ts_fourier_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.atan2(b1d, a1d), 6).alias("phase"),
     )
+
+_GBDT2_ORACLE = """
+WITH g AS (
+  SELECT l_quantity AS v, count(*) AS cnt,
+         sum(l_extendedprice::DECIMAL(18,2)) AS sy
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(cnt)::BIGINT AS n, sum(sy) AS s FROM g),
+c AS (
+  SELECT v, sum(cnt) OVER w AS nl, sum(sy) OVER w AS sl
+  FROM g WINDOW w AS (ORDER BY v)
+),
+root AS (
+  SELECT v AS t1
+  FROM c CROSS JOIN tot t
+  WHERE c.nl < t.n
+  QUALIFY row_number() OVER (ORDER BY
+    round(c.sl::DOUBLE * c.sl / c.nl
+          + (t.s - c.sl)::DOUBLE * (t.s - c.sl) / (t.n - c.nl), 6)
+      DESC, v) = 1
+),
+leafmeans AS (
+  SELECT r.t1,
+         round((SELECT sum(sy) FROM g WHERE v <= r.t1)::DOUBLE
+               / (SELECT sum(cnt) FROM g WHERE v <= r.t1),
+               6)::DECIMAL(18,6) AS ml,
+         round((SELECT sum(sy) FROM g WHERE v > r.t1)::DOUBLE
+               / (SELECT sum(cnt) FROM g WHERE v > r.t1),
+               6)::DECIMAL(18,6) AS mr
+  FROM root r
+),
+rg AS (
+  SELECT g.v, g.cnt,
+         g.sy::DECIMAL(28,6)
+           - g.cnt * (CASE WHEN g.v <= lm.t1 THEN lm.ml ELSE lm.mr END)
+           AS rs
+  FROM g CROSS JOIN leafmeans lm
+),
+rtot AS (SELECT sum(cnt)::BIGINT AS n, sum(rs) AS s FROM rg),
+rc AS (
+  SELECT v, sum(cnt) OVER w AS nl, sum(rs) OVER w AS sl
+  FROM rg WINDOW w AS (ORDER BY v)
+),
+s2 AS (
+  SELECT rc.v AS threshold2, rc.nl, t.n - rc.nl AS nr,
+         round(rc.sl::DOUBLE * rc.sl / rc.nl
+               + (t.s - rc.sl)::DOUBLE * (t.s - rc.sl) / (t.n - rc.nl), 6)
+           AS score
+  FROM rc CROSS JOIN rtot t
+  WHERE rc.nl < t.n
+)
+SELECT (SELECT t1 FROM root) AS threshold1, threshold2,
+       nl::BIGINT AS n_left, nr::BIGINT AS n_right, score
+FROM s2
+QUALIFY row_number() OVER (ORDER BY score DESC, threshold2) = 1
+"""
+
+
+@query("ml_gbdt_round2", category="J.sim", oracle=_GBDT2_ORACLE)
+def ml_gbdt_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND round of gradient boosting with squared loss: fit
+    ``ml_regression_stump``, subtract its leaf means, and find the best
+    variance-reduction split of the RESIDUALS — demonstrating the key
+    scale property of histogram-based GBDT: round 2 never rescans the
+    data. Residual sums per feature bucket derive algebraically from
+    the round-1 histogram (rs = sy − cnt·leafmean), so every boosting
+    round on a feature costs O(|histogram|) after the single initial
+    aggregate.
+
+    Float discipline: leaf means are rounded to 6 dp and CAST TO
+    DECIMAL(18,6) at the hand-off (recovering the exact 6-dp rational
+    in both engines — the ml_kmeans pinning move), which makes the
+    residual bucket sums, and therefore their running window sums,
+    EXACT decimals — no float fold anywhere between the two argmaxes;
+    both scores round at 6 dp. Plan: ONE scan total; both rounds are
+    windows over the cached ~50-row histogram."""
+    li = Tables(spark, sf_dir).lineitem
+    g = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sy"),
+    ).cache()  # round 1 AND round 2 both run off this histogram
+    tot = g.agg(F.sum("cnt").alias("n"), F.sum("sy").alias("s"))
+    wc = Window.orderBy("v")
+    c = g.select(
+        "v",
+        F.sum("cnt").over(wc).alias("nl"),
+        F.sum("sy").over(wc).alias("sl"),
+    )
+    jc = c.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("n"))
+    score1 = F.round(
+        F.col("sl").cast("double") * F.col("sl") / F.col("nl")
+        + (F.col("s") - F.col("sl")).cast("double")
+        * (F.col("s") - F.col("sl"))
+        / (F.col("n") - F.col("nl")),
+        6,
+    )
+    wroot = Window.orderBy(score1.desc(), "v")
+    root = (
+        jc.withColumn("rn", F.row_number().over(wroot))
+        .filter(F.col("rn") == 1)
+        .select(F.col("v").alias("t1"))
+    )
+    gl = g.crossJoin(F.broadcast(root))
+    lmeans = gl.groupBy("t1").agg(
+        F.round(
+            F.sum(F.when(F.col("v") <= F.col("t1"), F.col("sy"))).cast(
+                "double"
+            )
+            / F.sum(F.when(F.col("v") <= F.col("t1"), F.col("cnt"))),
+            6,
+        ).cast("decimal(18,6)").alias("ml"),
+        F.round(
+            F.sum(F.when(F.col("v") > F.col("t1"), F.col("sy"))).cast(
+                "double"
+            )
+            / F.sum(F.when(F.col("v") > F.col("t1"), F.col("cnt"))),
+            6,
+        ).cast("decimal(18,6)").alias("mr"),
+    )
+    rg = gl.join(F.broadcast(lmeans), "t1").select(
+        "v",
+        "cnt",
+        (
+            F.col("sy").cast("decimal(28,6)")
+            - F.col("cnt")
+            * F.when(F.col("v") <= F.col("t1"), F.col("ml")).otherwise(
+                F.col("mr")
+            )
+        ).alias("rs"),
+    )
+    rtot = rg.agg(F.sum("cnt").alias("n"), F.sum("rs").alias("s"))
+    rc = rg.select(
+        "v",
+        F.sum("cnt").over(wc).alias("nl"),
+        F.sum("rs").over(wc).alias("sl"),
+    )
+    j2 = rc.crossJoin(F.broadcast(rtot)).filter(F.col("nl") < F.col("n"))
+    nl, sl = F.col("nl"), F.col("sl")
+    n, s = F.col("n"), F.col("s")
+    score2 = F.round(
+        sl.cast("double") * sl / nl
+        + (s - sl).cast("double") * (s - sl) / (n - nl),
+        6,
+    )
+    s2 = j2.select(
+        F.col("v").alias("threshold2"),
+        nl.alias("n_left"),
+        (n - nl).alias("n_right"),
+        score2.alias("score"),
+    )
+    wbest = Window.orderBy(F.col("score").desc(), "threshold2")
+    return (
+        s2.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .crossJoin(
+            F.broadcast(root.select(F.col("t1").alias("threshold1")))
+        )
+        .select("threshold1", "threshold2", "n_left", "n_right", "score")
+    )
+
+
+@query(
+    "stat_dispersion",
+    category="D.agg",
+    oracle="""
+WITH uc AS (
+  SELECT event_type, user_id, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, count(*) AS n, sum(c)::BIGINT AS s,
+         sum(c * c)::BIGINT AS q
+  FROM uc GROUP BY 1
+)
+SELECT event_type, n::BIGINT AS n_users,
+       round(s::DOUBLE / n, 6) AS mean_events,
+       round(((q::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n))
+              * n / (n - 1)) / (s::DOUBLE / n), 6) AS dispersion
+FROM m
+""",
+)
+def stat_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance/mean of per-user event counts,
+    over users active in the type) — the Poisson-arrival screen: D ≈ 1
+    means memoryless arrivals, D ≫ 1 means bursty/clumped users (the
+    signal that decides whether the skew mitigations — salting,
+    AQE skew-join — will actually be needed on user-keyed shuffles).
+    Completes the arrival-process toolkit next to stat_runs_test
+    (ordering randomness) and ts_cusum (level shifts).
+
+    Two nested exact-integer aggregates (user counts, then count
+    moments), sample-variance form, one division chain run identically
+    in both engines — exact at 6 dp. Two shuffles, both shrinking."""
+    ev = Tables(spark, sf_dir).events
+    uc = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = uc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    n = F.col("n")
+    mean = F.col("s").cast("double") / n
+    var = (F.col("q").cast("double") / n - mean * mean) * n / (n - 1)
+    return m.select(
+        "event_type",
+        n.alias("n_users"),
+        F.round(mean, 6).alias("mean_events"),
+        F.round(var / mean, 6).alias("dispersion"),
+    )

@@ -488,3 +488,47 @@ def test_fourier_daily_matches_numpy(spark, duck):
         assert abs(got["b1"] - b1) < 0.05
         assert abs(got["amplitude"] - np.hypot(a1, b1)) < 0.1
         assert abs(got["phase"] - np.arctan2(b1, a1)) < 0.01
+
+
+def test_gbdt_round2_residual_fit(spark, duck):
+    row = REGISTRY["ml_gbdt_round2"].fn(spark, SF001).collect()[0]
+    stump = REGISTRY["ml_regression_stump"].fn(spark, SF001).collect()[0]
+    # round 1 threshold must equal the standalone regression stump's
+    assert row["threshold1"] == stump["threshold"]
+    li = duck.execute(
+        "SELECT l_quantity, l_extendedprice FROM lineitem"
+    ).df()
+    x = li["l_quantity"].to_numpy()
+    y = li["l_extendedprice"].to_numpy()
+    t1 = row["threshold1"]
+    ml = round(float(y[x <= t1].mean()), 6)
+    mr = round(float(y[x > t1].mean()), 6)
+    resid = y - np.where(x <= t1, ml, mr)
+
+    def score(thr):
+        l, r = resid[x <= thr], resid[x > thr]
+        return round(
+            l.sum() ** 2 / len(l) + r.sum() ** 2 / len(r), 6
+        )
+
+    cands = sorted(set(x))[:-1]
+    best = max(cands, key=lambda t: (score(t), -t))
+    assert row["threshold2"] == best
+    assert row["n_left"] == int((x <= best).sum())
+
+
+def test_dispersion_matches_numpy(spark, duck):
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["stat_dispersion"].fn(spark, SF001).collect()
+    }
+    uc = duck.execute(
+        "SELECT event_type, user_id, count(*) AS c FROM events"
+        " GROUP BY 1, 2"
+    ).df()
+    for t, g in uc.groupby("event_type"):
+        c = g["c"].to_numpy(float)
+        got = rows[t]
+        assert got["n_users"] == len(c)
+        assert abs(got["mean_events"] - c.mean()) < 1e-6
+        assert abs(got["dispersion"] - c.var(ddof=1) / c.mean()) < 1e-5
