@@ -3336,3 +3336,103 @@ def stat_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 6).alias("mean_events"),
         F.round(var / mean, 6).alias("dispersion"),
     )
+
+
+_VITERBI_ORACLE = """
+WITH RECURSIVE med AS (
+  SELECT user_id, median(value) AS med FROM events GROUP BY 1
+),
+series AS (
+  SELECT e.user_id, e.value > m.med AS o,
+         row_number() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts, e.event_id) AS i
+  FROM events e JOIN med m USING (user_id)
+),
+dp AS (
+  SELECT user_id, i,
+         CASE WHEN o THEN 1 ELSE 0 END AS c0,
+         CASE WHEN o THEN 0 ELSE 1 END AS c1
+  FROM series WHERE i = 1
+  UNION ALL
+  SELECT s.user_id, s.i,
+         least(h.c0, h.c1 + 2) + (CASE WHEN s.o THEN 1 ELSE 0 END),
+         least(h.c1, h.c0 + 2) + (CASE WHEN s.o THEN 0 ELSE 1 END)
+  FROM dp h JOIN series s ON s.user_id = h.user_id AND s.i = h.i + 1
+),
+last AS (
+  SELECT user_id, c0, c1
+  FROM dp QUALIFY row_number() OVER (PARTITION BY user_id
+                                     ORDER BY i DESC) = 1
+)
+SELECT l.user_id,
+       (SELECT max(i) FROM series s WHERE s.user_id = l.user_id)::BIGINT
+         AS n,
+       least(l.c0, l.c1)::BIGINT AS min_cost,
+       l.c1 < l.c0 AS final_high
+FROM last l
+"""
+
+
+@query("ts_viterbi_regime", category="E.window", oracle=_VITERBI_ORACLE)
+def ts_viterbi_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-state VITERBI regime decoding per user series — the dynamic
+    program at the core of HMM segmentation, run as an ordered fold:
+    observations are "above the user's own median" bits, state k
+    expects bit k, mismatches cost 1, switching regimes costs 2
+    (τ > 1 ⇒ the decode smooths over isolated flips — the
+    burst/quiet-regime segmenter). The recurrence
+    c_k' = min(c_k, c_{1−k} + τ) + e_k(o) carries BOTH frontier costs,
+    so the whole decode is O(n) with O(1) state — exactly the shape
+    ``applyInPandasWithState`` would stream.
+
+    EVERYTHING is integer arithmetic — no rounding anywhere, the
+    only exact-by-construction DP in the registry (ts_cusum/ts_holt
+    are float folds). The fold is a (ts, event_id)-ordered
+    {c0, c1} STRUCT accumulator — fine in Spark; the oracle must use a
+    recursive CTE (DuckDB list_reduce corrupts multi-field
+    accumulators, the ts_holt trap). The median threshold matches via
+    the stat_runs_test precedent (midpoint interpolation agrees).
+    ONE user-keyed shuffle computing the ordered bit list; ties on the
+    final comparison resolve to the low regime in both engines."""
+    ev = Tables(spark, sf_dir).events
+    med = ev.groupBy("user_id").agg(F.median("value").alias("med"))
+    obs = ev.join(F.broadcast(med), "user_id").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value") > F.col("med")).alias("o"),
+    )
+    g = obs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "o"))),
+            lambda e: e.getField("o"),
+        ).alias("bits"),
+    )
+    e0 = lambda o: F.when(o, 1).otherwise(0)  # noqa: E731
+    e1 = lambda o: F.when(o, 0).otherwise(1)  # noqa: E731
+    init = F.struct(
+        e0(F.element_at(F.col("bits"), 1)).alias("c0"),
+        e1(F.element_at(F.col("bits"), 1)).alias("c1"),
+    )
+    dp = F.aggregate(
+        F.slice(F.col("bits"), 2, F.greatest(F.col("n") - 1, F.lit(0))),
+        init,
+        lambda acc, o: F.struct(
+            (
+                F.least(acc.getField("c0"), acc.getField("c1") + 2) + e0(o)
+            ).alias("c0"),
+            (
+                F.least(acc.getField("c1"), acc.getField("c0") + 2) + e1(o)
+            ).alias("c1"),
+        ),
+    )
+    d = g.select("user_id", "n", dp.alias("dp"))
+    c0 = F.col("dp").getField("c0")
+    c1 = F.col("dp").getField("c1")
+    return d.select(
+        "user_id",
+        "n",
+        F.least(c0, c1).cast("long").alias("min_cost"),
+        (c1 < c0).alias("final_high"),
+    )

@@ -532,3 +532,35 @@ def test_dispersion_matches_numpy(spark, duck):
         assert got["n_users"] == len(c)
         assert abs(got["mean_events"] - c.mean()) < 1e-6
         assert abs(got["dispersion"] - c.var(ddof=1) / c.mean()) < 1e-5
+
+
+def test_viterbi_matches_python_dp(spark, duck):
+    rows = {
+        r["user_id"]: r
+        for r in REGISTRY["ts_viterbi_regime"].fn(spark, SF001).collect()
+    }
+    df = duck.execute(
+        """
+        WITH med AS (SELECT user_id, median(value) AS med
+                     FROM events GROUP BY 1)
+        SELECT e.user_id, e.value > m.med AS o
+        FROM events e JOIN med m USING (user_id)
+        ORDER BY e.user_id, e.ts, e.event_id
+        """
+    ).df()
+    tau = 2
+    for uid, g in list(df.groupby("user_id"))[:100]:
+        bits = g["o"].tolist()
+        c0 = 1 if bits[0] else 0
+        c1 = 0 if bits[0] else 1
+        for o in bits[1:]:
+            c0, c1 = (
+                min(c0, c1 + tau) + (1 if o else 0),
+                min(c1, c0 + tau) + (0 if o else 1),
+            )
+        got = rows[uid]
+        assert got["n"] == len(bits)
+        assert got["min_cost"] == min(c0, c1)
+        assert got["final_high"] == (c1 < c0)
+        # sanity: cost can never exceed all-mismatch
+        assert got["min_cost"] <= len(bits)
