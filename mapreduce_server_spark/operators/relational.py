@@ -1023,3 +1023,60 @@ def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    category="C.join",
+    oracle="""
+WITH l AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE o_custkey % 100 END AS k
+  FROM orders
+),
+r AS (
+  SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL
+              ELSE c_custkey % 100 END AS k,
+         count(*) AS n_cust
+  FROM customer GROUP BY 1
+)
+SELECT l.k AS bucket, count(*) AS n_orders, min(r.n_cust) AS n_cust
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+GROUP BY 1
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi-join (``<=>`` ≡ ANSI IS NOT DISTINCT FROM): the
+    join where NULL keys MATCH each other instead of silently dropping
+    — the semantics you want when joining on optional attributes
+    (campaign ids, parsed fields) and dropping the null bucket would
+    lose rows. Derived nullable buckets on both sides exercise the
+    null↔null match. Crucially still a HASH join in Spark
+    (EqualNullSafe is a sargable join key, unlike general theta
+    conditions) — the plan shape survives scale; only the null bucket
+    can skew, which is the same salting story as any hot key."""
+    t = Tables(spark, sf_dir)
+    l = t.orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_custkey") % 100)
+        .alias("k"),
+    )
+    r = (
+        t.customer.select(
+            F.when(F.col("c_custkey") % 11 == 0, None)
+            .otherwise(F.col("c_custkey") % 100)
+            .alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    return (
+        l.join(F.broadcast(r), l.k.eqNullSafe(r.k))
+        .groupBy(l.k.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("n_cust").alias("n_cust"),
+        )
+    )

@@ -407,3 +407,58 @@ def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pr", 9).alias("pct_rank"),
         F.round("cd", 9).alias("cume_dist"),
     )
+
+
+@query(
+    "win_running_distinct",
+    category="E.window",
+    oracle="""
+WITH f AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT user_id, event_id,
+       sum(first_seen) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id)::BIGINT
+         AS n_types_so_far
+FROM f
+WHERE user_id % 50 = 0
+""",
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING DISTINCT COUNT per user (how many distinct event types
+    seen so far, at every event) — the window Spark refuses directly
+    (COUNT(DISTINCT) over a running frame is unsupported), rewritten as
+    the first-occurrence trick: flag each (user, type)'s first event
+    with one row_number window, then a running SUM of flags is exactly
+    the running distinct count. Integer throughout — exact. The
+    output sample (user_id % 50) filters after the windows, which both
+    partition by user_id — one exchange serves both.
+
+    This rewrite is the scalable form generally: distinct-so-far state
+    never materializes per row (the naive set-per-row is O(n·k));
+    at 100 TB it's still two windows over one user-keyed shuffle."""
+    ev = Tables(spark, sf_dir).events
+    wfirst = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    f = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(wfirst) == 1, 1)
+        .otherwise(0)
+        .alias("first_seen"),
+    )
+    return (
+        f.select(
+            "user_id",
+            "event_id",
+            F.sum("first_seen").over(wrun).alias("n_types_so_far"),
+        )
+        .where(F.col("user_id") % 50 == 0)
+    )

@@ -564,3 +564,28 @@ def test_viterbi_matches_python_dp(spark, duck):
         assert got["final_high"] == (c1 < c0)
         # sanity: cost can never exceed all-mismatch
         assert got["min_cost"] <= len(bits)
+
+
+def test_running_distinct_python_replay(spark, duck):
+    rows = REGISTRY["win_running_distinct"].fn(spark, SF001).collect()
+    ev = duck.execute(
+        "SELECT user_id, event_id, event_type FROM events"
+        " WHERE user_id % 50 = 0 ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    want = {}
+    seen: dict = {}
+    for uid, eid, et in ev:
+        s = seen.setdefault(uid, set())
+        s.add(et)
+        want[eid] = len(s)
+    assert {r["event_id"]: r["n_types_so_far"] for r in rows} == want
+
+
+def test_null_safe_join_keeps_null_bucket(spark):
+    rows = {
+        r["bucket"]: r
+        for r in REGISTRY["join_null_safe"].fn(spark, SF001).collect()
+    }
+    # the NULL bucket must be present (NULL keys match each other)
+    assert None in rows
+    assert rows[None]["n_orders"] > 0 and rows[None]["n_cust"] > 0
