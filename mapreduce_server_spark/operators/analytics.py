@@ -1227,3 +1227,61 @@ def rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+@query(
+    "rec_covisit_topk",
+    category="D.agg",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part, b.l_partkey AS rec, count(*) AS n
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT part, rec, n,
+         row_number() OVER (PARTITION BY part ORDER BY n DESC, rec) AS r
+  FROM pairs
+)
+SELECT part, rec, n::BIGINT AS n_orders, r::BIGINT AS rk
+FROM rk WHERE r <= 3
+""",
+)
+def rec_covisit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-visitation candidate generation: for every part, the top-3
+    parts most often co-ordered with it — the retrieval stage of a
+    two-tower-free recommender (the pattern that won the OTTO/Kaggle
+    covisit era, and the candidate generator in front of rec_item_cosine's
+    scorer). Directed pairs (both (a,b) and (b,a)) because each anchor
+    ranks its OWN neighbors; the truncating row_number window is
+    partitioned per anchor part, so the rank sort is per-part local and
+    the output is |parts|×3 however big the corpus is. Same basket-local
+    join discipline as cooccur_parts: the self-join shuffles on the
+    basket key, pair blowup is per-order, and skewed mega-baskets are
+    the thing to cap/salt at 100 TB. Counts are integers; ties break on
+    the smaller partkey — fully deterministic, no floats anywhere."""
+    li = Tables(spark, sf_dir).lineitem
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part"))
+    b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("rec"))
+    pairs = (
+        a.join(b, ["l_orderkey"])
+        .where(F.col("part") != F.col("rec"))
+        .groupBy("part", "rec")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("part").orderBy(F.col("n").desc(), F.col("rec"))
+    return (
+        pairs.select(
+            "part", "rec", "n", F.row_number().over(w).alias("r")
+        )
+        .where(F.col("r") <= 3)
+        .select(
+            "part",
+            "rec",
+            F.col("n").cast("long").alias("n_orders"),
+            F.col("r").cast("long").alias("rk"),
+        )
+    )

@@ -3436,3 +3436,815 @@ def ts_viterbi_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(c0, c1).cast("long").alias("min_cost"),
         (c1 < c0).alias("final_high"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-6 batch 13: rank statistics, robust regression, resampling,
+# probability calibration, and classical seasonal decomposition.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stat_kendall",
+    category="D.agg",
+    oracle="""
+WITH d AS (
+  SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
+         sum(l_quantity::DECIMAL(18,2)) AS x,
+         sum(l_extendedprice::DECIMAL(18,2)) AS y
+  FROM lineitem GROUP BY 1, 2
+),
+p AS (
+  SELECT a.flag,
+         count(*) AS n0,
+         sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                    OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                    OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS d,
+         sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS tx,
+         sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS ty
+  FROM d a JOIN d b ON a.flag = b.flag AND a.day < b.day
+  GROUP BY 1
+),
+n AS (SELECT flag, count(*) AS nd FROM d GROUP BY 1)
+SELECT p.flag AS l_returnflag, n.nd::BIGINT AS n_days,
+       p.n0::BIGINT AS n_pairs, p.c::BIGINT AS concordant,
+       p.d::BIGINT AS discordant,
+       round((p.c - p.d) / sqrt((p.n0 - p.tx) * 1.0 * (p.n0 - p.ty)), 6)
+         AS tau_b
+FROM p JOIN n ON p.flag = n.flag
+""",
+)
+def stat_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between daily shipped quantity and
+    daily revenue, per return flag — the third rank statistic after
+    Spearman rho and Mann-Whitney U, and the one robust to BOTH
+    monotone transforms and heavy ties. tau is O(n²) pairwise, which is
+    exactly why it runs on the DAILY AGGREGATE, never the raw rows: the
+    series length is bounded by the calendar (~2.5k days regardless of
+    SF), so the pair join is ~3M rows per group at ANY data scale — the
+    raw lineitem scan is one partial-aggregated shuffle, and 100 TB only
+    makes the daily sums heavier map-side, not the pair stage. All
+    concordance comparisons are on EXACT DECIMAL(18,2) daily sums
+    (money discipline, ARCHITECTURE §4.2), so C/D/tie counts are exact
+    integers; the only float op is the final tau division, rounded 6 dp
+    with the operand order mirrored in the oracle.
+
+    tau_b = (C − D) / √((n₀ − Tx)(n₀ − Ty)), pair-count convention for
+    the tie terms (pairs tied on both x and y count in both)."""
+    li = Tables(spark, sf_dir).lineitem
+    d = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.to_date("l_shipdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("x"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("y"),
+        )
+        .cache()  # feeds both self-join sides AND the per-flag day count
+    )
+    a, b = d.alias("a"), d.alias("b")
+    ax, ay = F.col("a.x"), F.col("a.y")
+    bx, by = F.col("b.x"), F.col("b.y")
+    one = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+    p = (
+        a.join(
+            b,
+            (F.col("a.flag") == F.col("b.flag"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.flag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).alias("n0"),
+            one(((ax < bx) & (ay < by)) | ((ax > bx) & (ay > by))).alias("c"),
+            one(((ax < bx) & (ay > by)) | ((ax > bx) & (ay < by))).alias("d"),
+            one(ax == bx).alias("tx"),
+            one(ay == by).alias("ty"),
+        )
+    )
+    n = d.groupBy("flag").agg(F.count(F.lit(1)).alias("nd"))
+    n0, c_, d_ = F.col("n0"), F.col("c"), F.col("d")
+    tx, ty = F.col("tx"), F.col("ty")
+    return p.join(F.broadcast(n), "flag").select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("nd").cast("long").alias("n_days"),
+        n0.cast("long").alias("n_pairs"),
+        c_.cast("long").alias("concordant"),
+        d_.cast("long").alias("discordant"),
+        F.round(
+            (c_ - d_) / F.sqrt((n0 - tx) * F.lit(1.0) * (n0 - ty)), 6
+        ).alias("tau_b"),
+    )
+
+
+@query(
+    "stat_theilsen",
+    category="D.agg",
+    oracle="""
+WITH d AS (
+  SELECT l_returnflag AS flag,
+         (CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS t,
+         sum(l_extendedprice::DECIMAL(18,2)) AS y
+  FROM lineitem GROUP BY 1, 2
+),
+s AS (
+  SELECT a.flag, (b.y - a.y)::DOUBLE / (b.t - a.t) AS slope
+  FROM d a JOIN d b ON a.flag = b.flag AND a.t < b.t
+),
+r AS (
+  SELECT flag, slope,
+         row_number() OVER (PARTITION BY flag ORDER BY slope) AS rn,
+         count(*) OVER (PARTITION BY flag) AS n
+  FROM s
+)
+SELECT flag AS l_returnflag,
+       max(n)::BIGINT AS n_pairs,
+       round(sum(slope) / count(*), 6) AS sen_slope
+FROM r
+WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+GROUP BY 1
+""",
+)
+def stat_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: the MEDIAN of all pairwise slopes of the
+    per-flag daily-revenue series — the estimator that shrugs off the
+    ~29% outlier contamination that would wreck OLS (stat_linreg's
+    complement). Same boundedness argument as stat_kendall: pairs are
+    over the CALENDAR-bounded daily aggregate (~3M slopes per flag at
+    every SF), so the O(n²) stage never sees raw rows and survives a
+    100× scale-up untouched.
+
+    Exactness: day indices are integers, daily sums are exact decimals,
+    so each slope is ONE double division of identical operands on both
+    engines — identical doubles. The median is then selected MANUALLY
+    (row_number over the slope sort; average the two middle rows for
+    even n) rather than via percentile/quantile_cont, because the two
+    engines' interpolation FORMULAS (a+(b−a)f vs af'+bf) differ in the
+    last ulp even on identical inputs. Ties in slope are harmless: tied
+    rows carry equal values, so whichever gets rn=k yields the same
+    selected value. sum()/count over ≤2 doubles is commutative-safe."""
+    li = Tables(spark, sf_dir).lineitem
+    d = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date")
+            ).alias("t"),
+        )
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("y"))
+        .cache()  # both sides of the pair join
+    )
+    a, b = d.alias("a"), d.alias("b")
+    s = a.join(
+        b,
+        (F.col("a.flag") == F.col("b.flag")) & (F.col("a.t") < F.col("b.t")),
+    ).select(
+        F.col("a.flag").alias("flag"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.t") - F.col("a.t"))
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("flag").orderBy("slope")
+    wc = Window.partitionBy("flag")
+    r = s.select(
+        "flag",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    mid = r.where(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return mid.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.round(F.sum("slope") / F.count(F.lit(1)), 6).alias("sen_slope"),
+    )
+
+
+#: Poisson(1) CDF breakpoints (k = 0..9), written as Python float reprs so
+#: the IDENTICAL shortest-round-trip literals are embedded in the Spark
+#: expression and the DuckDB oracle — both parsers yield the same double,
+#: so the weight ladder is engine-exact (the _lsh_oracle precedent).
+_POISSON1_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+    "0.9999897508033253",
+    "0.999998874797402",
+    "0.9999998885745216",
+)
+
+_BOOT_W_SQL = " + ".join(
+    f"(CASE WHEN u >= {c} THEN 1 ELSE 0 END)" for c in _POISSON1_CDF
+)
+
+_BOOT_ORACLE = f"""
+WITH reps AS (SELECT unnest(range(32)) AS rep),
+h AS (
+  SELECT l_returnflag AS flag, rep,
+         l_extendedprice::DECIMAL(18,2) AS price,
+         ('0x' || substr(md5('boot:' || l_orderkey || '-' || l_linenumber
+                             || ':' || rep), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM lineitem CROSS JOIN reps
+),
+g AS (
+  SELECT flag, rep,
+         round(sum(w * price)::DOUBLE / sum(w), 6) AS m
+  FROM (SELECT flag, rep, price, {_BOOT_W_SQL} AS w FROM h)
+  GROUP BY 1, 2
+),
+l AS (
+  SELECT flag, count(*) AS b,
+         list(m ORDER BY rep) AS lm,
+         list(m * m ORDER BY rep) AS lm2
+  FROM g GROUP BY 1
+)
+SELECT flag AS l_returnflag, b::BIGINT AS n_reps,
+       round(list_sum(lm) / b, 6) AS boot_mean,
+       round(sqrt(greatest((list_sum(lm2) - list_sum(lm) * list_sum(lm) / b)
+                           / (b - 1), 0.0)), 6) AS boot_se
+FROM l
+"""
+
+
+@query("stat_bootstrap", category="D.agg", oracle=_BOOT_ORACLE)
+def stat_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap standard error of mean extended price per return
+    flag — THE resampling scheme that actually works on a cluster
+    (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+    Google 2012): instead of drawing n rows with replacement (which
+    needs global coordination), each row independently receives a
+    Poisson(1) weight per replicate, so the 32 replicates are ONE
+    map-side explode + ONE partial-aggregated shuffle of 96 groups —
+    embarrassingly parallel at 100 TB, no sampling pass, no driver.
+
+    Determinism/exactness: the weight is derived from the md5 of
+    (orderkey, linenumber, replicate) compared against literal
+    Poisson(1) CDF breakpoints — both engines parse the identical float
+    literals and the identical 32-bit hash integer, so every weight
+    matches exactly. Replicate means are decimal-weighted sums over
+    integer weights (exact) with ONE rounded double division; the
+    across-replicate mean/variance then folds the 32 rounded means in
+    REPLICATE order on both engines (fsum ≡ list(… ORDER BY rep) +
+    list_sum), so not even the 32-term sum is fold-order-lucky."""
+    from ..functions.vector import fsum
+
+    li = Tables(spark, sf_dir).lineitem
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("key"),
+    )
+    r = base.select(
+        "flag",
+        "price",
+        "key",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("key"),
+                        F.lit(":"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = None
+    for c in _POISSON1_CDF:
+        ind = F.when(F.col("u") >= F.expr(c), 1).otherwise(0)
+        w = ind if w is None else w + ind
+    g = (
+        r.withColumn("u", u)
+        .withColumn("w", w)
+        .groupBy("flag", "rep")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("price")).cast("double")
+                / F.sum("w"),
+                6,
+            ).alias("m")
+        )
+    )
+    l = g.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("b"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("rep"), F.col("m")))
+        ).alias("arr"),
+    )
+    sm = fsum(F.transform(F.col("arr"), lambda s: s.getField("m")))
+    sm2 = fsum(
+        F.transform(
+            F.col("arr"), lambda s: s.getField("m") * s.getField("m")
+        )
+    )
+    b = F.col("b")
+    return l.select(
+        F.col("flag").alias("l_returnflag"),
+        b.cast("long").alias("n_reps"),
+        F.round(sm / b, 6).alias("boot_mean"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    (sm2 - sm * sm / b) / (b - 1), F.lit(0.0)
+                )
+            ),
+            6,
+        ).alias("boot_se"),
+    )
+
+
+@query(
+    "ml_calibration",
+    category="D.agg",
+    oracle="""
+WITH train AS (
+  SELECT l_quantity::BIGINT AS q,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem WHERE l_orderkey % 4 < 3
+),
+model AS (
+  SELECT q, round(sum(y)::DOUBLE / count(*), 6)::DECIMAL(18,6) AS p
+  FROM train GROUP BY 1
+),
+test AS (
+  SELECT l_quantity::BIGINT AS q,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem WHERE l_orderkey % 4 = 3
+),
+s AS (
+  SELECT t.y, m.p,
+         least(floor(m.p * 10)::INT, 9) AS bin,
+         ((m.p * 1000000)::BIGINT - t.y * 1000000) AS dmu
+  FROM test t JOIN model m ON t.q = m.q
+)
+SELECT bin, count(*)::BIGINT AS n,
+       round(sum(p)::DOUBLE / count(*), 6) AS mean_pred,
+       round(sum(y)::DOUBLE / count(*), 6) AS frac_pos,
+       round(sum(dmu * dmu)::DOUBLE / (count(*) * 1e12), 6) AS brier
+FROM s GROUP BY 1
+""",
+)
+def ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + per-bin Brier score for a frequency
+    classifier P(returnflag='R' | quantity) — the model-eval surface
+    every curation pipeline needs before it trusts a quality score as a
+    sampling weight (is a "0.3" really 30%?). Train/eval split is BY
+    ORDER (orderkey % 4), so all lines of an order land on one side —
+    the group-level leakage rule from the documents block splits.
+
+    The model is the train-side empirical rate per quantity bucket,
+    ROUNDED TO 6 DP AND PINNED AS DECIMAL(18,6) — the kmeans
+    centroid-hand-off discipline — so binning (floor(p·10)) and the
+    Brier residuals replay exactly. Brier stays INTEGER until the last
+    division: p and y are lifted to micro-units (×10⁶ exact), the
+    squared deviation is an exact BIGINT, and only the final
+    sum/(n·10¹²) is double (BIGINT→DOUBLE is IEEE round-to-nearest in
+    both engines). Plan: model is a ≤50-row broadcast; the scan is
+    shared-shape with q1 — one partial agg for train, one broadcast-join
+    pass for test. At 100 TB the model side stays 50 rows."""
+    li = Tables(spark, sf_dir).lineitem
+    q = F.col("l_quantity").cast("long").alias("q")
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y")
+    train = li.where(F.col("l_orderkey") % 4 < 3).select(q, y)
+    model = train.groupBy("q").agg(
+        F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6)
+        .cast("decimal(18,6)")
+        .alias("p")
+    )
+    test = li.where(F.col("l_orderkey") % 4 == 3).select(q, y)
+    p = F.col("p")
+    s = test.join(F.broadcast(model), "q").select(
+        "y",
+        "p",
+        F.least(F.floor(p * 10).cast("int"), F.lit(9)).alias("bin"),
+        ((p * 1000000).cast("long") - F.col("y") * 1000000).alias("dmu"),
+    )
+    return s.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("p").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_pred"
+        ),
+        F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias(
+            "frac_pos"
+        ),
+        F.round(
+            F.sum(F.col("dmu") * F.col("dmu")).cast("double")
+            / (F.count(F.lit(1)) * F.lit(1e12)),
+            6,
+        ).alias("brier"),
+    )
+
+
+@query(
+    "ts_stl",
+    category="E.window",
+    oracle="""
+WITH bounds AS (
+  SELECT event_type, date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events GROUP BY 1
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+),
+c AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT g.event_type, g.h, coalesce(c.n, 0) AS n
+  FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h
+),
+w AS (
+  SELECT event_type, h, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS sa,
+         sum(n) OVER (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS sb,
+         count(*) OVER (PARTITION BY event_type ORDER BY h
+                        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS nw
+  FROM series
+)
+SELECT event_type, extract(hour FROM h)::BIGINT AS hod,
+       count(*)::BIGINT AS n_hours,
+       round(sum(48 * n - (sa + sb))::DOUBLE / (48 * count(*)), 6)
+         AS seasonal
+FROM w WHERE nw = 25
+GROUP BY 1, 2
+""",
+)
+def ts_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (the moving-average core of
+    STL / X-11) of the hourly event-count series per type: trend is the
+    CENTERED 2×24 moving average (the textbook even-period trick — two
+    staggered 24-hour sums averaged, so the window is symmetric), the
+    seasonal component is the mean DETRENDED value per hour-of-day.
+    ts_seasonality profiles raw hourly means; this one removes the
+    trend first, so a ramping workload doesn't masquerade as
+    seasonality.
+
+    The series is DENSIFIED first (per-type hour grid via sequence +
+    left join, zero-filled) because ROWS frames count rows, not hours —
+    on a gappy series a 24-row window is not 24 hours. Grid size is
+    calendar-bounded (~720 h × |types|), so every window/sort stage
+    after the one real shuffle (hourly partial agg of the raw scan) is
+    O(calendar), independent of data scale. Integer-exactness: counts
+    are ints, so 48·trend is the integer sa+sb and the detrended
+    numerator 48n−(sa+sb) stays a BIGINT until the single final rounded
+    division; full 25-row frames only (nw = 25) so edges don't dilute."""
+    ev = Tables(spark, sf_dir).events
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    series = (
+        grid.join(c, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+        )
+    )
+    wspec = Window.partitionBy("event_type").orderBy("h")
+    sa = F.sum("n").over(wspec.rowsBetween(-12, 11))
+    sb = F.sum("n").over(wspec.rowsBetween(-11, 12))
+    nw = F.count(F.lit(1)).over(wspec.rowsBetween(-12, 12))
+    w = series.select(
+        "event_type",
+        "h",
+        "n",
+        sa.alias("sa"),
+        sb.alias("sb"),
+        nw.alias("nw"),
+    )
+    det = 48 * F.col("n") - (F.col("sa") + F.col("sb"))
+    return (
+        w.where(F.col("nw") == 25)
+        .groupBy("event_type", F.hour("h").cast("long").alias("hod"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.round(
+                F.sum(det).cast("double") / (48 * F.count(F.lit(1))), 6
+            ).alias("seasonal"),
+        )
+    )
+
+
+@query(
+    "ml_auc",
+    category="D.agg",
+    oracle="""
+WITH train AS (
+  SELECT l_quantity::BIGINT AS q,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem WHERE l_orderkey % 4 < 3
+),
+model AS (
+  SELECT q, round(sum(y)::DOUBLE / count(*), 6)::DECIMAL(18,6) AS p
+  FROM train GROUP BY 1
+),
+test AS (
+  SELECT l_quantity::BIGINT AS q,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem WHERE l_orderkey % 4 = 3
+),
+v AS (
+  SELECT m.p, count(*) AS cnt, sum(t.y) AS pos
+  FROM test t JOIN model m ON t.q = m.q
+  GROUP BY 1
+),
+r AS (
+  SELECT pos, cnt,
+         2 * sum(cnt) OVER (ORDER BY p) - cnt + 1 AS mid2
+  FROM v
+),
+u AS (
+  SELECT sum(pos * mid2) AS u2, sum(pos) AS n1, sum(cnt - pos) AS n0
+  FROM r
+)
+SELECT n1::BIGINT AS n_pos, n0::BIGINT AS n_neg,
+       round((u2 - n1 * (n1 + 1)) / (2.0 * n1 * n0), 6) AS auc
+FROM u
+""",
+)
+def ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the quantity-bucket frequency classifier on the
+    held-out quarter (ml_calibration's model, threshold-free metric) via
+    the rank statistic: AUC = (R₁ − n₁(n₁+1)/2) / (n₁n₀) where R₁ is
+    the midrank sum of positives — the Mann-Whitney identity, so the
+    whole computation is INTEGER until one final division. Ranks are
+    computed on the VALUE-LEVEL aggregate (≤50 distinct scores), the
+    stat_mannwhitney boundedness trick: the running-sum window sorts 50
+    rows, never 60k, so the plan is two partial-agg shuffles + a 50-row
+    window at any data scale. Midranks dodge the tie nondeterminism that
+    row-number ranks would hit on a 50-value score column; doubling
+    (mid2 = 2·cum − cnt + 1) keeps them integers."""
+    li = Tables(spark, sf_dir).lineitem
+    q = F.col("l_quantity").cast("long").alias("q")
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y")
+    train = li.where(F.col("l_orderkey") % 4 < 3).select(q, y)
+    model = train.groupBy("q").agg(
+        F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6)
+        .cast("decimal(18,6)")
+        .alias("p")
+    )
+    test = li.where(F.col("l_orderkey") % 4 == 3).select(q, y)
+    v = (
+        test.join(F.broadcast(model), "q")
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos"))
+    )
+    wr = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    r = v.select(
+        "pos",
+        "cnt",
+        (2 * F.sum("cnt").over(wr) - F.col("cnt") + 1).alias("mid2"),
+    )
+    u = r.agg(
+        F.sum(F.col("pos") * F.col("mid2")).alias("u2"),
+        F.sum("pos").alias("n1"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("n0"),
+    )
+    n1, n0, u2 = F.col("n1"), F.col("n0"), F.col("u2")
+    return u.select(
+        n1.cast("long").alias("n_pos"),
+        n0.cast("long").alias("n_neg"),
+        F.round((u2 - n1 * (n1 + 1)) / (F.lit(2.0) * n1 * n0), 6).alias(
+            "auc"
+        ),
+    )
+
+
+@query(
+    "stat_jackknife",
+    category="D.agg",
+    oracle="""
+WITH g AS (
+  SELECT l_returnflag AS flag, l_orderkey % 50 AS block,
+         sum(l_extendedprice::DECIMAL(18,2)) AS s, count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (
+  SELECT flag, sum(s) AS st, sum(n) AS nt, count(*) AS b FROM g GROUP BY 1
+),
+m AS (
+  SELECT g.flag, g.block, tot.st, tot.nt, tot.b,
+         round((tot.st - g.s)::DOUBLE / (tot.nt - g.n), 6)::DECIMAL(18,6)
+           AS mb
+  FROM g JOIN tot ON g.flag = tot.flag
+),
+l AS (
+  SELECT flag, max(st) AS st, max(nt) AS nt, max(b) AS b,
+         list(mb::DOUBLE ORDER BY block) AS lm,
+         list(mb::DOUBLE * mb::DOUBLE ORDER BY block) AS lm2
+  FROM m GROUP BY 1
+)
+SELECT flag AS l_returnflag, b::BIGINT AS n_blocks,
+       round(st::DOUBLE / nt, 6) AS jack_mean,
+       round(sqrt(greatest((b - 1) * 1.0 / b
+                           * (list_sum(lm2)
+                              - list_sum(lm) * list_sum(lm) / b), 0.0)), 6)
+         AS jack_se
+FROM l
+""",
+)
+def stat_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-block (grouped) jackknife standard error of the per-flag
+    mean price — the OTHER cluster-native resampler next to
+    stat_bootstrap: instead of reweighting rows, drop one SHARD at a
+    time (blocks = orderkey % 50, the unit a real pipeline already has)
+    and recompute the estimator from the block-level sufficient
+    statistics. The leave-one-out means need NO second data pass: block
+    sums are exact decimals, so (S−s_b)/(N−n_b) is algebra over the
+    50-row aggregate — the pattern that makes jackknifing a 100 TB mean
+    cost one partial-agg shuffle. se² = (B−1)/B · Σ(m_b − m̄)², with the
+    50 leave-out means 6-dp-pinned and folded in BLOCK order on both
+    engines (fsum ≡ list ORDER BY + list_sum)."""
+    from ..functions.vector import fsum
+
+    li = Tables(spark, sf_dir).lineitem
+    g = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_orderkey") % 50).alias("block"),
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tot = g.groupBy("flag").agg(
+        F.sum("s").alias("st"),
+        F.sum("n").alias("nt"),
+        F.count(F.lit(1)).alias("b"),
+    )
+    m = g.join(F.broadcast(tot), "flag").select(
+        "flag",
+        "block",
+        "st",
+        "nt",
+        "b",
+        F.round(
+            (F.col("st") - F.col("s")).cast("double")
+            / (F.col("nt") - F.col("n")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("mb"),
+    )
+    l = m.groupBy("flag").agg(
+        F.max("st").alias("st"),
+        F.max("nt").alias("nt"),
+        F.max("b").alias("b"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("block"), F.col("mb")))
+        ).alias("arr"),
+    )
+    # fold DOUBLES on both engines: mb→double is exact (6-dp value well
+    # under 2^53 quanta), and double*double is IEEE-identical, whereas a
+    # decimal square overflows DuckDB's DECIMAL(18) multiply
+    mbd = lambda s: s.getField("mb").cast("double")  # noqa: E731
+    sm = fsum(F.transform(F.col("arr"), mbd))
+    sm2 = fsum(F.transform(F.col("arr"), lambda s: mbd(s) * mbd(s)))
+    b = F.col("b")
+    return l.select(
+        F.col("flag").alias("l_returnflag"),
+        b.cast("long").alias("n_blocks"),
+        F.round(F.col("st").cast("double") / F.col("nt"), 6).alias(
+            "jack_mean"
+        ),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    (b - 1) * F.lit(1.0) / b * (sm2 - sm * sm / b),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("jack_se"),
+    )
+
+
+@query(
+    "ts_acf_multi",
+    category="E.window",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+),
+grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         FROM bounds),
+c AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY 1),
+series AS (
+  SELECT row_number() OVER (ORDER BY g.h) AS t, coalesce(c.n, 0) AS x
+  FROM grid g LEFT JOIN c ON g.h = c.h
+),
+tot AS (SELECT count(*) AS nn, sum(x) AS s, sum(x * x) AS q FROM series),
+lagged AS (
+  SELECT k.lag AS k, sum(a.x * b.x) AS ck,
+         sum(a.x) AS sh, sum(b.x) AS st
+  FROM series a
+  CROSS JOIN (SELECT unnest(range(1, 25)) AS lag) k
+  JOIN series b ON b.t = a.t + k.lag
+  GROUP BY 1
+)
+SELECT k::BIGINT AS lag, (tot.nn - k)::BIGINT AS n_terms,
+       round((tot.nn * tot.nn * ck - tot.nn * tot.s * (sh + st)
+              + (tot.nn - k) * tot.s * tot.s)
+             / (tot.nn * tot.nn * tot.q - tot.nn * tot.s * tot.s)
+             * 1.0, 6) AS acf
+FROM lagged, tot
+""",
+)
+def ts_acf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The autocorrelation FUNCTION of the global hourly event-count
+    series — acf at every lag 1..24 in one pass (ts_autocorr does lag-1
+    per user; this is the seasonality-detection profile whose k=24 spike
+    is the daily cycle). Computed on the DENSIFIED calendar-bounded grid
+    (~720 rows at any SF), so the lag self-join is |grid|×24, not
+    |events|×24 — the heavy scan contributes exactly one hourly
+    partial-agg shuffle. Everything is INTEGER algebra until the last
+    division: with μ = S/N, the lag-k covariance ×N² is
+    N²·C_k − N·S·(Sh+St) + (N−k)·S², and the variance ×N² is N²Q − NS²
+    — all BIGINT-exact — so the acf value is ONE double division
+    (statsmodels convention: full-series mean and denominator, partial
+    numerator). Both engines divide identical integers, round 6 dp."""
+    ev = Tables(spark, sf_dir).events
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    c = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    series = (
+        grid.join(c, "h", "left")
+        .select("h", F.coalesce(F.col("n"), F.lit(0)).alias("x"))
+        .select(
+            F.row_number().over(Window.orderBy("h")).alias("t"), "x"
+        )
+        .cache()  # both sides of the lag join + the moment totals
+    )
+    tot = series.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    lags = spark.range(1, 25).select(F.col("id").alias("k"))
+    a = series.alias("a").crossJoin(F.broadcast(lags))
+    b = series.alias("b")
+    lagged = (
+        a.join(b, F.col("b.t") == F.col("a.t") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("a.x") * F.col("b.x")).alias("ck"),
+            F.sum(F.col("a.x")).alias("sh"),
+            F.sum(F.col("b.x")).alias("st"),
+        )
+    )
+    j = lagged.crossJoin(F.broadcast(tot))
+    nn, s, qq, k = F.col("nn"), F.col("s"), F.col("q"), F.col("k")
+    num = nn * nn * F.col("ck") - nn * s * (F.col("sh") + F.col("st")) + (
+        nn - k
+    ) * s * s
+    den = nn * nn * qq - nn * s * s
+    return j.select(
+        k.cast("long").alias("lag"),
+        (nn - k).cast("long").alias("n_terms"),
+        F.round(num / den * F.lit(1.0), 6).alias("acf"),
+    )

@@ -19,7 +19,7 @@ document frequencies — |vocab| rows), not an N×N anything.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -822,4 +822,96 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_bigrams"),
         F.round(-s / n, 6).alias("avg_nll"),
         F.round(F.exp(-s / n), 6).alias("perplexity"),
+    )
+
+
+@query(
+    "text_zipf",
+    category="J.text",
+    oracle="""
+WITH wc AS (
+  SELECT word, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY 1
+),
+r AS (
+  SELECT word, c, row_number() OVER (ORDER BY c DESC, word) AS rk FROM wc
+),
+t AS (SELECT rk, c FROM r WHERE rk <= 100),
+l AS (
+  SELECT count(*) AS n,
+         list(ln(rk::DOUBLE) ORDER BY rk) AS lx,
+         list(ln(c::DOUBLE) ORDER BY rk) AS ly,
+         list(ln(rk::DOUBLE) * ln(c::DOUBLE) ORDER BY rk) AS lxy,
+         list(ln(rk::DOUBLE) * ln(rk::DOUBLE) ORDER BY rk) AS lxx,
+         list(ln(c::DOUBLE) * ln(c::DOUBLE) ORDER BY rk) AS lyy
+  FROM t
+)
+SELECT n::BIGINT AS n_words,
+       round((n * list_sum(lxy) - list_sum(lx) * list_sum(ly))
+             / (n * list_sum(lxx) - list_sum(lx) * list_sum(lx)), 6)
+         AS zipf_slope,
+       round(((n * list_sum(lxy) - list_sum(lx) * list_sum(ly))
+              * (n * list_sum(lxy) - list_sum(lx) * list_sum(ly)))
+             / ((n * list_sum(lxx) - list_sum(lx) * list_sum(lx))
+                * (n * list_sum(lyy) - list_sum(ly) * list_sum(ly))), 6)
+         AS zipf_r2
+FROM l
+""",
+)
+def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus: OLS slope of ln(freq) ~ ln(rank)
+    on the top-100 words — the distribution-shape screen a pretraining
+    pipeline runs per source (natural language sits near slope −1;
+    boilerplate/spam/markup corpora bend away from it; Piantadosi 2014).
+
+    Ranks come from a row_number over (count DESC, word) — the
+    vocabulary-bounded topk_global pattern: the sort input is the
+    DEDUPLICATED vocab (sublinear in corpus size by Heaps' law), never
+    the token stream, so the single-partition rank sort stays small at
+    any corpus scale while the wordcount underneath is the fully
+    parallel canonical shuffle. Exactness: counts and ranks are exact
+    integers; each ln() term is computed on identical integer inputs
+    (ln/exp parity per the text_perplexity precedent), and ALL FIVE
+    regression moments fold in RANK order on both engines (fsum ≡
+    list(… ORDER BY rk) + list_sum) — separate single-accumulator folds
+    per moment, because DuckDB 1.0's list_reduce corrupts multi-field
+    struct accumulators (the documented trap). Final slope/r² are the
+    stat_linreg closed forms with operand order mirrored, rounded 6 dp."""
+    from ..functions.vector import fsum
+
+    d = Tables(spark, sf_dir).documents
+    wc = (
+        d.select(F.explode(tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk_w = Window.orderBy(F.col("c").desc(), F.col("word"))
+    t = (
+        wc.select("word", "c", F.row_number().over(rk_w).alias("rk"))
+        .where(F.col("rk") <= 100)
+    )
+    l = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("rk"), F.col("c")))
+        ).alias("arr"),
+    )
+    arr = F.col("arr")
+    lnrk = lambda s: F.log(s.getField("rk").cast("double"))  # noqa: E731
+    lnc = lambda s: F.log(s.getField("c").cast("double"))  # noqa: E731
+    sx = fsum(F.transform(arr, lnrk))
+    sy = fsum(F.transform(arr, lnc))
+    sxy = fsum(F.transform(arr, lambda s: lnrk(s) * lnc(s)))
+    sxx = fsum(F.transform(arr, lambda s: lnrk(s) * lnrk(s)))
+    syy = fsum(F.transform(arr, lambda s: lnc(s) * lnc(s)))
+    n = F.col("n")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    return l.select(
+        n.cast("long").alias("n_words"),
+        F.round(num / den, 6).alias("zipf_slope"),
+        F.round((num * num) / (den * (n * syy - sy * sy)), 6).alias(
+            "zipf_r2"
+        ),
     )
