@@ -4248,3 +4248,439 @@ def ts_acf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nn - k).cast("long").alias("n_terms"),
         F.round(num / den * F.lit(1.0), 6).alias("acf"),
     )
+
+
+_DTW_ORACLE = """
+WITH RECURSIVE
+prof AS (
+  SELECT event_type, extract(hour FROM ts)::BIGINT AS hod, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.event_type, g.hod
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(range(24)) AS hod) g
+),
+arr AS (
+  SELECT g.event_type, list(coalesce(p.n, 0)::BIGINT ORDER BY g.hod) AS v
+  FROM grid g LEFT JOIN prof p
+    ON g.event_type = p.event_type AND g.hod = p.hod
+  GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, a.v AS va, b.v AS vb
+  FROM arr a JOIN arr b ON a.event_type < b.event_type
+),
+dp AS (
+  SELECT ta, tb, va, vb, 1 AS i,
+         list_transform(range(1, 25), j ->
+           list_sum(list_transform(range(1, j + 1),
+             m -> abs(va[1] - vb[m])))) AS r
+  FROM pairs
+  UNION ALL
+  SELECT ta, tb, va, vb, i + 1,
+         list_transform(range(1, 25), j ->
+           list_sum(list_transform(range(1, j + 1),
+             m -> abs(va[i + 1] - vb[m])))
+           + list_min(list_transform(range(1, j + 1), k ->
+               (CASE WHEN k = 1 THEN r[1]
+                     ELSE least(r[k], r[k - 1]) END)
+               - (CASE WHEN k = 1 THEN 0
+                       ELSE list_sum(list_transform(range(1, k),
+                              m -> abs(va[i + 1] - vb[m]))) END)))) AS r
+  FROM dp WHERE i < 24
+)
+SELECT ta AS type_a, tb AS type_b,
+       list_sum(list_transform(range(1, 25),
+         m -> abs(va[m] - vb[m])))::BIGINT AS l1_dist,
+       r[24]::BIGINT AS dtw
+FROM dp WHERE i = 24
+"""
+
+
+@query("ts_dtw", category="E.window", oracle=_DTW_ORACLE)
+def ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between the hour-of-day activity
+    profiles of every event-type pair — the alignment-tolerant
+    time-series similarity Spark has no operator for (pattern: Sakoe &
+    Chiba 1978; the ts-clustering primitive). The profiles are
+    CALENDAR-BOUNDED 24-vectors built from one partial-agg shuffle of
+    the raw scan, so the quadratic DP runs on |types|² tiny arrays —
+    at 100 TB the DP cost is unchanged.
+
+    The DP is expressed WITHOUT a sequential in-row fold: the row
+    recurrence N[j] = c_j + min(N[j−1], P[j], P[j−1]) unrolls to the
+    min-plus prefix form N[j] = pc[j] + min_{k≤j}(E[k] − pc[k−1]) with
+    pc the cost prefix sums and E[k] = min(P[k], P[k−1]) the row-entry
+    cost — every element is a pure function of the PREVIOUS row, so
+    both engines compute rows via independent per-element lambdas
+    (Spark transform/array_min inside one aggregate over i; DuckDB a
+    recursive CTE carrying the row list). Everything is BIGINT |·|
+    algebra — no floats, bit-exact by construction. l1_dist (the
+    no-warp alignment) rides along: dtw ≤ l1 always, and the gap
+    measures how much warping helps."""
+    ev = Tables(spark, sf_dir).events
+    prof = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(
+        spark.range(24).select(F.col("id").alias("hod"))
+    )
+    arr = (
+        grid.join(prof, ["event_type", "hod"], "left")
+        .select(
+            "event_type",
+            "hod",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("hod"), F.col("n")))
+                ),
+                lambda s: s.getField("n"),
+            ).alias("v")
+        )
+    )
+    a = arr.select(
+        F.col("event_type").alias("ta"), F.col("v").alias("va")
+    )
+    b = arr.select(
+        F.col("event_type").alias("tb"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, F.col("ta") < F.col("tb"))
+
+    va, vb = F.col("va"), F.col("vb")
+    zero = F.lit(0).cast("long")
+
+    def isum(col):
+        return F.aggregate(col, zero, lambda acc, x: acc + x)
+
+    def cost(i, m):
+        return F.abs(F.element_at(va, i) - F.element_at(vb, m))
+
+    def pc(i, j):
+        return isum(
+            F.transform(F.sequence(F.lit(1), j), lambda m: cost(i, m))
+        )
+
+    row1 = F.transform(
+        F.sequence(F.lit(1), F.lit(24)), lambda j: pc(F.lit(1), j)
+    )
+
+    def step(prev, i):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(24)),
+            lambda j: pc(i, j)
+            + F.array_min(
+                F.transform(
+                    F.sequence(F.lit(1), j),
+                    lambda k: F.when(k == 1, F.element_at(prev, 1))
+                    .otherwise(
+                        F.least(
+                            F.element_at(prev, k),
+                            F.element_at(prev, k - 1),
+                        )
+                    )
+                    - F.when(k == 1, zero).otherwise(pc(i, k - 1)),
+                )
+            ),
+        )
+
+    final = F.aggregate(F.sequence(F.lit(2), F.lit(24)), row1, step)
+    l1 = isum(F.zip_with(va, vb, lambda x, y: F.abs(x - y)))
+    return pairs.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        l1.cast("long").alias("l1_dist"),
+        F.element_at(final, 24).cast("long").alias("dtw"),
+    )
+
+
+@query(
+    "ml_kfold_cv",
+    category="D.agg",
+    oracle="""
+WITH cells AS (
+  SELECT l_quantity::BIGINT AS q, l_orderkey % 4 AS fold,
+         count(*) AS cnt,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (
+  SELECT q, sum(cnt) AS cnt_q, sum(pos) AS pos_q FROM cells GROUP BY 1
+),
+scored AS (
+  SELECT c.fold, c.cnt, c.pos,
+         round((t.pos_q - c.pos)::DOUBLE / (t.cnt_q - c.cnt), 6)
+           ::DECIMAL(18,6) AS p
+  FROM cells c JOIN tot t ON c.q = t.q
+  WHERE t.cnt_q > c.cnt
+)
+SELECT fold::BIGINT AS fold, sum(cnt)::BIGINT AS n,
+       round(sum(CASE WHEN p > 0.5 THEN pos ELSE cnt - pos END)::DOUBLE
+             / sum(cnt), 6) AS accuracy
+FROM scored GROUP BY 1
+""",
+)
+def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-fold cross-validated accuracy of the quantity-bucket frequency
+    classifier — WITHOUT training 4 models or scanning 4 times: the
+    leave-fold-out model for fold f is (bucket totals − fold f's own
+    cell), the sufficient-statistics subtraction trick (stat_jackknife
+    applied to classification). ONE shuffle builds the (bucket, fold)
+    cells; bucket totals re-aggregate those partials; and even the EVAL
+    needs no row pass — within a (bucket, fold) cell every row shares
+    the same prediction (p > 0.5), so correct-counts are `pos` or
+    `cnt − pos` straight from the cell. At 100 TB this turns k-fold CV
+    into k·|buckets| rows of algebra after a single aggregate scan.
+    Buckets seen ONLY in the held-out fold have an empty training side
+    and are excluded (cnt_q > cnt guard). Leave-out rates are
+    6-dp-pinned decimals; the > 0.5 threshold compare is exact; fold
+    accuracy is one integer ratio."""
+    li = Tables(spark, sf_dir).lineitem
+    cells = li.groupBy(
+        F.col("l_quantity").cast("long").alias("q"),
+        (F.col("l_orderkey") % 4).alias("fold"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("pos"),
+    )
+    tot = cells.groupBy("q").agg(
+        F.sum("cnt").alias("cnt_q"), F.sum("pos").alias("pos_q")
+    )
+    scored = (
+        cells.join(F.broadcast(tot), "q")
+        .where(F.col("cnt_q") > F.col("cnt"))
+        .select(
+            "fold",
+            "cnt",
+            "pos",
+            F.round(
+                (F.col("pos_q") - F.col("pos")).cast("double")
+                / (F.col("cnt_q") - F.col("cnt")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("p"),
+        )
+    )
+    return scored.groupBy(F.col("fold").cast("long").alias("fold")).agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("p") > 0.5, F.col("pos")
+                ).otherwise(F.col("cnt") - F.col("pos"))
+            ).cast("double")
+            / F.sum("cnt"),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+@query(
+    "stat_permtest",
+    category="D.agg",
+    oracle="""
+WITH obs AS (
+  SELECT sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS nb,
+         round(sum(CASE WHEN l_returnflag = 'R'
+                        THEN l_extendedprice::DECIMAL(18,2) END)::DOUBLE
+               / sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               - sum(CASE WHEN l_returnflag <> 'R'
+                          THEN l_extendedprice::DECIMAL(18,2) END)::DOUBLE
+                 / sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END), 6)
+           AS d
+  FROM lineitem
+),
+reps AS (SELECT unnest(range(32)) AS rep),
+p AS (
+  SELECT rep,
+         ('0x' || substr(md5('perm:' || l_orderkey || '-' || l_linenumber
+                             || ':' || rep), 1, 8))::BIGINT % 2 AS g,
+         l_extendedprice::DECIMAL(18,2) AS price
+  FROM lineitem CROSS JOIN reps
+),
+d AS (
+  SELECT rep,
+         round(abs(sum(CASE WHEN g = 1 THEN price END)::DOUBLE
+                   / sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+                   - sum(CASE WHEN g = 0 THEN price END)::DOUBLE
+                     / sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)), 6) AS dr
+  FROM p GROUP BY 1
+),
+c AS (
+  SELECT count(*) AS b, sum(CASE WHEN d.dr >= abs(obs.d) THEN 1 ELSE 0 END)
+           AS n_ge
+  FROM d, obs
+)
+SELECT obs.na::BIGINT AS n_a, obs.nb::BIGINT AS n_b, obs.d AS obs_diff,
+       c.b::BIGINT AS n_perms, c.n_ge::BIGINT AS n_ge,
+       round((c.n_ge + 1)::DOUBLE / (c.b + 1), 6) AS p_value
+FROM obs, c
+""",
+)
+def stat_permtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test for the price difference between returned
+    ('R') and kept lines — the nonparametric A/B significance test that
+    scales: instead of shuffling labels (a global sort), each replicate
+    REASSIGNS every row independently by hash coin (random-reallocation
+    variant of the permutation test, same null of exchangeability), so
+    32 null draws cost ONE map-side explode + one 32-group conditional
+    aggregate — the stat_bootstrap execution shape with a different
+    resampler. p = (#{|d_r| ≥ |d_obs|} + 1)/(B + 1), the add-one rule
+    that keeps p valid. Group assignment is an md5 parity — exact on
+    both engines; replicate mean gaps are decimal-sum ratios rounded
+    6 dp before the ≥ comparison, so the accept/reject of every
+    replicate is reproducible bit-for-bit."""
+    li = Tables(spark, sf_dir).lineitem
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    is_a = F.col("l_returnflag") == "R"
+    obs = li.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("nb"),
+        F.round(
+            F.sum(F.when(is_a, price)).cast("double")
+            / F.sum(F.when(is_a, 1).otherwise(0))
+            - F.sum(F.when(~is_a, price)).cast("double")
+            / F.sum(F.when(~is_a, 1).otherwise(0)),
+            6,
+        ).alias("d"),
+    )
+    rep = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep")
+    p = li.select(
+        price.alias("price"),
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("key"),
+        rep,
+    ).select(
+        "price",
+        "rep",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("perm:"),
+                            F.col("key"),
+                            F.lit(":"),
+                            F.col("rep").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("g"),
+    )
+    g1, g0 = F.col("g") == 1, F.col("g") == 0
+    d = p.groupBy("rep").agg(
+        F.round(
+            F.abs(
+                F.sum(F.when(g1, F.col("price"))).cast("double")
+                / F.sum(F.when(g1, 1).otherwise(0))
+                - F.sum(F.when(g0, F.col("price"))).cast("double")
+                / F.sum(F.when(g0, 1).otherwise(0))
+            ),
+            6,
+        ).alias("dr")
+    )
+    c = d.crossJoin(F.broadcast(obs.select(F.abs(F.col("d")).alias("ad")))).agg(
+        F.count(F.lit(1)).alias("b"),
+        F.sum(
+            F.when(F.col("dr") >= F.col("ad"), 1).otherwise(0)
+        ).alias("n_ge"),
+    )
+    return obs.crossJoin(F.broadcast(c)).select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("d").alias("obs_diff"),
+        F.col("b").cast("long").alias("n_perms"),
+        F.col("n_ge").cast("long").alias("n_ge"),
+        F.round(
+            (F.col("n_ge") + 1).cast("double") / (F.col("b") + 1), 6
+        ).alias("p_value"),
+    )
+
+
+@query(
+    "sample_weighted",
+    category="D.agg",
+    oracle="""
+WITH s AS (
+  SELECT l_orderkey, l_linenumber, l_quantity::BIGINT AS qty,
+         ln((('0x' || substr(md5('ws:' || l_orderkey || '-' || l_linenumber),
+                             1, 8))::BIGINT + 1) / 4294967297.0)
+           / l_quantity::BIGINT AS score
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, qty, round(score, 9) AS score
+FROM s
+ORDER BY s.score DESC, l_orderkey, l_linenumber
+LIMIT 100
+""",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, sized-by-quantity, via the
+    Efraimidis–Spirakis exponential-key trick: each row draws
+    u ∈ (0,1] and keys on u^(1/w) — taking the top-k keys yields an
+    exact weighted sample — computed as ln(u)/w (monotone transform,
+    avoids pow). This is THE one-pass distributed weighted sampler
+    (used for mixture-weighted corpus draws): no global weight total
+    needed, no rejection loop, and the top-k is Spark's
+    TakeOrderedAndProject — per-partition heaps, then a k-row merge on
+    the driver, never a global sort. u is hash-derived ((h+1)/2³², so
+    u > 0 and ln is finite) — identical doubles on both engines, and
+    the ln/division ladder matches the text_perplexity ln-parity
+    precedent; (orderkey, linenumber) break any score ties for a total
+    order. The selection uses the UNROUNDED score; the output column is
+    rounded at 9 dp for the cross-engine hash."""
+    li = Tables(spark, sf_dir).lineitem
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("ws:"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("-"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    score = F.log((h + 1) / F.lit(4294967297.0)) / qty
+    s = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        qty.alias("qty"),
+        score.alias("score"),
+    )
+    return (
+        s.orderBy(
+            F.col("score").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        .limit(100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "qty",
+            F.round("score", 9).alias("score"),
+        )
+    )
