@@ -699,3 +699,108 @@ def knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("vec_id", "nbr_id", "score")
     )
+
+
+_PQ_SUB = 4  # subspaces
+_PQ_DIM = 16  # dims per subspace (4 × 16 = 64)
+_PQ_K = 4  # codewords per subspace (vec_id 0..3's subvectors)
+
+_PQ_DIST = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)))"
+)
+
+_PQ_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {_PQ_K}
+),
+d AS (
+  SELECT e.vec_id, s.s, c.cid,
+         round(CASE s.s
+           {" ".join(
+               f"WHEN {s} THEN "
+               + _PQ_DIST.format(
+                   a=f"e.embedding[{s * _PQ_DIM + 1}:{(s + 1) * _PQ_DIM}]",
+                   b=f"c.cv[{s * _PQ_DIM + 1}:{(s + 1) * _PQ_DIM}]",
+               )
+               for s in range(_PQ_SUB)
+           )}
+         END, 6) AS d6
+  FROM embeddings e
+  CROSS JOIN c
+  CROSS JOIN (SELECT unnest(range({_PQ_SUB})) AS s) s
+),
+best AS (
+  SELECT vec_id, s, cid, d6
+  FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d6, cid) = 1
+)
+SELECT vec_id,
+       max(CASE WHEN s = 0 THEN cid END)::BIGINT AS code0,
+       max(CASE WHEN s = 1 THEN cid END)::BIGINT AS code1,
+       max(CASE WHEN s = 2 THEN cid END)::BIGINT AS code2,
+       max(CASE WHEN s = 3 THEN cid END)::BIGINT AS code3,
+       round(sum(d6::DECIMAL(18,6))::DOUBLE, 6) AS qerr
+FROM best GROUP BY 1
+"""
+
+
+@query("knn_pq", category="J.sim", oracle=_PQ_ORACLE)
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011, the FAISS
+    memory-compression path that complements knn_ivf's pruning): split
+    each 64-dim embedding into 4×16-dim subvectors and snap each to its
+    nearest codeword, turning a 256-byte vector into a 4-byte code —
+    the representation a 100 TB ANN index actually stores. The codebook
+    here is the deterministic seed rule used across the registry
+    (ml_kmeans/knn_ivf): the first k vec_ids' subvectors — a ≤k-row
+    BROADCAST, so encoding is map-side distance algebra plus ONE
+    vec_id-keyed window shuffle; no iteration, no driver loop.
+
+    Exactness: squared L2 per subspace folds (x−y)² in DIM order
+    (fsum ≡ the oracle's list_zip/list_sum — float32 lanes cast to
+    double first, both engines), each distance rounds to 6 dp BEFORE
+    the argmin, and the winner is row_number over (d6, cid) — the
+    round-then-total-order argmax recipe, so near-tie codewords can't
+    flip between engines. The reconstruction error sums the 4 rounded
+    subspace distances as DECIMAL(18,6) (exact, order-free)."""
+    e = Tables(spark, sf_dir).embeddings
+    c = (
+        e.where(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    )
+
+    def subdist(s: int) -> F.Column:
+        a = F.slice(F.col("embedding"), s * _PQ_DIM + 1, _PQ_DIM)
+        b = F.slice(F.col("cv"), s * _PQ_DIM + 1, _PQ_DIM)
+        diff2 = F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+        return F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+
+    pairs = e.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "cid",
+        F.posexplode(
+            F.array(*[F.round(subdist(s), 6) for s in range(_PQ_SUB)])
+        ).alias("s", "d6"),
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("d6", "cid")
+    best = pairs.select(
+        "vec_id", "s", "cid", "d6", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") == 1)
+    code = lambda s: F.max(  # noqa: E731
+        F.when(F.col("s") == s, F.col("cid"))
+    ).cast("long").alias(f"code{s}")
+    return best.groupBy("vec_id").agg(
+        code(0),
+        code(1),
+        code(2),
+        code(3),
+        F.round(
+            F.sum(F.col("d6").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("qerr"),
+    )

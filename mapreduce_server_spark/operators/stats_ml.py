@@ -4684,3 +4684,96 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 9).alias("score"),
         )
     )
+
+
+@query(
+    "ts_backtest",
+    category="E.window",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+),
+grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         FROM bounds),
+c AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY 1),
+series AS (
+  SELECT row_number() OVER (ORDER BY g.h) AS t, coalesce(c.n, 0) AS x
+  FROM grid g LEFT JOIN c ON g.h = c.h
+),
+lagged AS (
+  SELECT t, x,
+         lag(x, 1) OVER (ORDER BY t) AS f_naive,
+         lag(x, 24) OVER (ORDER BY t) AS f_snaive
+  FROM series
+),
+e AS (SELECT * FROM lagged WHERE t > 24)
+SELECT 'naive' AS model, count(*)::BIGINT AS n,
+       round(sum(abs(x - f_naive))::DOUBLE / count(*), 6) AS mae,
+       round(sqrt(sum((x - f_naive) * (x - f_naive))::DOUBLE / count(*)), 6)
+         AS rmse
+FROM e
+UNION ALL
+SELECT 'seasonal_naive' AS model, count(*)::BIGINT AS n,
+       round(sum(abs(x - f_snaive))::DOUBLE / count(*), 6) AS mae,
+       round(sqrt(sum((x - f_snaive) * (x - f_snaive))::DOUBLE / count(*)), 6)
+         AS rmse
+FROM e
+""",
+)
+def ts_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting on the hourly event-count series: walk
+    forward through the grid and score the two canonical baselines —
+    naive (x̂_t = x_{t−1}) and seasonal-naive (x̂_t = x_{t−24}) — by MAE
+    and RMSE over the common evaluation window (t > 24, where both are
+    defined). These baselines are the denominators every real forecast
+    eval (MASE, skill scores) is measured against; if seasonal-naive
+    beats naive, the series has a daily cycle worth modeling (the
+    decision ts_stl/ts_holt_seasonal act on). Series is the densified
+    CALENDAR-BOUNDED grid (ts_acf_multi's shape): one partial-agg
+    shuffle over raw events, then windows over ~720 rows. Counts are
+    integers, so absolute/squared error sums are BIGINT-exact; each
+    metric is one final rounded double division (IEEE-identical)."""
+    ev = Tables(spark, sf_dir).events
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    c = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    series = (
+        grid.join(c, "h", "left")
+        .select("h", F.coalesce(F.col("n"), F.lit(0)).alias("x"))
+        .select(F.row_number().over(Window.orderBy("h")).alias("t"), "x")
+    )
+    w = Window.orderBy("t")
+    e = series.select(
+        "t",
+        "x",
+        F.lag("x", 1).over(w).alias("f_naive"),
+        F.lag("x", 24).over(w).alias("f_snaive"),
+    ).where(F.col("t") > 24).cache()  # feeds both model aggregates
+
+    def metrics(fcol: str, name: str) -> DataFrame:
+        d = F.col("x") - F.col(fcol)
+        return e.agg(
+            F.lit(name).alias("model"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(F.abs(d)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mae"),
+            F.round(
+                F.sqrt(F.sum(d * d).cast("double") / F.count(F.lit(1))), 6
+            ).alias("rmse"),
+        )
+
+    return metrics("f_naive", "naive").unionAll(
+        metrics("f_snaive", "seasonal_naive")
+    )

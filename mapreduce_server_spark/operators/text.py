@@ -915,3 +915,121 @@ def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_r2"
         ),
     )
+
+
+@query(
+    "text_bm25",
+    category="J.text",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT count(*) AS nd, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+),
+q AS (SELECT unnest(['hash', 'join', 'scan']) AS term),
+tf AS (
+  SELECT t.doc_id, t.word AS term, count(*) AS tf
+  FROM toks t JOIN q ON t.word = q.term
+  GROUP BY 1, 2
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (stats.nd - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS w
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_terms,
+         round(list_sum(list(w ORDER BY term)), 6) AS score
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, n_terms::BIGINT AS n_terms, score
+FROM agg
+ORDER BY score DESC, doc_id
+LIMIT 20
+""",
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (Robertson & Walker 1994; Lucene's
+    +1-inside-the-ln idf variant so weights stay positive on a
+    31-word vocab where df > N/2) for the query {hash, join, scan} —
+    the ranking function behind every text-search sink this engine
+    would feed. k1 = 1.2, b = 0.75 (the standard constants, inlined as
+    identical literals on both engines).
+
+    Execution shape: ONE tokenize/explode pass feeds doc lengths and
+    the query-filtered term frequencies (the filter shrinks the posting
+    join to |query| terms BEFORE any shuffle); df and the corpus stats
+    are tiny broadcast sides; per-doc scores fold the ≤3 term weights
+    in TERM order (fsum ≡ list ORDER BY + list_sum) so the double sum
+    is fold-order-pinned. Top-20 is TakeOrderedAndProject on the
+    6-dp-ROUNDED score with doc_id tiebreak (the argmax-determinism
+    recipe: round first, then total-order)."""
+    from ..functions.vector import fsum
+
+    d = Tables(spark, sf_dir).documents
+    toks = d.select("doc_id", F.explode(tokens()).alias("word")).cache()
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("nd"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    terms = ["hash", "join", "scan"]
+    tf = (
+        toks.where(F.col("word").isin(terms))
+        .groupBy("doc_id", F.col("word").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.log(
+                    1
+                    + (F.col("nd") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * F.lit(2.2))
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (
+                        1
+                        - 0.75
+                        + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("w"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(
+            fsum(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("term"), F.col("w")))
+                    ),
+                    lambda s: s.getField("w"),
+                )
+            ),
+            6,
+        ).alias("score"),
+    )
+    return (
+        agg.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(20)
+        .select("doc_id", "n_terms", "score")
+    )
