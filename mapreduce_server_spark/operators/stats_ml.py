@@ -3606,19 +3606,58 @@ def stat_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("b.t") - F.col("a.t"))
         ).alias("slope"),
     )
-    w = Window.partitionBy("flag").orderBy("slope")
-    wc = Window.partitionBy("flag")
-    r = s.select(
+    # Exact median WITHOUT the 3-partition full sort a per-flag
+    # row_number window would force (FULLBENCH flagged it at 7 s): the
+    # distributed rank-selection pattern. Phase 1: histogram the slopes
+    # into ~width-1024 buckets (map-side partial agg — the 9.4M slope
+    # rows never shuffle). Phase 2: a tiny cumulative window over the
+    # histogram locates the bucket holding each middle rank. Phase 3:
+    # only THAT bucket's few hundred rows are ranked. Same selected
+    # values, so the oracle (full row_number) is untouched.
+    s = s.withColumn(
+        "bkt", F.floor(F.col("slope") / 1024.0).cast("long")
+    ).cache()  # feeds the histogram AND the candidate filter
+    # the histogram feeds tot, hc AND two broadcast subtrees (pick,
+    # pick-buckets) — cache the 40k-row aggregate or the 9.4M-row scan
+    # underneath it re-runs once per consumer (ReuseExchange does not
+    # collapse duplicated logical subtrees)
+    h = s.groupBy("flag", "bkt").agg(F.count(F.lit(1)).alias("c")).cache()
+    wb = Window.partitionBy("flag").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    hc = h.select(
+        "flag", "bkt", "c", F.sum("c").over(wb).alias("cum")
+    ).withColumn("prev", F.col("cum") - F.col("c"))
+    tot = h.groupBy("flag").agg(F.sum("c").alias("n"))
+    ranks = tot.select(
         "flag",
-        "slope",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
+        "n",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("n") + 1) / 2),
+                    F.floor((F.col("n") + 2) / 2),
+                )
+            )
+        ).alias("k"),
     )
-    mid = r.where(
-        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
-        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    pick = (
+        hc.join(ranks, "flag")
+        .where((F.col("prev") < F.col("k")) & (F.col("k") <= F.col("cum")))
+        .select("flag", "bkt", "k", "prev", "n")
     )
-    return mid.groupBy(F.col("flag").alias("l_returnflag")).agg(
+    cand = s.join(
+        F.broadcast(pick.select("flag", "bkt").distinct()), ["flag", "bkt"]
+    )
+    wr = Window.partitionBy("flag", "bkt").orderBy("slope")
+    sel = (
+        cand.select(
+            "flag", "bkt", "slope", F.row_number().over(wr).alias("rn")
+        )
+        .join(F.broadcast(pick), ["flag", "bkt"])
+        .where(F.col("rn") == F.col("k") - F.col("prev"))
+    )
+    return sel.groupBy(F.col("flag").alias("l_returnflag")).agg(
         F.max("n").cast("long").alias("n_pairs"),
         F.round(F.sum("slope") / F.count(F.lit(1)), 6).alias("sen_slope"),
     )
@@ -4776,4 +4815,201 @@ def ts_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return metrics("f_naive", "naive").unionAll(
         metrics("f_snaive", "seasonal_naive")
+    )
+
+
+@query(
+    "ts_anomaly_hours",
+    category="E.window",
+    oracle="""
+WITH bounds AS (
+  SELECT event_type, date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events GROUP BY 1
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+),
+c AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT g.event_type, g.h, extract(hour FROM g.h)::BIGINT AS hod,
+         coalesce(c.n, 0) AS n
+  FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h
+),
+prof AS (
+  SELECT event_type, hod, count(*) AS cnt, sum(n) AS s, sum(n * n) AS q
+  FROM series GROUP BY 1, 2
+)
+SELECT s.event_type, s.h, s.hod, s.n::BIGINT AS n,
+       round((p.cnt * s.n - p.s) * (p.cnt * s.n - p.s)
+             / (p.cnt * p.q - p.s * p.s) * 1.0, 6) AS z2
+FROM series s JOIN prof p ON s.event_type = p.event_type AND s.hod = p.hod
+WHERE p.cnt * p.q > p.s * p.s
+  AND (p.cnt * s.n - p.s) * (p.cnt * s.n - p.s)
+      > 9 * (p.cnt * p.q - p.s * p.s)
+""",
+)
+def ts_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection on the hourly grid: flag hours whose
+    count sits more than 3σ from the mean OF THEIR OWN hour-of-day
+    slot (so a busy 9am is only anomalous vs other 9ams — the
+    seasonal-baseline rule that kills the false alarms a global
+    threshold fires every peak hour). The novelty is the gate itself:
+    (x − μ)² > 9σ² is evaluated ENTIRELY IN INTEGERS — with per-slot
+    count cnt, sum S, sum-of-squares Q: dev = cnt·x − S and the test is
+    dev² > 9(cnt·Q − S²) — no float ever decides a boundary case, so
+    the flag set is bit-reproducible on any engine and any cluster
+    (compare anomaly_zscore, which reports scores; this one makes the
+    cut DECISION exact). One partial-agg shuffle over raw events; the
+    profile is |types|·24 rows broadcast back onto the grid; z² is
+    reported (rounded) only for the flagged survivors."""
+    ev = Tables(spark, sf_dir).events
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    series = (
+        grid.join(c, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.hour("h").cast("long").alias("hod"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+        .cache()  # feeds both the slot profile and the flag join
+    )
+    prof = series.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("q"),
+    )
+    j = series.join(F.broadcast(prof), ["event_type", "hod"])
+    dev = F.col("cnt") * F.col("n") - F.col("s")
+    varn = F.col("cnt") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        j.where(varn > 0)
+        .where(dev * dev > 9 * varn)
+        .select(
+            "event_type",
+            "h",
+            "hod",
+            F.col("n").cast("long").alias("n"),
+            F.round(dev * dev / varn * F.lit(1.0), 6).alias("z2"),
+        )
+    )
+
+
+@query(
+    "ml_markov_stationary",
+    category="D.agg",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+c AS (
+  SELECT prev_type AS f, event_type AS t, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+rt AS (SELECT f, sum(n) AS tot FROM c GROUP BY 1),
+tm AS (
+  SELECT c.f, c.t,
+         round(c.n::DOUBLE / rt.tot, 6)::DECIMAL(7,6) AS p
+  FROM c JOIN rt ON c.f = rt.f
+),
+types AS (SELECT DISTINCT f AS ty FROM c),
+p0 AS (
+  SELECT ty, (1.0 / (SELECT count(*) FROM types))::DECIMAL(8,7) AS p
+  FROM types
+),
+p1 AS (
+  SELECT tm.t AS ty, sum((p0.p * tm.p)::DECIMAL(16,13))::DECIMAL(16,13) AS p
+  FROM p0 JOIN tm ON p0.ty = tm.f GROUP BY 1
+),
+p2 AS (
+  SELECT tm.t AS ty, sum((p1.p * tm.p)::DECIMAL(24,19)) AS p
+  FROM p1 JOIN tm ON p1.ty = tm.f GROUP BY 1
+)
+SELECT ty AS event_type, round(p::DOUBLE, 6) AS p_stationary
+FROM p2
+""",
+)
+def ml_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain next-event model: build the event-type transition
+    matrix from every user's ts-ordered history, then run TWO power
+    iterations from the uniform vector toward the stationary
+    distribution — the sequence-model cousin of graph_pagerank (same
+    p·T iteration, row-stochastic instead of damped). The matrix is
+    |types|² ≈ 25 cells, so after the ONE lag-window shuffle over
+    events the entire linear algebra is joins over broadcast-size
+    frames — at 100 TB only the transition counting gets heavier.
+
+    Exactness without hand-off rounding: transition probabilities pin
+    to DECIMAL(18,6) (the kmeans rule), but the ITERATIONS stay exact
+    rational — uniform is DECIMAL(8,7), each step multiplies decimals
+    and sums exactly (scales 7 → 13 → 19; precisions sized so no
+    product ever exceeds DECIMAL(38) on either engine), so
+    unlike the float power iteration in ml_pca_power there is NO
+    mid-iteration rounding at all; the single double cast happens on
+    the final exact value. Transition order is total (ts, event_id)."""
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    c = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("f"), F.col("event_type").alias("t"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()  # feeds row totals, the matrix, and the type universe
+    )
+    rt = c.groupBy("f").agg(F.sum("n").alias("tot"))
+    tm = (
+        c.join(F.broadcast(rt), "f")
+        .select(
+            "f",
+            "t",
+            F.round(F.col("n").cast("double") / F.col("tot"), 6)
+            .cast("decimal(7,6)")
+            .alias("p"),
+        )
+        .cache()  # both iteration joins
+    )
+    types = c.select(F.col("f").alias("ty")).distinct()
+    k = types.count()  # tiny driver scalar (|event types|)
+    p0 = types.select(
+        "ty", (F.lit(1.0) / F.lit(k)).cast("decimal(8,7)").alias("p")
+    )
+    def step(vec: DataFrame, out_scale: str) -> DataFrame:
+        v, m = vec.alias("v"), tm.alias("m")
+        return (
+            v.join(m, F.col("v.ty") == F.col("m.f"))
+            .groupBy(F.col("m.t").alias("ty"))
+            .agg(
+                F.sum(
+                    (F.col("v.p") * F.col("m.p")).cast(out_scale)
+                ).cast(out_scale).alias("p")
+            )
+        )
+
+    p1 = step(p0, "decimal(16,13)")
+    p2 = step(p1, "decimal(24,19)")
+    return p2.select(
+        F.col("ty").alias("event_type"),
+        F.round(F.col("p").cast("double"), 6).alias("p_stationary"),
     )

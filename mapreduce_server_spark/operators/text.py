@@ -1033,3 +1033,79 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "n_terms", "score")
     )
+
+
+_CHUNK_LEN = 64
+_CHUNK_STRIDE = 48
+
+
+@query(
+    "text_chunk",
+    category="J.text",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, n,
+         unnest(range(0, (CASE WHEN n <= {_CHUNK_LEN} THEN 0
+                               ELSE (n - {_CHUNK_LEN} + {_CHUNK_STRIDE} - 1)
+                                    // {_CHUNK_STRIDE} END) + 1)) AS i,
+         toks
+  FROM t
+)
+SELECT doc_id, i AS chunk_idx,
+       (1 + i * {_CHUNK_STRIDE})::BIGINT AS start_tok,
+       least({_CHUNK_LEN}, n - i * {_CHUNK_STRIDE})::BIGINT AS chunk_len,
+       array_to_string(toks[1 + i * {_CHUNK_STRIDE} :
+                            i * {_CHUNK_STRIDE}
+                            + least({_CHUNK_LEN}, n - i * {_CHUNK_STRIDE})],
+                       ' ') AS chunk_text
+FROM idx
+""",
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — 64-token windows on a
+    48-token stride (25% overlap), the RAG-indexing / long-context
+    pretraining splitter that complements pack_sequences (which packs
+    docs INTO sequences; this splits docs ACROSS windows so no context
+    boundary loses more than the overlap). Chunk count per doc is
+    1 + ceil((n−64)/48) for n > 64, else 1 — the last window is
+    allowed to run short rather than re-reading the tail twice.
+
+    Pure per-row array algebra: tokenize once, explode the chunk index
+    range, slice — a narrow map-side pipeline with NO shuffle at all
+    (the ideal 100 TB shape: chunking parallelism is exactly input
+    parallelism, and the output is written partition-local). Integer
+    arithmetic only; the text reassembles with the same single-space
+    join the tokenizer contract guarantees round-trips."""
+    d = Tables(spark, sf_dir).documents
+    t = d.select(
+        "doc_id", tokens().alias("toks"), F.size(tokens()).alias("n")
+    )
+    n = F.col("n")
+    max_i = F.when(n <= _CHUNK_LEN, F.lit(0)).otherwise(
+        F.floor(
+            (n - _CHUNK_LEN + _CHUNK_STRIDE - 1) / _CHUNK_STRIDE
+        )
+    )
+    idx = t.select(
+        "doc_id",
+        "n",
+        "toks",
+        F.explode(F.sequence(F.lit(0), max_i)).alias("i"),
+    )
+    i = F.col("i")
+    start = 1 + i * _CHUNK_STRIDE
+    clen = F.least(F.lit(_CHUNK_LEN), n - i * _CHUNK_STRIDE)
+    return idx.select(
+        "doc_id",
+        i.alias("chunk_idx"),
+        start.cast("long").alias("start_tok"),
+        clen.cast("long").alias("chunk_len"),
+        F.array_join(F.slice(F.col("toks"), start, clen), " ").alias(
+            "chunk_text"
+        ),
+    )

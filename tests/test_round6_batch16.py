@@ -101,3 +101,35 @@ def test_pq_matches_numpy_replay(spark, duck):
     for i in range(4):
         assert got.loc[i, "qerr"] == 0.0
         assert all(got.loc[i, f"code{s}"] == i for s in range(4))
+
+
+def test_anomaly_hours_matches_integer_gate_replay(spark, duck):
+    got = REGISTRY["ts_anomaly_hours"].fn(spark, SF001).toPandas()
+    ev = duck.execute(
+        "SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n"
+        " FROM events GROUP BY 1, 2"
+    ).df()
+    flagged = set()
+    for etype, g in ev.groupby("event_type"):
+        g = g.set_index("h").sort_index()
+        full = g.reindex(
+            pd.date_range(g.index.min(), g.index.max(), freq="h"),
+            fill_value=0,
+        )["n"].astype(int)
+        for hod in range(24):
+            vals = full[full.index.hour == hod]
+            cnt, s, q = len(vals), int(vals.sum()), int((vals**2).sum())
+            varn = cnt * q - s * s
+            if varn <= 0:
+                continue
+            for h, x in vals.items():
+                dev = cnt * int(x) - s
+                if dev * dev > 9 * varn:
+                    flagged.add((etype, h))
+                    # z² replay
+                    row = got[(got["event_type"] == etype) & (got["h"] == h)]
+                    assert len(row) == 1
+                    assert abs(row["z2"].iloc[0] - dev * dev / varn) < 2e-6
+    assert set(zip(got["event_type"], got["h"])) == flagged
+    assert len(got) > 0  # the fixture does contain >3-sigma hours
+    assert (got["z2"] > 9).all()  # flagged means beyond 3 sigma
