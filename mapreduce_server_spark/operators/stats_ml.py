@@ -5013,3 +5013,286 @@ def ml_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ty").alias("event_type"),
         F.round(F.col("p").cast("double"), 6).alias("p_stationary"),
     )
+
+
+@query(
+    "ml_isotonic",
+    category="D.agg",
+    oracle="""
+WITH b AS (
+  SELECT l_quantity::BIGINT AS q, count(*) AS n,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+  FROM lineitem GROUP BY 1
+),
+one AS (
+  SELECT count(*) AS k,
+         list(q ORDER BY q) AS qs,
+         list(n ORDER BY q) AS ns,
+         list(pos ORDER BY q) AS ps
+  FROM b
+),
+pre AS (
+  SELECT k, qs, ns, ps,
+         list_transform(range(1, k + 1), j -> list_sum(ns[1:j])) AS cn,
+         list_transform(range(1, k + 1), j -> list_sum(ps[1:j])) AS cp
+  FROM one
+),
+fit AS (
+  SELECT k, qs, ns, ps,
+         list_transform(range(1, k + 1), j ->
+           list_max(list_transform(range(1, j + 1), i ->
+             list_min(list_transform(range(j, k + 1), l ->
+               round((cp[l] - CASE WHEN i = 1 THEN 0 ELSE cp[i - 1] END)
+                     * 1.0
+                     / (cn[l] - CASE WHEN i = 1 THEN 0 ELSE cn[i - 1] END),
+                     9)))))) AS iso
+  FROM pre
+)
+SELECT unnest(qs)::BIGINT AS q, unnest(ns)::BIGINT AS n,
+       unnest(ps)::BIGINT AS pos,
+       unnest(list_transform(range(1, k + 1),
+         j -> round(ps[j] * 1.0 / ns[j], 6))) AS raw_rate,
+       unnest(list_transform(range(1, k + 1),
+         j -> round(iso[j], 6))) AS iso_rate
+FROM fit
+""",
+)
+def ml_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone nondecreasing) calibration of
+    P(returnflag='R' | quantity) — the nonparametric calibrator that
+    beats Platt scaling when the reliability curve is wiggly
+    (Zadrozny & Elkan 2002), and the one Spark MLlib implements with a
+    sequential PAV sweep. Here it needs NO sequential pass: on a
+    BOUNDED score domain (≤50 quantity buckets) the solution has the
+    closed minimax form ŷ_j = max_{i≤j} min_{l≥j} avg(y[i..l]), and
+    every pooled average is prefix-sum algebra — so the whole fit is
+    one partial-agg shuffle to build the buckets, then O(K³) ≈ 125k
+    per-element lambdas on a single row (the ts_dtw trick applied to a
+    model fitter). At 100 TB only the bucket aggregation scales; the
+    fit cost is constant.
+
+    Exactness: bucket counts are integers, prefix sums exact; each
+    pooled average is ONE double division rounded to 9 dp BEFORE the
+    min/max lattice (both engines compare identical doubles, so pool
+    selection cannot diverge); output rounds to 6 dp. Monotonicity of
+    the result is a theorem, and the pytest asserts it plus agreement
+    with an independent pure-Python PAV."""
+    li = Tables(spark, sf_dir).lineitem
+    b = li.groupBy(F.col("l_quantity").cast("long").alias("q")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("pos"),
+    )
+    one = b.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("q"), F.col("n"), F.col("pos")))
+        ).alias("arr"),
+    )
+    k = F.col("k")
+    zero = F.lit(0).cast("long")
+
+    def isum(col):
+        return F.aggregate(col, zero, lambda a, x: a + x)
+
+    def prefix(field: str):
+        return F.transform(
+            F.sequence(F.lit(1), k),
+            lambda j: isum(
+                F.transform(
+                    F.slice(F.col("arr"), 1, j),
+                    lambda s: s.getField(field),
+                )
+            ),
+        )
+
+    pre = one.select(
+        "k",
+        "arr",
+        prefix("n").alias("cn"),
+        prefix("pos").alias("cp"),
+    )
+    cn, cp = F.col("cn"), F.col("cp")
+
+    def cum(arr_col, i):
+        # prefix value before bucket i (0 when i = 1)
+        return F.when(i == 1, zero).otherwise(
+            F.element_at(arr_col, (i - 1).cast("int"))
+        )
+
+    def pooled(i, l):
+        return F.round(
+            (F.element_at(cp, l.cast("int")) - cum(cp, i))
+            * F.lit(1.0)
+            / (F.element_at(cn, l.cast("int")) - cum(cn, i)),
+            9,
+        )
+
+    iso = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda j: F.array_max(
+            F.transform(
+                F.sequence(F.lit(1), j),
+                lambda i: F.array_min(
+                    F.transform(F.sequence(j, k), lambda l: pooled(i, l))
+                ),
+            )
+        ),
+    )
+    fit = pre.select("k", "arr", iso.alias("iso"))
+    ex = fit.select(
+        F.posexplode(F.col("arr")).alias("jz", "s"), F.col("iso")
+    )
+    j1 = F.col("jz") + 1
+    return ex.select(
+        F.col("s").getField("q").alias("q"),
+        F.col("s").getField("n").alias("n"),
+        F.col("s").getField("pos").alias("pos"),
+        F.round(
+            F.col("s").getField("pos") * F.lit(1.0)
+            / F.col("s").getField("n"),
+            6,
+        ).alias("raw_rate"),
+        F.round(F.element_at(F.col("iso"), j1), 6).alias("iso_rate"),
+    )
+
+
+@query(
+    "ts_cross_corr",
+    category="E.window",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+),
+grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         FROM bounds),
+gh AS (SELECT h, row_number() OVER (ORDER BY h) AS t FROM grid),
+c AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY 1, 2),
+series AS (
+  SELECT ty.event_type, gh.t, coalesce(c.n, 0) AS x
+  FROM (SELECT DISTINCT event_type FROM events) ty
+  CROSS JOIN gh
+  LEFT JOIN c ON c.event_type = ty.event_type AND c.h = gh.h
+),
+mom AS (
+  SELECT event_type, count(*) AS nn, sum(x) AS s, sum(x * x) AS q
+  FROM series GROUP BY 1
+),
+lagged AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, k.lag AS k,
+         count(*) AS m, sum(a.x * b.x) AS cab,
+         sum(a.x) AS sha, sum(b.x) AS stb
+  FROM series a
+  CROSS JOIN (SELECT unnest(range(-12, 13)) AS lag) k
+  JOIN series b ON b.t = a.t + k.lag AND a.event_type < b.event_type
+  GROUP BY 1, 2, 3
+)
+SELECT l.ta AS type_a, l.tb AS type_b, l.k::BIGINT AS lag,
+       l.m::BIGINT AS n_terms,
+       round((ma.nn * ma.nn * l.cab - ma.nn * ma.s * l.stb
+              - ma.nn * mb.s * l.sha + l.m * ma.s * mb.s)
+             / (ma.nn * sqrt((ma.nn * ma.q - ma.s * ma.s) * 1.0
+                             * (mb.nn * mb.q - mb.s * mb.s))), 6) AS ccf
+FROM lagged l
+JOIN mom ma ON l.ta = ma.event_type
+JOIN mom mb ON l.tb = mb.event_type
+""",
+)
+def ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between every event-type pair at lags
+    −12..+12 hours — the lead-lag detector (does 'view' activity
+    precede 'purchase' activity, and by how many hours?) that
+    completes the correlation toolbox next to ts_acf_multi (self) and
+    ts_dtw (shape). Same scale shape: ONE hourly partial agg over raw
+    events, then everything runs on the calendar-bounded shared grid
+    (|grid|·25 lag-join rows per pair). Integer algebra throughout —
+    with full-series moments N, S, Q per type and overlap sums
+    C_k, Sh_a, St_b over the m = N−|k| aligned hours, the numerator
+    ×N² is N²C_k − N·S_a·St_b − N·S_b·Sh_a + m·S_a·S_b and the
+    denominator is N·√((NQ_a−S_a²)(NQ_b−S_b²))/N² ⇒ one factor of N
+    outside the root (Σ(x−x̄)² = (NQ−S²)/N) — everything BIGINT until
+    the one final rounded division (statsmodels ccf convention:
+    full-series means/variances, partial numerator)."""
+    ev = Tables(spark, sf_dir).events
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    gh = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("h")
+    ).select("h", F.row_number().over(Window.orderBy("h")).alias("t"))
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    types = ev.select("event_type").distinct()
+    series = (
+        types.crossJoin(gh)
+        .join(c, ["event_type", "h"], "left")
+        .select(
+            "event_type", "t", F.coalesce(F.col("n"), F.lit(0)).alias("x")
+        )
+        .cache()  # both lag-join sides + the per-type moments
+    )
+    mom = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    lags = spark.range(-12, 13).select(F.col("id").alias("k"))
+    a = series.alias("a").crossJoin(F.broadcast(lags))
+    b = series.alias("b")
+    lagged = (
+        a.join(
+            b,
+            (F.col("b.t") == F.col("a.t") + F.col("k"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+            "k",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(F.col("a.x") * F.col("b.x")).alias("cab"),
+            F.sum(F.col("a.x")).alias("sha"),
+            F.sum(F.col("b.x")).alias("stb"),
+        )
+    )
+    ma = mom.select(
+        F.col("event_type").alias("ta"),
+        F.col("nn").alias("nna"),
+        F.col("s").alias("sa"),
+        F.col("q").alias("qa"),
+    )
+    mb = mom.select(
+        F.col("event_type").alias("tb"),
+        F.col("nn").alias("nnb"),
+        F.col("s").alias("sb"),
+        F.col("q").alias("qb"),
+    )
+    j = lagged.join(F.broadcast(ma), "ta").join(F.broadcast(mb), "tb")
+    nn, sa, sb = F.col("nna"), F.col("sa"), F.col("sb")
+    num = (
+        nn * nn * F.col("cab")
+        - nn * sa * F.col("stb")
+        - nn * sb * F.col("sha")
+        + F.col("m") * sa * sb
+    )
+    den = nn * F.sqrt(
+        (nn * F.col("qa") - sa * sa)
+        * F.lit(1.0)
+        * (F.col("nnb") * F.col("qb") - sb * sb)
+    )
+    return j.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("k").cast("long").alias("lag"),
+        F.col("m").cast("long").alias("n_terms"),
+        F.round(num / den, 6).alias("ccf"),
+    )
