@@ -804,3 +804,95 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("d6").cast("decimal(18,6)")).cast("double"), 6
         ).alias("qerr"),
     )
+
+
+@query(
+    "ml_silhouette",
+    category="J.sim",
+    oracle="""
+WITH cent AS (
+  SELECT label, g.i AS i, round(avg(embedding[g.i]::DOUBLE), 6) AS c
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+  GROUP BY label, g.i
+),
+carr AS (
+  SELECT label AS clabel, list(c ORDER BY i) AS cv FROM cent GROUP BY 1
+),
+d AS (
+  SELECT e.vec_id, e.label, carr.clabel,
+         sqrt(list_sum(list_transform(list_zip(e.embedding, carr.cv),
+              p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])))) AS dist
+  FROM embeddings e CROSS JOIN carr
+),
+ab AS (
+  SELECT vec_id, label,
+         min(CASE WHEN label = clabel THEN dist END) AS da,
+         min(CASE WHEN label <> clabel THEN dist END) AS db
+  FROM d GROUP BY 1, 2
+),
+s AS (
+  SELECT vec_id, label,
+         round((db - da) / greatest(da, db), 6)::DECIMAL(9,6) AS sil
+  FROM ab
+)
+SELECT label, count(*)::BIGINT AS n,
+       round(sum(sil)::DOUBLE / count(*), 6) AS avg_silhouette
+FROM s GROUP BY 1
+""",
+)
+def ml_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette score per label — the
+    clustering-quality eval for the labeled embedding space: for each
+    vector, a = distance to its OWN label centroid, b = the nearest
+    OTHER centroid, s = (b−a)/max(a,b) ∈ [−1, 1]. The simplified form
+    (Hruschka et al.) replaces the full silhouette's O(n²) pairwise
+    pass with O(n·k) centroid distances — the ONLY silhouette that
+    exists at 100 TB, and it needs just the emb_label_centroids
+    aggregate plus one broadcast crossJoin (k ≤ dozens of rows).
+
+    Float discipline: centroids are the 6-dp-rounded per-dim means
+    (emb_label_centroids' avg-parity precedent — float32 lanes forbid
+    decimal-grid sums), so both engines measure distances to IDENTICAL
+    doubles; each per-vector s rounds to 6 dp and pins to DECIMAL(9,6)
+    before the per-label mean, which is then an exact decimal sum and
+    one final division."""
+    e = Tables(spark, sf_dir).embeddings
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+    )
+    carr = cent.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col("i"), F.col("c")))),
+            lambda s: s.getField("c"),
+        ).alias("cv")
+    )
+    diff2 = F.zip_with(
+        F.col("embedding"),
+        F.col("cv"),
+        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+    )
+    dist = F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v))
+    d = e.crossJoin(F.broadcast(carr)).select(
+        "vec_id", "label", "clabel", dist.alias("dist")
+    )
+    own = F.col("label") == F.col("clabel")
+    ab = d.groupBy("vec_id", "label").agg(
+        F.min(F.when(own, F.col("dist"))).alias("da"),
+        F.min(F.when(~own, F.col("dist"))).alias("db"),
+    )
+    sil = (
+        F.round(
+            (F.col("db") - F.col("da"))
+            / F.greatest(F.col("da"), F.col("db")),
+            6,
+        )
+    ).cast("decimal(9,6)")
+    s = ab.select("label", sil.alias("sil"))
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum("sil").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_silhouette"),
+    )

@@ -5296,3 +5296,194 @@ def ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("long").alias("n_terms"),
         F.round(num / den, 6).alias("ccf"),
     )
+
+
+@query(
+    "ts_granger",
+    category="E.window",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+),
+grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         FROM bounds),
+gh AS (SELECT h, row_number() OVER (ORDER BY h) AS t FROM grid),
+c AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY 1, 2),
+series AS (
+  SELECT ty.event_type, gh.t, coalesce(c.n, 0) AS x
+  FROM (SELECT DISTINCT event_type FROM events) ty
+  CROSS JOIN gh
+  LEFT JOIN c ON c.event_type = ty.event_type AND c.h = gh.h
+),
+obs AS (
+  SELECT y.event_type AS eff, a.event_type AS cause,
+         y.x AS yv, l.x AS x1, a.x AS x2
+  FROM series y
+  JOIN series l ON l.event_type = y.event_type AND l.t = y.t - 1
+  JOIN series a ON a.event_type <> y.event_type AND a.t = y.t - 1
+),
+mo AS (
+  SELECT eff, cause, count(*)::DOUBLE AS m,
+         sum(yv)::DOUBLE AS sy, sum(x1)::DOUBLE AS s1,
+         sum(x2)::DOUBLE AS s2,
+         sum(yv * yv)::DOUBLE AS syy, sum(x1 * yv)::DOUBLE AS p1,
+         sum(x2 * yv)::DOUBLE AS p2, sum(x1 * x1)::DOUBLE AS q11,
+         sum(x1 * x2)::DOUBLE AS q12, sum(x2 * x2)::DOUBLE AS q22
+  FROM obs GROUP BY 1, 2
+),
+fit AS (
+  SELECT eff, cause, m, syy, sy, p1, p2,
+         (m * p1 - s1 * sy) / (m * q11 - s1 * s1) AS phir,
+         m * (q11 * q22 - q12 * q12)
+           - s1 * (s1 * q22 - q12 * s2)
+           + s2 * (s1 * q12 - q11 * s2) AS det,
+         sy * (q11 * q22 - q12 * q12)
+           - s1 * (p1 * q22 - q12 * p2)
+           + s2 * (p1 * q12 - q11 * p2) AS detc,
+         m * (p1 * q22 - q12 * p2)
+           - sy * (s1 * q22 - q12 * s2)
+           + s2 * (s1 * p2 - p1 * s2) AS det1,
+         m * (q11 * p2 - p1 * q12)
+           - s1 * (s1 * p2 - p1 * s2)
+           + sy * (s1 * q12 - q11 * s2) AS det2,
+         s1, s2
+  FROM mo
+),
+rss AS (
+  SELECT eff, cause, m,
+         syy - ((sy - phir * s1) / m) * sy - phir * p1 AS rss_r,
+         syy - (detc / det) * sy - (det1 / det) * p1
+             - (det2 / det) * p2 AS rss_u,
+         det2 / det AS beta
+  FROM fit
+)
+SELECT eff AS effect_type, cause AS cause_type, m::BIGINT AS n_obs,
+       round(beta, 6) AS beta,
+       round((rss_r - rss_u) * (m - 3) / rss_u, 6) AS f_stat
+FROM rss
+""",
+)
+def ts_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-causality screen between event types: for every ordered
+    pair (cause → effect), compare the AR(1) model of the effect's
+    hourly series with and without the cause's lagged value —
+    F = (RSS_r − RSS_u)(m−3)/RSS_u — the lead-lag DETECTOR that turns
+    ts_cross_corr's correlations into a directional hypothesis test
+    (the workload behind 'did views drive purchases'). Same scale
+    shape as the grid family: one hourly partial agg over raw events,
+    then all regressions run on per-pair MOMENT rows (the stat_linreg /
+    ml_ridge_normal sufficient-statistics discipline — both the
+    2-parameter restricted fit and the 3-parameter Cramer solve are
+    closed forms over Σy, Σx, Σxy, …, so 'fit 2 models per pair' costs
+    20 rows of arithmetic, not 20 regressions). Moments are EXACT
+    integers cast to double (≤2^53); every downstream op is mirrored
+    operand-for-operand in the oracle; RSS uses the normal-equations
+    identity RSS = Σy² − ŵ·X'y (no per-row residual pass)."""
+    ev = Tables(spark, sf_dir).events
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    gh = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("h")
+    ).select("h", F.row_number().over(Window.orderBy("h")).alias("t"))
+    cc = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    types = ev.select("event_type").distinct()
+    series = (
+        types.crossJoin(gh)
+        .join(cc, ["event_type", "h"], "left")
+        .select(
+            "event_type", "t", F.coalesce(F.col("n"), F.lit(0)).alias("x")
+        )
+        .cache()  # three self-join arms
+    )
+    y, l, a = series.alias("y"), series.alias("l"), series.alias("a")
+    obs = (
+        y.join(
+            l,
+            (F.col("l.event_type") == F.col("y.event_type"))
+            & (F.col("l.t") == F.col("y.t") - 1),
+        )
+        .join(
+            a,
+            (F.col("a.event_type") != F.col("y.event_type"))
+            & (F.col("a.t") == F.col("y.t") - 1),
+        )
+        .select(
+            F.col("y.event_type").alias("eff"),
+            F.col("a.event_type").alias("cause"),
+            F.col("y.x").alias("yv"),
+            F.col("l.x").alias("x1"),
+            F.col("a.x").alias("x2"),
+        )
+    )
+    yv, x1, x2 = F.col("yv"), F.col("x1"), F.col("x2")
+    mo = obs.groupBy("eff", "cause").agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum(yv).cast("double").alias("sy"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(yv * yv).cast("double").alias("syy"),
+        F.sum(x1 * yv).cast("double").alias("p1"),
+        F.sum(x2 * yv).cast("double").alias("p2"),
+        F.sum(x1 * x1).cast("double").alias("q11"),
+        F.sum(x1 * x2).cast("double").alias("q12"),
+        F.sum(x2 * x2).cast("double").alias("q22"),
+    )
+    m, sy, s1, s2 = F.col("m"), F.col("sy"), F.col("s1"), F.col("s2")
+    syy, p1, p2 = F.col("syy"), F.col("p1"), F.col("p2")
+    q11, q12, q22 = F.col("q11"), F.col("q12"), F.col("q22")
+    fit = mo.select(
+        "eff",
+        "cause",
+        "m",
+        "syy",
+        "sy",
+        "p1",
+        "p2",
+        "s1",
+        "s2",
+        ((m * p1 - s1 * sy) / (m * q11 - s1 * s1)).alias("phir"),
+        (
+            m * (q11 * q22 - q12 * q12)
+            - s1 * (s1 * q22 - q12 * s2)
+            + s2 * (s1 * q12 - q11 * s2)
+        ).alias("det"),
+        (
+            sy * (q11 * q22 - q12 * q12)
+            - s1 * (p1 * q22 - q12 * p2)
+            + s2 * (p1 * q12 - q11 * p2)
+        ).alias("detc"),
+        (
+            m * (p1 * q22 - q12 * p2)
+            - sy * (s1 * q22 - q12 * s2)
+            + s2 * (s1 * p2 - p1 * s2)
+        ).alias("det1"),
+        (
+            m * (q11 * p2 - p1 * q12)
+            - s1 * (s1 * p2 - p1 * s2)
+            + sy * (s1 * q12 - q11 * s2)
+        ).alias("det2"),
+    )
+    phir, det = F.col("phir"), F.col("det")
+    rss_r = syy - ((sy - phir * s1) / m) * sy - phir * p1
+    rss_u = (
+        syy
+        - (F.col("detc") / det) * sy
+        - (F.col("det1") / det) * p1
+        - (F.col("det2") / det) * p2
+    )
+    beta = F.col("det2") / det
+    return fit.select(
+        F.col("eff").alias("effect_type"),
+        F.col("cause").alias("cause_type"),
+        m.cast("long").alias("n_obs"),
+        F.round(beta, 6).alias("beta"),
+        F.round((rss_r - rss_u) * (m - 3) / rss_u, 6).alias("f_stat"),
+    )
