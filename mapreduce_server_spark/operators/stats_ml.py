@@ -5487,3 +5487,145 @@ def ts_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta, 6).alias("beta"),
         F.round((rss_r - rss_u) * (m - 3) / rss_u, 6).alias("f_stat"),
     )
+
+
+@query(
+    "stat_levene",
+    category="D.agg",
+    oracle="""
+WITH v AS (
+  SELECT l_returnflag AS flag,
+         (l_extendedprice * 100)::BIGINT AS cents, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+r AS (
+  SELECT flag, cents, c,
+         sum(c) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+         sum(c) OVER (PARTITION BY flag) AS n
+  FROM v
+),
+med AS (
+  SELECT flag,
+         round((sum(CASE WHEN cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum
+                         THEN cents ELSE 0 END) * 1.0
+                / 100 / count(*) FILTER (WHERE cum - c < (n + 1) // 2
+                                           AND (n + 1) // 2 <= cum)
+                + sum(CASE WHEN cum - c < (n + 2) // 2 AND (n + 2) // 2 <= cum
+                           THEN cents ELSE 0 END) * 1.0
+                  / 100 / count(*) FILTER (WHERE cum - c < (n + 2) // 2
+                                             AND (n + 2) // 2 <= cum)) / 2, 6)
+           AS m
+  FROM r GROUP BY 1
+),
+z AS (
+  SELECT l.l_returnflag AS flag,
+         abs(l.l_extendedprice::DECIMAL(18,2)
+             - med.m::DECIMAL(18,6))::DECIMAL(13,6) AS z
+  FROM lineitem l JOIN med ON l.l_returnflag = med.flag
+),
+g AS (
+  SELECT flag, count(*) AS ng, sum(z) AS sz,
+         sum(z::DECIMAL(19,6) * z::DECIMAL(19,6)) AS szz
+  FROM z GROUP BY 1
+),
+tot AS (
+  SELECT count(*) AS k, sum(ng) AS n, sum(sz) AS st, sum(szz) AS stt
+  FROM g
+),
+parts AS (
+  SELECT tot.k, tot.n, tot.st::DOUBLE AS st, tot.stt::DOUBLE AS stt,
+         list((g.sz::DOUBLE / g.ng) * (g.sz::DOUBLE / g.ng) * g.ng
+              ORDER BY g.flag) AS lgb
+  FROM g, tot GROUP BY 1, 2, 3, 4
+)
+SELECT k::BIGINT AS k, n::BIGINT AS n,
+       round(((list_sum(lgb) - st * st / n) / (k - 1))
+             / ((stt - list_sum(lgb)) / (n - k)), 6) AS f_stat
+FROM parts
+""",
+)
+def stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-equality test across return flags (the
+    robust Levene variant: one-way ANOVA on |x − group MEDIAN|) — the
+    gate that decides whether pooled-variance tests (stat_welch_t's
+    cheaper siblings) are even admissible, and a drift screen for
+    SPREAD changes the mean-based screens miss. The group medians are
+    exact: prices collapse to integer CENTS at value level (one partial
+    agg), a per-flag cumulative window walks the value histogram, and
+    the middle rank(s) select by integer comparison — the stat_theilsen
+    selection idea on the value domain, no row sort anywhere. |x − med|
+    is then an exact decimal (2-dp price vs 6-dp median), so the ANOVA
+    sums (Σz as DECIMAL, Σz² as DECIMAL(38,12)) are fold-order-free;
+    SSB/SSW come from the grouped-sums identity (Σ n_g·z̄_g² − (Σz)²/n
+    and total − between) with mirrored double ops and one rounded
+    division. Two scans of lineitem (median pass + residual pass) — at
+    100 TB the value-level first pass is the whole cost."""
+    li = Tables(spark, sf_dir).lineitem
+    v = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.partitionBy("flag").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("flag")
+    r = v.select(
+        "flag",
+        "cents",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    k1 = F.floor((F.col("n") + 1) / 2)
+    k2 = F.floor((F.col("n") + 2) / 2)
+    hit1 = (F.col("cum") - F.col("c") < k1) & (k1 <= F.col("cum"))
+    hit2 = (F.col("cum") - F.col("c") < k2) & (k2 <= F.col("cum"))
+    pick = lambda hit: (  # noqa: E731
+        F.sum(F.when(hit, F.col("cents")).otherwise(0)) * F.lit(1.0)
+        / 100
+        / F.sum(F.when(hit, 1).otherwise(0))
+    )
+    med = r.groupBy("flag").agg(
+        F.round((pick(hit1) + pick(hit2)) / 2, 6).alias("m")
+    )
+    z = li.join(F.broadcast(med), li["l_returnflag"] == med["flag"]).select(
+        "flag",
+        F.abs(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            - F.col("m").cast("decimal(18,6)")
+        )
+        .cast("decimal(13,6)")
+        .alias("z"),
+    )
+    g = z.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("z").alias("sz"),
+        F.sum((F.col("z") * F.col("z")).cast("decimal(38,12)")).alias("szz"),
+    )
+    from ..functions.vector import fsum
+
+    one = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sz").cast("double").alias("st"),
+        F.sum("szz").cast("double").alias("stt"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("flag"), F.col("ng"), F.col("sz")))
+        ).alias("arr"),
+    )
+    term = lambda s: (  # noqa: E731
+        (s.getField("sz").cast("double") / s.getField("ng"))
+        * (s.getField("sz").cast("double") / s.getField("ng"))
+        * s.getField("ng")
+    )
+    gb = fsum(F.transform(F.col("arr"), term))
+    kk, nn = F.col("k"), F.col("n")
+    return one.select(
+        kk.cast("long").alias("k"),
+        nn.cast("long").alias("n"),
+        F.round(
+            ((gb - F.col("st") * F.col("st") / nn) / (kk - 1))
+            / ((F.col("stt") - gb) / (nn - kk)),
+            6,
+        ).alias("f_stat"),
+    )

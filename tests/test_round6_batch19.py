@@ -75,3 +75,25 @@ def test_silhouette_matches_numpy_replay(spark, duck):
         assert abs(row["avg_silhouette"] - sum(sums[lab]) / len(sums[lab])) < 2e-6
         # scores live in [-1, 1]
         assert -1 <= row["avg_silhouette"] <= 1
+
+
+def test_levene_matches_scipy_style_replay(spark, duck):
+    got = REGISTRY["stat_levene"].fn(spark, SF001).collect()[0]
+    li = duck.execute(
+        "SELECT l_returnflag AS flag, l_extendedprice AS p FROM lineitem"
+    ).df()
+    groups = []
+    for _, g in li.groupby("flag"):
+        x = np.sort(g["p"].to_numpy())
+        n = len(x)
+        med = round((x[(n + 1) // 2 - 1] + x[(n + 2) // 2 - 1]) / 2, 6)
+        groups.append(np.abs(g["p"].to_numpy() - med))
+    allz = np.concatenate(groups)
+    grand = allz.mean()
+    k, n = len(groups), len(allz)
+    ssb = sum(len(z) * (z.mean() - grand) ** 2 for z in groups)
+    ssw = sum(((z - z.mean()) ** 2).sum() for z in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got["k"] == k and got["n"] == n
+    assert abs(got["f_stat"] - f) < 1e-4
+    assert got["f_stat"] >= 0
