@@ -415,15 +415,40 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_sample", category="D.agg")
+@query(
+    "agg_sample",
+    category="D.agg",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE substring(md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR), 1, 2)
+      < '1a'
+""",
+)
 def agg_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded TABLESAMPLE (the 100 TB debugging workhorse): Bernoulli
-    sample per row with a fixed seed — deterministic for a fixed input
-    partitioning, but partitioning-dependent by nature → rows-only check."""
+    """Deterministic ~10% Bernoulli sample (the 100 TB debugging
+    workhorse) via the repo's hash-sampling discipline ('1a' = 26/256 ≈
+    10.2% of the key space): the kept set is a pure function of the
+    row's unique key (l_orderkey, l_linenumber), so it is identical
+    across runs, engines, partitionings and cluster sizes — the
+    reproducibility property RNG-based ``df.sample`` cannot give (its
+    output depends on the input split layout). The filter is a narrow
+    per-row predicate: no shuffle, embarrassingly parallel at any
+    scale. Exact-oracle-checkable for the same reason (was rows-only
+    when it used seeded sample())."""
     li = Tables(spark, sf_dir).lineitem
-    return li.sample(fraction=0.1, seed=42).select(
-        "l_orderkey", "l_linenumber", "l_quantity"
+    hx = F.substring(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            ).cast("binary")
+        ),
+        1,
+        2,
     )
+    return li.filter(hx < "1a").select("l_orderkey", "l_linenumber", "l_quantity")
 
 
 @query(

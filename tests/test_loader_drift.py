@@ -82,3 +82,22 @@ def test_current_fixture_loads_as_timestamp(spark):
     assert isinstance(df.schema["ts"].dataType, TimestampType)
     assert df.select(F.unix_micros("ts")).first()[0] is not None
     assert "events" in TABLE_NAMES
+
+
+def test_nanos_conf_pinned_and_harmless_on_micros(spark, tmp_path):
+    """The nanosAsLong conf in _RUNTIME_CONFS is drift armor (see the
+    loader comment): it must be ACTIVE after any load (so a future
+    NANOS-encoded fixture reads as int64 → exact normalization, never a
+    lossy auto-cast) AND a no-op on the current micros encodings — the
+    micros table must read back identical with the conf pinned on.
+    Fences the conf against a "dead conf" cleanup."""
+    d = _write_events(
+        str(tmp_path / "micros_conf_check"),
+        pa.array(US_VALUES, pa.int64()).cast(pa.timestamp("us")),
+    )
+    df = load_table(spark, d, "events")
+    # the loader pinned the conf during the load...
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    # ...and the micros fixture is unaffected by it
+    got = [r[0] for r in df.select(F.unix_micros("ts")).orderBy("event_id").collect()]
+    assert got == US_VALUES
