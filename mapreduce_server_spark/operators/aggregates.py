@@ -345,16 +345,18 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="D.agg",
     oracle="""
 SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
-FROM lineitem
+FROM lineitem WHERE l_orderkey % 50 = 0
 UNION ALL
 SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
-FROM lineitem
+FROM lineitem WHERE l_orderkey % 50 = 0
 """,
 )
 def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt: measures to rows (the inverse reshape; values pass
-    through untouched so no float discipline needed)."""
-    li = Tables(spark, sf_dir).lineitem
+    through untouched so no float discipline needed). Demo rows capped
+    by a deterministic modulo filter pushed to the scan (VERDICT r6
+    §next #2)."""
+    li = Tables(spark, sf_dir).lineitem.filter(F.col("l_orderkey") % 50 == 0)
     return li.unpivot(
         ["l_orderkey", "l_linenumber"],
         ["l_quantity", "l_extendedprice"],

@@ -323,7 +323,7 @@ WITH hourly AS (
   SELECT user_id, date_trunc('hour', ts::TIMESTAMP) AS h,
          count(*) AS n,
          sum(value::DECIMAL(18,2))::DOUBLE AS sv
-  FROM events GROUP BY 1, 2
+  FROM events WHERE user_id % 20 = 0 GROUP BY 1, 2
 ),
 bounds AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1),
 grid AS (
@@ -350,8 +350,10 @@ def ts_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact decimal folds (fold-order-free). One shuffle for the
     hourly agg; grid explode and left join stay on the same user_id
     partitioning at scale. This is the batch form of what a streaming
-    gap-filler does with timers in transformWithState."""
-    ev = Tables(spark, sf_dir).events
+    gap-filler does with timers in transformWithState. Demo users
+    capped by a deterministic modulo filter pushed to the scan (VERDICT
+    r6 §next #2)."""
+    ev = Tables(spark, sf_dir).events.filter(F.col("user_id") % 20 == 0)
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(
@@ -548,7 +550,7 @@ WITH hourly AS (
   SELECT user_id, date_trunc('hour', ts::TIMESTAMP) AS h,
          count(*) AS n,
          sum(value::DECIMAL(18,2))::DOUBLE / count(*) AS mv
-  FROM events GROUP BY 1, 2
+  FROM events WHERE user_id % 20 = 0 GROUP BY 1, 2
 ),
 bounds AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1),
 grid AS (
@@ -601,8 +603,9 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical ``prev + (next-prev) * w`` double expression on identical
     operands — bit-equal without rounding. Grid edges are always
     observed hours (min/max come from the data), so prev/next never
-    NULL on interpolated rows."""
-    ev = Tables(spark, sf_dir).events
+    NULL on interpolated rows. Demo users capped by a deterministic
+    modulo filter pushed to the scan (VERDICT r6 §next #2)."""
+    ev = Tables(spark, sf_dir).events.filter(F.col("user_id") % 20 == 0)
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(

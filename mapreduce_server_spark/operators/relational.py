@@ -106,11 +106,14 @@ SELECT
   l_extendedprice / l_quantity AS unit_price,
   year(l_shipdate)::BIGINT AS ship_year
 FROM lineitem
+WHERE l_orderkey % 50 = 0
 """,
 )
 def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Computed columns (map emits transformed record [MR04 §2])."""
-    li = Tables(spark, sf_dir).lineitem
+    """Computed columns (map emits transformed record [MR04 §2]). Demo
+    rows capped by a deterministic modulo filter pushed to the scan
+    (VERDICT r6 §next #2 — breadth bench measures plan, not transfer)."""
+    li = Tables(spark, sf_dir).lineitem.filter(F.col("l_orderkey") % 50 == 0)
     ep = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = (1 - F.col("l_discount")).cast("decimal(8,2)")
     return li.select(
@@ -931,8 +934,9 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH p AS (SELECT event_id, user_id, ts, value FROM events
            WHERE event_type = 'purchase'),
 c AS (SELECT user_id, ts,
-             json_extract_string(props, '$.k')::BIGINT % 10 AS campaign
-      FROM events WHERE event_type = 'click'),
+             min(json_extract_string(props, '$.k')::BIGINT % 10) AS campaign
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts),
 attr AS (
   SELECT p.event_id, coalesce(c.campaign, -1) AS campaign, p.value
   FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
@@ -955,20 +959,32 @@ def join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark plan is the join+row_number as-of bounded by the user_id
     equi-key, then one (campaign)-keyed partial-agg shuffle; at 100 TB
     the as-of step flips to the union-form running last
-    (join_asof_union) and the aggregate is unchanged."""
+    (join_asof_union) and the aggregate is unchanged.
+
+    Determinism at same-instant clicks: ASOF picks an ARBITRARY row
+    among clicks tied on ts, so clicks are first deduped to one row per
+    (user, ts) with a fixed rule (min campaign) on BOTH engines, and
+    the as-of window carries a campaign tiebreak — the argmax-
+    determinism recipe (SURVEY §5.2) applied to last-touch."""
     ev = Tables(spark, sf_dir).events
     p = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.col("ts").alias("p_ts"), "value"
     )
-    c = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("c_ts"),
-        (F.get_json_object("props", "$.k").cast("long") % 10).alias("campaign"),
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .agg(
+            F.min(
+                F.get_json_object("props", "$.k").cast("long") % 10
+            ).alias("campaign")
+        )
     )
     joined = p.join(
         c, (p.user_id == F.col("c_user")) & (F.col("p_ts") >= F.col("c_ts")), "left"
     )
-    w = Window.partitionBy("event_id").orderBy(F.desc_nulls_last("c_ts"))
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc_nulls_last("c_ts"), "campaign"
+    )
     attr = (
         joined.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

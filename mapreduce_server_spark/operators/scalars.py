@@ -126,13 +126,16 @@ SELECT
   least(l_extendedprice, 50000.0)   AS price_capped,
   greatest(l_quantity, 25.0)        AS qty_floored
 FROM lineitem
+WHERE l_orderkey % 50 = 0
 """,
 )
 def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math function bundle over lineitem; transcendentals (ln/log10/sqrt/
     pow) rounded to 6 dp — libm implementations may differ in the last ulp
-    between JVM and C++."""
-    li = Tables(spark, sf_dir).lineitem
+    between JVM and C++. Demo rows are capped by a deterministic modulo
+    filter (pushed to the scan) so the breadth bench measures expression
+    cost, not driver transfer (VERDICT r6 §next #2)."""
+    li = Tables(spark, sf_dir).lineitem.filter(F.col("l_orderkey") % 50 == 0)
     ep = F.col("l_extendedprice")
     return li.select(
         "l_orderkey",
@@ -309,12 +312,13 @@ SELECT l_orderkey, l_linenumber,
        round(degrees(atan2(l_quantity, l_extendedprice)), 6) AS angle_deg,
        round(exp(l_discount), 6) AS exp_d
 FROM lineitem
+WHERE l_orderkey % 50 = 0
 """,
 )
 def scalar_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigonometric/exponential bundle (rounded to 6 dp — libm drift,
-    same policy as scalar_math)."""
-    li = Tables(spark, sf_dir).lineitem
+    same policy as scalar_math, including its modulo demo cap)."""
+    li = Tables(spark, sf_dir).lineitem.filter(F.col("l_orderkey") % 50 == 0)
     d = F.col("l_discount")
     at = F.atan2(F.col("l_quantity"), F.col("l_extendedprice"))
     return li.select(

@@ -332,6 +332,7 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_K = 16  # coarse centroids (≈ sqrt-ish of fixture corpus; scale with n)
 IVF_NPROBE = 4  # clusters scanned per query
 IVF_ITERS = 2  # Lloyd refinement rounds over the deterministic seeds
+IVF_TRAIN_CAP = 10_000  # max vectors collected for quantizer training
 
 #: coarse-quantizer cache keyed by sf_dir (16×64 doubles — driver-tiny)
 _IVF_CACHE: dict[str, list[list[float]]] = {}
@@ -354,10 +355,14 @@ def _assign_cluster(emb_col, centroids: list[list[float]]):
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     """K coarse centroids: stride-spaced seeds over vec_id order, refined
     with IVF_ITERS Lloyd rounds — trained DRIVER-SIDE in numpy on one
-    collected sample (the whole fixture corpus here; at 100 TB, a
-    `.sample()` of ~100k vectors — coarse-quantizer quality needs a
-    sample, never the corpus, so training cost is constant in corpus
-    size). A JVM-expression training loop was measured 20× slower at
+    collected DETERMINISTIC SAMPLE, capped at IVF_TRAIN_CAP vectors.
+    Past the cap, rows are kept by an md5(vec_id) 16-bit-bucket filter
+    (the sample_hash discipline: seedless, partitioning-independent, a
+    pure function of vec_id and the corpus count) — coarse-quantizer
+    quality needs a sample, never the corpus, so training cost is
+    CONSTANT in corpus size while the fixture corpora (≤ 2k vectors)
+    sit under the cap and train on everything, unchanged. A
+    JVM-expression training loop was measured 20× slower at
     sf0.1: higher-order-function folds run interpreted (outside
     whole-stage codegen), and K×dim literal trees pay multi-second
     planning per Lloyd round — the same blocked-BLAS escape-hatch
@@ -373,7 +378,18 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     import numpy as np
 
     e = Tables(spark, sf_dir).embeddings
-    rows = e.select("vec_id", "embedding").orderBy("vec_id").collect()
+    samp = e.select("vec_id", "embedding")
+    n_corpus = e.count()
+    if n_corpus > IVF_TRAIN_CAP:
+        # keep ≈ IVF_TRAIN_CAP vectors: 16-bit md5 bucket under threshold
+        keep = max(1, (65536 * IVF_TRAIN_CAP) // n_corpus)
+        bucket = F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        samp = samp.filter(bucket < keep)
+    rows = samp.orderBy("vec_id").collect()
     mat = np.array([[float(x) for x in r[1]] for r in rows])  # (n, 64) f64
     stride = max(1, len(rows) // IVF_K)
     cents = mat[::stride][:IVF_K].copy()

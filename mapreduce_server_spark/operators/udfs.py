@@ -96,15 +96,18 @@ def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="K.udf",
     oracle="""
 SELECT doc_id, g.i - 1 AS pos, toks[g.i] AS token
-FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id % 20 = 0) d,
      (SELECT unnest(generate_series(1, 512)) AS i) g
 WHERE g.i <= len(toks)
 """,
 )
 def udtf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF / flatMap (the MR map contract itself — 0..n records out per
-    record in [MR04 §2.2]): positional tokenization via posexplode."""
-    d = Tables(spark, sf_dir).documents
+    record in [MR04 §2.2]): positional tokenization via posexplode.
+    Demo docs capped by a deterministic modulo filter pushed to the
+    scan (VERDICT r6 §next #2)."""
+    d = Tables(spark, sf_dir).documents.filter(F.col("doc_id") % 20 == 0)
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")

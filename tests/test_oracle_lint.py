@@ -18,14 +18,18 @@ import re
 
 import __spark_entry__ as entrymod
 
-#: operands for which epoch() is fraction-free and therefore safe
-_SAFE_EPOCH_PREFIXES = (
-    "date_trunc",
-    "time_bucket",
-    "o_orderdate",  # DATE column
-    "ws",  # already-bucketed window starts
-    "w.",
-    "tb",  # time_bucket alias in stream_sliding
+#: operands for which epoch() is fraction-free and therefore safe —
+#: anchored (word boundary / exact alias-dot), NOT bare startswith, so a
+#: future operand like ``tbl.ts`` or ``wsx`` can't ride a short prefix
+_SAFE_EPOCH_RE = re.compile(
+    r"^(?:"
+    r"date_trunc\s*\(|"
+    r"time_bucket\s*\(|"
+    r"o_orderdate\b|"  # DATE column
+    r"ws\b|"  # already-bucketed window starts
+    r"w\.|"  # window-start alias
+    r"tb\b"  # time_bucket alias in stream_sliding
+    r")"
 )
 
 
@@ -34,7 +38,7 @@ def test_no_rounding_epoch_on_raw_timestamps():
     for key, sql in entrymod.oracle_sql().items():
         for m in re.finditer(r"epoch\(([^)]*)", sql):
             arg = m.group(1).strip()
-            if arg.startswith(_SAFE_EPOCH_PREFIXES):
+            if _SAFE_EPOCH_RE.match(arg):
                 continue
             bad.setdefault(key, []).append(m.group(0))
     assert not bad, (
@@ -45,12 +49,14 @@ def test_no_rounding_epoch_on_raw_timestamps():
 
 def test_no_integer_slash_division_on_epoch_arithmetic():
     """``/`` on DuckDB integers is FLOAT division; epoch arithmetic must
-    use ``//``. Flag `epoch_us(...) / 1000000` (without the second
-    slash) — the one spelling that silently yields fractional seconds."""
-    bad = []
+    use ``//``. Flag EVERY `epoch_us(...) / 1000000` occurrence
+    individually (a correct `//` elsewhere in the same oracle must not
+    suppress detection — ADVICE r6). The single-slash pattern cannot
+    match a `//` spelling: the lookahead rejects a second slash, and a
+    match can't start at the second slash of `//` because the required
+    `epoch_us(...)` prefix would then have to end in `/`."""
+    bad: dict[str, list[str]] = {}
     for key, sql in entrymod.oracle_sql().items():
-        if re.search(r"epoch_us\([^)]*\)\s*/\s*1000000(?!\d)", sql) and not re.search(
-            r"epoch_us\([^)]*\)\s*//\s*1000000", sql
-        ):
-            bad.append(key)
+        for m in re.finditer(r"epoch_us\([^)]*\)\s*/(?!/)\s*1000000(?!\d)", sql):
+            bad.setdefault(key, []).append(m.group(0))
     assert not bad, f"float division on epoch_us in: {bad}"

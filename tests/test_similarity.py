@@ -190,3 +190,59 @@ def test_lsh_join_recall_floor(spark):
     total = sum(len(s) for s in exact.values())
     assert total > 0
     assert hits / total >= 0.6, hits / total
+
+
+def test_ivf_quantizer_trains_on_capped_sample(spark, tmp_path):
+    """Past IVF_TRAIN_CAP the quantizer must train on the deterministic
+    md5-bucket sample, not the corpus: the collect is bounded (~cap
+    rows) regardless of corpus size, and retraining after a cache clear
+    reproduces identical centroids (seedless hash sample + pinned Lloyd
+    rounds). Synthesizes a 3×cap corpus so the sampling branch engages
+    — the real fixtures sit under the cap and keep full-corpus
+    training."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_server_spark.operators.similarity import (
+        _IVF_CACHE,
+        IVF_K,
+        IVF_TRAIN_CAP,
+        _ivf_centroids,
+    )
+
+    n, dim = 3 * IVF_TRAIN_CAP, 4
+    # deterministic synthetic vectors (no RNG): low-discrepancy-ish grid
+    vals = [[float((i * (j + 3)) % 97) / 97.0 for j in range(dim)] for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(vals, pa.list_(pa.float32())),
+                "label": pa.array([i % 5 for i in range(n)], pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    d = str(tmp_path)
+    try:
+        first = _ivf_centroids(spark, d)
+        assert len(first) == IVF_K and all(len(c) == dim for c in first)
+        _IVF_CACHE.pop(d, None)
+        second = _ivf_centroids(spark, d)
+        assert first == second
+        # the sample actually engaged: replicate the bucket filter and
+        # check it is bounded near the cap (binomial slack, never 3×cap)
+        import duckdb
+
+        keep = max(1, (65536 * IVF_TRAIN_CAP) // n)
+        kept = duckdb.sql(
+            f"""
+            SELECT count(*) FROM '{tmp_path / "embeddings.parquet"}'
+            WHERE ('0x' || substring(md5(vec_id::VARCHAR), 1, 4))::BIGINT < {keep}
+            """
+        ).fetchone()[0]
+        assert 0 < kept <= int(IVF_TRAIN_CAP * 1.2)
+        assert kept < n // 2
+    finally:
+        _IVF_CACHE.pop(d, None)
