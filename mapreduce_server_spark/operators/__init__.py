@@ -31,6 +31,7 @@ from . import pipeline  # noqa: F401
 from . import quality  # noqa: F401
 from . import relational  # noqa: F401
 from . import scalars  # noqa: F401
+from . import scale_patterns  # noqa: F401
 from . import similarity  # noqa: F401
 from . import sorts_sets  # noqa: F401
 from . import sources_ops  # noqa: F401
