@@ -538,3 +538,97 @@ def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_canonical"
         ),
     )
+
+
+@query(
+    "rank_hits",
+    category="J.graph",
+    oracle="""
+WITH e AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+a1 AS (SELECT dst, sum(w)::DECIMAL(38,0) AS a FROM e GROUP BY 1),
+h1 AS (
+  SELECT e.src, sum((e.w * a1.a)::DECIMAL(38,0))::DECIMAL(38,0) AS h
+  FROM e JOIN a1 ON e.dst = a1.dst GROUP BY 1
+),
+a2 AS (
+  SELECT e.dst, sum((e.w * h1.h)::DECIMAL(38,0))::DECIMAL(38,0) AS a
+  FROM e JOIN h1 ON e.src = h1.src GROUP BY 1
+),
+h2 AS (
+  SELECT e.src, sum((e.w * a2.a)::DECIMAL(38,0))::DECIMAL(38,0) AS h
+  FROM e JOIN a2 ON e.dst = a2.dst GROUP BY 1
+),
+mx AS (
+  SELECT (SELECT max(a) FROM a2)::DOUBLE AS ma,
+         (SELECT max(h) FROM h2)::DOUBLE AS mh
+)
+SELECT n.node,
+       round(coalesce(a2.a, 0)::DOUBLE / mx.ma, 6) AS authority,
+       round(coalesce(h2.h, 0)::DOUBLE / mx.mh, 6) AS hub
+FROM nodes n
+LEFT JOIN a2 ON a2.dst = n.node
+LEFT JOIN h2 ON h2.src = n.node
+CROSS JOIN mx
+""",
+)
+def rank_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities over the nation trade graph — the
+    OTHER classic link-analysis fixed point next to graph_pagerank
+    (Kleinberg's mutual-reinforcement recursion: a ← Eᵀh, h ← Ea):
+    two full update rounds from h₀ = 1, kept EXACT INTEGER the whole
+    way. Unnormalized HITS iterates are integer-valued when seeded
+    with ones (every update is a weighted integer sum), so unlike
+    PageRank no decimal-scale ladder is needed — DECIMAL(38,0) holds
+    the growth (≤ Σw·(Σw)² per round, ~1e29 even at 100 TB edge
+    counts) and normalization happens ONCE at the end against the max
+    score (both engines divide identically-rounded doubles). Plan
+    shape: edges aggregate once (the only fact-table scan); each
+    update is a broadcast-size join + one partial-agg shuffle over
+    |V|² ≤ 625 rows."""
+    nations = Tables(spark, sf_dir).nation.select(
+        F.col("n_nationkey").alias("node")
+    )
+    e = trade_edges(spark, sf_dir).cache()
+    e.count()  # materialize: four updates reuse the edge aggregate
+    a1 = e.groupBy("dst").agg(F.sum("w").cast("decimal(38,0)").alias("a"))
+
+    def update(vec: DataFrame, in_key: str, out_key: str, col: str,
+               out: str) -> DataFrame:
+        return (
+            e.join(F.broadcast(vec), in_key)
+            .groupBy(out_key)
+            .agg(
+                F.sum((F.col("w") * F.col(col)).cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .alias(out)
+            )
+        )
+
+    h1 = update(a1, "dst", "src", "a", "h")
+    a2 = update(h1, "src", "dst", "h", "a")
+    h2 = update(a2, "dst", "src", "a", "h")
+    mx = a2.agg(F.max("a").cast("double").alias("ma")).crossJoin(
+        h2.agg(F.max("h").cast("double").alias("mh"))
+    )
+    return (
+        nations.join(a2, nations.node == a2.dst, "left")
+        .join(h2, nations.node == h2.src, "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "node",
+            F.round(
+                F.coalesce(F.col("a"), F.lit(0)).cast("double") / F.col("ma"), 6
+            ).alias("authority"),
+            F.round(
+                F.coalesce(F.col("h"), F.lit(0)).cast("double") / F.col("mh"), 6
+            ).alias("hub"),
+        )
+    )

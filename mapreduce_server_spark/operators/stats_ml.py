@@ -5654,3 +5654,357 @@ def stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_stat"),
     )
+
+
+@query(
+    "ts_ljungbox",
+    category="E.window",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+),
+grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         FROM bounds),
+c AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY 1),
+series AS (
+  SELECT row_number() OVER (ORDER BY g.h) AS t, coalesce(c.n, 0) AS x
+  FROM grid g LEFT JOIN c ON g.h = c.h
+),
+tot AS (SELECT count(*) AS nn, sum(x) AS s, sum(x * x) AS q FROM series),
+rho AS (
+  SELECT k.lag AS k,
+         round((tot.nn * tot.nn * sum(a.x * b.x)
+                - tot.nn * tot.s * (sum(a.x) + sum(b.x))
+                + (tot.nn - k.lag) * tot.s * tot.s)
+               / (tot.nn * tot.nn * tot.q - tot.nn * tot.s * tot.s)
+               * 1.0, 6) AS r
+  FROM series a
+  CROSS JOIN (SELECT unnest(range(1, 13)) AS lag) k
+  JOIN series b ON b.t = a.t + k.lag
+  CROSS JOIN tot
+  GROUP BY 1, tot.nn, tot.s, tot.q
+),
+terms AS (
+  SELECT k, r * r / (tot.nn - k) AS term FROM rho, tot
+),
+q AS (
+  SELECT list_reduce(list_prepend(0.0, list(term ORDER BY k)),
+                     (s, x) -> s + x) AS acc
+  FROM terms
+)
+SELECT tot.nn::BIGINT AS n, 12::BIGINT AS h,
+       round(tot.nn * (tot.nn + 2) * q.acc, 6) AS q_stat,
+       tot.nn * (tot.nn + 2) * q.acc > 21.026 AS reject_iid
+FROM q, tot
+""",
+)
+def ts_ljungbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the global hourly event-count
+    series — "is this series white noise?", the standard residual
+    diagnostic after any forecast fit (ts_backtest's models) and a
+    drift gate for event-rate telemetry: Q = n(n+2)·Σ_{k≤12} ρ_k²/(n−k)
+    against the χ²₁₂ 95% critical value (literal 21.026). Reuses
+    ts_acf_multi's machinery end-to-end: densified calendar grid
+    (~720 rows), lag self-join ON THE GRID not the events, every ρ_k
+    from the same ×N² integer moment identity rounded to 6 dp; the Σ
+    over k is a k-ordered left fold (stat_entropy pattern) so the
+    12-term double sum is fold-order-free; one heavy shuffle total
+    (the hourly partial agg). The verdict boolean compares identical
+    doubles on both engines — decision-in-doubles is safe because the
+    operands are bit-identical, the ARCHITECTURE §4 rule."""
+    ev = Tables(spark, sf_dir).events
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    c = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.orderBy("h")
+    series = (
+        grid.join(c, "h", "left")
+        .select("h", F.coalesce(F.col("n"), F.lit(0)).alias("x"))
+        .select(F.row_number().over(wt).alias("t"), "x")
+        .cache()  # feeds tot + 12-lag self-join (ReuseExchange trap)
+    )
+    tot = series.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    lags = spark.range(1, 13).select(F.col("id").alias("k"))
+    a, b = series.alias("a"), series.alias("b")
+    rho = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.t") == F.col("a.t") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("a.x") * F.col("b.x")).alias("ck"),
+            F.sum(F.col("a.x")).alias("sh"),
+            F.sum(F.col("b.x")).alias("st"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "nn",
+            F.round(
+                (
+                    F.col("nn") * F.col("nn") * F.col("ck")
+                    - F.col("nn") * F.col("s") * (F.col("sh") + F.col("st"))
+                    + (F.col("nn") - F.col("k")) * F.col("s") * F.col("s")
+                )
+                / (
+                    F.col("nn") * F.col("nn") * F.col("q")
+                    - F.col("nn") * F.col("s") * F.col("s")
+                )
+                * F.lit(1.0),
+                6,
+            ).alias("r"),
+        )
+    )
+    terms = rho.select(
+        "k",
+        "nn",
+        (F.col("r") * F.col("r") / (F.col("nn") - F.col("k"))).alias("term"),
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("k", "term"))),
+            lambda e: e.getField("term"),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    agg = terms.groupBy("nn").agg(fold.alias("acc"))
+    qexpr = F.col("nn") * (F.col("nn") + 2) * F.col("acc")
+    return agg.select(
+        F.col("nn").cast("long").alias("n"),
+        F.lit(12).cast("long").alias("h"),
+        F.round(qexpr, 6).alias("q_stat"),
+        (qexpr > 21.026).alias("reject_iid"),
+    )
+
+
+@query(
+    "stat_wilcoxon",
+    category="D.agg",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN value::DECIMAL(18,2) ELSE 0 END) AS sp,
+         sum(CASE WHEN event_type = 'view'
+                  THEN value::DECIMAL(18,2) ELSE 0 END) AS sv
+  FROM events GROUP BY 1
+),
+diff AS (
+  SELECT d, sp - sv AS dv, abs(sp - sv) AS av
+  FROM daily WHERE sp <> sv
+),
+ranked AS (
+  SELECT dv,
+         2 * rank() OVER (ORDER BY av)
+           + count(*) OVER (PARTITION BY av) - 1 AS r2
+  FROM diff
+),
+s AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN dv > 0 THEN r2 ELSE 0 END)::BIGINT AS w2p,
+         sum(CASE WHEN dv < 0 THEN r2 ELSE 0 END)::BIGINT AS w2m
+  FROM ranked
+)
+SELECT n::BIGINT AS n_days, w2p, w2m,
+       round((w2p - n * (n + 1) // 2)
+             / sqrt((n * (n + 1) * (2 * n + 1) / 6.0)), 6) AS z,
+       abs((w2p - n * (n + 1) // 2)
+           / sqrt((n * (n + 1) * (2 * n + 1) / 6.0))) > 1.96 AS significant
+FROM s
+""",
+)
+def stat_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test: does daily purchase revenue differ
+    systematically from daily view engagement value? The
+    nonparametric PAIRED test (the matched-samples member of the rank
+    family next to stat_mannwhitney's two-sample U): per calendar day,
+    d = Σpurchase − Σview in exact decimal cents; zero diffs drop per
+    the standard procedure; |d| is ranked with the doubled-midrank
+    trick (2·rank + tiecount − 1, integer-exact); W⁺/W⁻ are integer
+    sums over the sign of d, and the normal-approximation z keeps
+    every operand integer until one division by one sqrt — identical
+    doubles on both engines, 6-dp rounded, decision at the 1.96
+    two-sided literal. Scale: the heavy work is ONE daily partial-agg
+    shuffle; the rank window runs on the ~30-row daily aggregate."""
+    ev = Tables(spark, sf_dir).events
+    dval = F.col("value").cast("decimal(18,2)")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", dval).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )).alias("sp"),
+        F.sum(F.when(F.col("event_type") == "view", dval).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )).alias("sv"),
+    )
+    diff = daily.filter(F.col("sp") != F.col("sv")).select(
+        (F.col("sp") - F.col("sv")).alias("dv"),
+        F.abs(F.col("sp") - F.col("sv")).alias("av"),
+    )
+    wr = Window.orderBy("av")
+    wc = Window.partitionBy("av")
+    ranked = diff.select(
+        "dv",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wc) - 1).alias("r2"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("dv") > 0, F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("w2p"),
+        F.sum(F.when(F.col("dv") < 0, F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("w2m"),
+    )
+    n = F.col("n")
+    znum = F.col("w2p") - F.floor(n * (n + 1) / 2)
+    zden = F.sqrt(n * (n + 1) * (2 * n + 1) / F.lit(6.0))
+    return s.select(
+        n.cast("long").alias("n_days"),
+        "w2p",
+        "w2m",
+        F.round(znum / zden, 6).alias("z"),
+        (F.abs(znum / zden) > 1.96).alias("significant"),
+    )
+
+
+@query(
+    "ml_logreg_gd",
+    category="D.agg",
+    oracle="""
+WITH pts AS (
+  SELECT (n_chars * 0.001::DECIMAL(4,3))::DECIMAL(14,3) AS x,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+m1 AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(CASE WHEN y = 1 THEN x ELSE 0::DECIMAL(14,3) END) AS sxy
+  FROM pts
+),
+w1 AS (
+  SELECT n,
+         round(-0.1 * ((0.5::DECIMAL(2,1) * sx - sxy)::DOUBLE / n), 6)
+           ::DECIMAL(8,6) AS w,
+         round(-0.1 * ((0.5 * n - sy)::DOUBLE / n), 6)::DECIMAL(8,6) AS b
+  FROM m1
+),
+sig AS (
+  SELECT p.x, p.y,
+         round(1.0 / (1.0 + exp(-((w1.w * p.x + w1.b)::DOUBLE))), 6)
+           ::DECIMAL(7,6) AS s
+  FROM pts p CROSS JOIN w1
+),
+m2 AS (
+  SELECT sum(((s - y)::DECIMAL(8,6) * x)::DECIMAL(22,9)) AS gw,
+         sum((s - y)::DECIMAL(8,6)) AS gb
+  FROM sig
+)
+SELECT w1.n::BIGINT AS n,
+       round(w1.w::DOUBLE - 0.1 * (m2.gw::DOUBLE / w1.n), 6) AS w_final,
+       round(w1.b::DOUBLE - 0.1 * (m2.gb::DOUBLE / w1.n), 6) AS b_final,
+       w1.w::DOUBLE AS w_step1, w1.b::DOUBLE AS b_step1
+FROM w1, m2
+""",
+)
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression by TWO pinned full-batch gradient-descent
+    steps (predict ``lang = 'en'`` from document length, x = n_chars/
+    1000, lr = 0.1) — distributed training as moment algebra, the
+    pattern the ridge/ALS/GBDT ops use, extended to a NON-closed-form
+    model: each GD step is one scan producing exact decimal gradient
+    sums, and the only nonlinearity (the sigmoid, libm exp) is pinned
+    to DECIMAL(7,6) per row before it enters any sum, so the gradients
+    are exact decimal aggregates of pinned operands — fold-order-free
+    and SQL-replayable, the kmeans 6-dp hand-off rule applied to a
+    per-row activation. Step 1 needs no exp at all: w=b=0 makes every
+    σ exactly 0.5, so its gradient is pure decimal algebra. Weights
+    hand off between steps at 6 dp (broadcast one-row frame — never a
+    collect). At 100 TB each step stays one map-side-combined scan;
+    more steps = more scans, which is exactly how distributed
+    full-batch GD costs on a real cluster."""
+    d = Tables(spark, sf_dir).documents
+    pts = d.select(
+        (F.col("n_chars") * F.lit(0.001).cast("decimal(4,3)"))
+        .cast("decimal(14,3)")
+        .alias("x"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    ).cache()  # two scans by construction: one per GD step
+    m1 = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(
+            F.when(F.col("y") == 1, F.col("x")).otherwise(
+                F.lit(0).cast("decimal(14,3)")
+            )
+        ).alias("sxy"),
+    )
+    half = F.lit(0.5).cast("decimal(2,1)")
+    w1 = m1.select(
+        "n",
+        F.round(
+            F.lit(-0.1) * ((half * F.col("sx") - F.col("sxy")).cast("double") / F.col("n")),
+            6,
+        )
+        .cast("decimal(8,6)")
+        .alias("w"),
+        F.round(
+            F.lit(-0.1) * ((F.lit(0.5) * F.col("n") - F.col("sy")).cast("double") / F.col("n")),
+            6,
+        )
+        .cast("decimal(8,6)")
+        .alias("b"),
+    )
+    sig = pts.crossJoin(F.broadcast(w1)).select(
+        "x",
+        "y",
+        "n",
+        "w",
+        "b",
+        F.round(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(-((F.col("w") * F.col("x") + F.col("b")).cast("double")))
+            ),
+            6,
+        )
+        .cast("decimal(7,6)")
+        .alias("s"),
+    )
+    m2 = sig.groupBy("n", "w", "b").agg(
+        F.sum(
+            ((F.col("s") - F.col("y")).cast("decimal(8,6)") * F.col("x")).cast(
+                "decimal(22,9)"
+            )
+        ).alias("gw"),
+        F.sum((F.col("s") - F.col("y")).cast("decimal(8,6)")).alias("gb"),
+    )
+    return m2.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("w").cast("double") - F.lit(0.1) * (F.col("gw").cast("double") / F.col("n")),
+            6,
+        ).alias("w_final"),
+        F.round(
+            F.col("b").cast("double") - F.lit(0.1) * (F.col("gb").cast("double") / F.col("n")),
+            6,
+        ).alias("b_final"),
+        F.col("w").cast("double").alias("w_step1"),
+        F.col("b").cast("double").alias("b_step1"),
+    )
