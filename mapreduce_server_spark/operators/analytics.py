@@ -1288,3 +1288,154 @@ def rec_covisit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").cast("long").alias("rk"),
         )
     )
+
+
+@query(
+    "ts_holt_winters",
+    category="E.window",
+    oracle="""
+WITH RECURSIVE bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+),
+grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         FROM bounds),
+c AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY 1),
+series AS (
+  SELECT row_number() OVER (ORDER BY g.h) AS i, coalesce(c.n, 0)::DOUBLE AS x
+  FROM grid g LEFT JOIN c ON g.h = c.h
+),
+xs AS (SELECT list(x ORDER BY i) AS v, count(*) AS n FROM series),
+seed AS (
+  SELECT 24::BIGINT AS i,
+         list_sum(v[1:24]) / 24.0 AS l,
+         0.0::DOUBLE AS b,
+         list_transform(v[1:24], e -> e - list_sum(v[1:24]) / 24.0) AS seas
+  FROM xs
+),
+hw AS (
+  SELECT i, l, b, seas FROM seed
+  UNION ALL
+  SELECT s.i,
+         (s.x - h.seas[1]) * 0.5 + (h.l + h.b) * 0.5,
+         (((s.x - h.seas[1]) * 0.5 + (h.l + h.b) * 0.5) - h.l) * 0.5
+           + h.b * 0.5,
+         list_append(
+           h.seas[2:24],
+           (s.x - ((s.x - h.seas[1]) * 0.5 + (h.l + h.b) * 0.5)) * 0.5
+             + h.seas[1] * 0.5)
+  FROM hw h JOIN series s ON s.i = h.i + 1
+)
+SELECT xs.n::BIGINT AS n_hours, h.l AS level_last, h.b AS trend_last,
+       h.l + 1 * h.b + h.seas[1] AS forecast_1h,
+       h.l + 2 * h.b + h.seas[2] AS forecast_2h,
+       h.l + 3 * h.b + h.seas[3] AS forecast_3h
+FROM hw h, xs WHERE h.i = xs.n
+""",
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + trend + 24-hour SEASON vector,
+    α = β = γ = 0.5) on the densified global hourly event-count series
+    — ts_holt's seasonal upgrade and the third rung of the exponential
+    ladder (ewma → holt → holt-winters), forecasting the next three
+    hours with the daily cycle restored. The accumulator is now a
+    (l, b, seas[24]) struct whose season component is a ROLLING QUEUE:
+    each step consumes seas[1] (the value from exactly m hours ago) and
+    appends the refreshed seasonal — F.aggregate carries the array
+    through the fold; the oracle's recursive CTE carries a LIST through
+    the recursion (the multi-field list_reduce corruption trap rules
+    out any fold there, per ts_holt).
+
+    Float discipline: seeded with the first-day mean (one division of
+    an exact integer sum — identical doubles) and s_i = x_i − l₀;
+    halves make every multiply exact and every add appears in
+    textually identical association on both sides → bit-equal,
+    unrounded. Scale: one hourly partial-agg shuffle; the fold runs
+    once on the ~720-element calendar-bounded array (the ts_acf_multi
+    densify-then-compute rule — series length is calendar-bounded, not
+    data-bounded, at any SF)."""
+    ev = Tables(spark, sf_dir).events
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    c = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    series = grid.join(c, "h", "left").select(
+        "h", F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("x")
+    )
+    xs = F.transform(
+        F.sort_array(F.collect_list(F.struct("h", "x"))),
+        lambda e: e.getField("x"),
+    )
+    one = series.agg(xs.alias("v"), F.count(F.lit(1)).alias("n"))
+    first24 = F.slice(F.col("v"), 1, 24)
+    # seed mean written once via a named column (expression-inlining trap:
+    # a repeated l0 Column would re-fold the 24-sum per reference)
+    half = F.lit(0.5)
+    seeded = one.select(
+        "v",
+        "n",
+        (
+            F.aggregate(first24, F.lit(0.0), lambda s, e: s + e) / F.lit(24.0)
+        ).alias("l0"),
+    ).select(
+        "v",
+        "n",
+        F.struct(
+            F.col("l0").alias("l"),
+            F.lit(0.0).alias("b"),
+            F.transform(first24, lambda e: e - F.col("l0")).alias("seas"),
+        ).alias("st0"),
+    )
+
+    def step(s, x):
+        lnew = (x - F.element_at(s.getField("seas"), 1)) * half + (
+            s.getField("l") + s.getField("b")
+        ) * half
+        bnew = (lnew - s.getField("l")) * half + s.getField("b") * half
+        snew = (x - lnew) * half + F.element_at(s.getField("seas"), 1) * half
+        return F.struct(
+            lnew.alias("l"),
+            bnew.alias("b"),
+            F.concat(
+                F.slice(s.getField("seas"), 2, 23), F.array(snew)
+            ).alias("seas"),
+        )
+
+    folded = seeded.select(
+        "n",
+        F.aggregate(
+            F.slice(F.col("v"), 25, F.greatest(F.size("v") - 24, F.lit(0))),
+            F.col("st0"),
+            step,
+        ).alias("st"),
+    )
+    st = F.col("st")
+    return folded.select(
+        F.col("n").cast("long").alias("n_hours"),
+        st.getField("l").alias("level_last"),
+        st.getField("b").alias("trend_last"),
+        (
+            st.getField("l")
+            + 1 * st.getField("b")
+            + F.element_at(st.getField("seas"), 1)
+        ).alias("forecast_1h"),
+        (
+            st.getField("l")
+            + 2 * st.getField("b")
+            + F.element_at(st.getField("seas"), 2)
+        ).alias("forecast_2h"),
+        (
+            st.getField("l")
+            + 3 * st.getField("b")
+            + F.element_at(st.getField("seas"), 3)
+        ).alias("forecast_3h"),
+    )

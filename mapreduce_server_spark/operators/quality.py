@@ -548,3 +548,57 @@ def quality_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("i_min") < F.col("b_min")) | (F.col("i_max") > F.col("b_max"))
         ).alias("range_expanded"),
     )
+
+
+#: curation blocklist for quality_blocklist — stand-in for the bad-words
+#: / boilerplate lexicon a pretraining pipeline gates on. Drawn from the
+#: fixture vocabulary so the gate exercises real hits at any SF.
+BLOCKLIST = ("slow", "error", "crash")
+BLOCKLIST_MAX_HITS = 2  # docs with more hits than this are dropped
+
+
+@query(
+    "quality_blocklist",
+    category="L.quality",
+    oracle=f"""
+WITH hits AS (
+  SELECT d.doc_id, d.source,
+         (SELECT count(*) FROM unnest(string_split(d.text, ' ')) AS t(word)
+          WHERE word IN {BLOCKLIST}) AS n_hits
+  FROM documents d
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE n_hits > {BLOCKLIST_MAX_HITS}) AS n_dropped,
+       sum(n_hits)::BIGINT AS total_hits,
+       max(n_hits)::BIGINT AS max_hits
+FROM hits GROUP BY source
+""",
+)
+def quality_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist curation gate — the bad-words / boilerplate filter every
+    pretraining pipeline runs before tokenization: count per-document
+    hits against a (tiny, broadcastable) lexicon and drop documents over
+    the threshold, reporting per-source drop accounting so a corrupted
+    shard is visible as an n_dropped spike. The hit count is a pure
+    per-row expression (filter the token array against an inlined
+    literal lexicon — no explode, no shuffle; at 100 TB the lexicon
+    broadcasts as literals exactly like this and the scan stays
+    embarrassingly parallel); the only shuffle is the per-source
+    accounting agg. Real lexicons (kiloword scale) swap the literal for
+    a broadcast join against the exploded tokens — dedup_exact_hash's
+    shape — without changing the gate semantics."""
+    d = Tables(spark, sf_dir).documents
+    lex = F.array(*[F.lit(wd) for wd in BLOCKLIST])
+    n_hits = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: F.array_contains(lex, t))
+    ).cast("long")
+    h = d.select("doc_id", "source", n_hits.alias("n_hits"))
+    return h.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_hits") > BLOCKLIST_MAX_HITS, 1).otherwise(0)
+        ).alias("n_dropped"),
+        F.sum("n_hits").cast("long").alias("total_hits"),
+        F.max("n_hits").cast("long").alias("max_hits"),
+    )

@@ -912,3 +912,129 @@ def ml_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sil").cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_silhouette"),
     )
+
+
+def _mmr_oracle() -> str:
+    """Generated oracle for knn_mmr: the greedy selection unrolled into
+    one CTE per pick (k is a fixed literal, so unrolling is exact)."""
+    cos = (
+        f"round({DUCK_DOT.format(a='{a}', b='{b}')}"
+        f" / ({DUCK_NORM.format(a='{a}')} * {DUCK_NORM.format(a='{b}')}), 6)"
+    )
+    head = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT vec_id, embedding,
+         {cos.format(a='embedding', b='qv')} AS rel
+  FROM embeddings, q
+  WHERE vec_id <> {QUERY_VEC_ID}
+  ORDER BY rel DESC, vec_id LIMIT {MMR_CAND}
+),
+pairs AS (
+  SELECT a.vec_id AS ai, b.vec_id AS bi,
+         {cos.format(a='a.embedding', b='b.embedding')} AS sim
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+),
+s1 AS (
+  SELECT vec_id, rel, 1::BIGINT AS pick, rel AS mmr
+  FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+)"""
+    parts = [head]
+    for i in range(2, MMR_K + 1):
+        sel = " UNION ALL ".join(f"SELECT vec_id FROM s{j}" for j in range(1, i))
+        parts.append(
+            f""",
+s{i} AS (
+  SELECT c.vec_id, c.rel, {i}::BIGINT AS pick,
+         round({MMR_LAMBDA} * c.rel - {1 - MMR_LAMBDA} * max(p.sim), 6) AS mmr
+  FROM cand c
+  JOIN pairs p ON p.ai = c.vec_id AND p.bi IN ({sel})
+  WHERE c.vec_id NOT IN ({sel})
+  GROUP BY c.vec_id, c.rel
+  ORDER BY mmr DESC, c.vec_id LIMIT 1
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT vec_id, rel, pick, mmr FROM s{j}" for j in range(1, MMR_K + 1)
+    )
+    parts.append(f"\nSELECT pick, vec_id, rel, mmr FROM ({union})")
+    return "".join(parts)
+
+
+MMR_K = 5  # picks returned
+MMR_CAND = 10  # relevance candidates entering the greedy stage
+MMR_LAMBDA = 0.5  # relevance vs diversity trade-off
+
+
+@query("knn_mmr", category="J.sim", oracle=_mmr_oracle())
+def knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance — DIVERSIFIED top-k retrieval, the
+    standard RAG re-rank step after any ANN ladder rung: from the
+    top-10 cosine candidates, greedily pick 5 maximizing
+    λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) (λ = 0.5), so near-duplicate
+    passages can't crowd the context window. The greedy recursion has
+    fixed depth (k is a literal), so it UNROLLS into 4 declarative
+    selection rounds over broadcast-size frames — candidate scoring
+    (the distributed part) runs once; everything after operates on ≤10
+    rows and at 100 TB is unchanged while candidate generation flips
+    to knn_lsh/knn_ivf. Determinism is the argmax recipe: rel and all
+    pairwise sims pin to 6 dp, every argmax orders by (rounded score
+    DESC, vec_id). Oracle: the same unrolling, one CTE per pick,
+    generated by ``_mmr_oracle`` so both engines share the k/λ
+    literals by construction."""
+    e = Tables(spark, sf_dir).embeddings
+    qv = _query_vector(spark, sf_dir)
+    q = F.lit(qv).cast("array<float>")
+    rel = F.round(cosine(F.col("embedding"), q), 6)
+    cand = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "embedding", rel.alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_CAND)
+        .cache()  # feeds pairs + every selection round
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ai"),
+            F.col("b.vec_id").alias("bi"),
+            F.round(
+                cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("sim"),
+        )
+        .cache()
+    )
+    selected = (
+        cand.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            "vec_id", "rel", F.lit(1).cast("long").alias("pick"),
+            F.col("rel").alias("mmr"),
+        )
+    )
+    for i in range(2, MMR_K + 1):
+        sel_ids = selected.select(F.col("vec_id").alias("sid"))
+        maxsim = (
+            pairs.join(F.broadcast(sel_ids), pairs.bi == F.col("sid"))
+            .groupBy("ai")
+            .agg(F.max("sim").alias("ms"))
+        )
+        pick = (
+            cand.join(selected.select("vec_id"), "vec_id", "left_anti")
+            .join(maxsim, cand.vec_id == maxsim.ai)
+            .select(
+                "vec_id",
+                "rel",
+                F.lit(i).cast("long").alias("pick"),
+                F.round(
+                    F.lit(MMR_LAMBDA) * F.col("rel")
+                    - F.lit(1 - MMR_LAMBDA) * F.col("ms"),
+                    6,
+                ).alias("mmr"),
+            )
+            .orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+        )
+        selected = selected.unionByName(pick)
+    return selected.select("pick", "vec_id", "rel", "mmr")

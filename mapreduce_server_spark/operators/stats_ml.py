@@ -6008,3 +6008,82 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").cast("double").alias("w_step1"),
         F.col("b").cast("double").alias("b_step1"),
     )
+
+
+@query(
+    "stat_friedman",
+    category="D.agg",
+    oracle="""
+WITH cell AS (
+  SELECT date_trunc('day', ts) AS d, event_type,
+         sum(value::DECIMAL(18,2)) AS s
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT d, event_type,
+         2 * rank() OVER (PARTITION BY d ORDER BY s)
+           + count(*) OVER (PARTITION BY d, s) - 1 AS r2
+  FROM cell
+),
+rsum AS (
+  SELECT event_type, sum(r2)::BIGINT AS r2sum, count(*)::BIGINT AS n
+  FROM ranked GROUP BY 1
+),
+tot AS (SELECT max(n) AS n, count(*) AS k FROM rsum),
+agg AS (
+  SELECT tot.n, tot.k,
+         sum((r2sum - tot.n * (tot.k + 1))
+             * (r2sum - tot.n * (tot.k + 1))) AS ss
+  FROM rsum, tot GROUP BY tot.n, tot.k
+)
+SELECT n::BIGINT AS n_blocks, k::BIGINT AS k,
+       round(3.0 * ss / (n * k * (k + 1)), 6) AS q_stat,
+       3.0 * ss / (n * k * (k + 1)) > 9.488 AS reject_equal
+FROM agg
+""",
+)
+def stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test — the k-sample repeated-measures rank test that
+    completes the nonparametric family (mannwhitney: two independent
+    samples; wilcoxon: two paired; friedman: k paired): do the five
+    event types draw systematically different daily value, with each
+    DAY acting as its own matched block (so day-level traffic shifts
+    cancel instead of confounding, the reason to prefer this over
+    one-way ANOVA on drifting telemetry)? Within each day the k=5
+    exact-decimal daily sums are ranked with doubled midranks
+    (integer), per-treatment rank sums R2_j are integer aggregates,
+    and with R_j = R2_j/2 the classic statistic reduces to
+    Q = 3·Σ(R2_j − n(k+1))² / (n·k·(k+1)) — integer numerator and
+    denominator, ONE double division, 6-dp round, decision at the
+    χ²₄ 95% literal. One events shuffle (the daily cell agg); the
+    rank windows run on the 150-row cell table."""
+    ev = Tables(spark, sf_dir).events
+    cell = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"), "event_type"
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
+    wr = Window.partitionBy("d").orderBy("s")
+    wc = Window.partitionBy("d", "s")
+    ranked = cell.select(
+        "event_type",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wc) - 1).alias("r2"),
+    )
+    rsum = ranked.groupBy("event_type").agg(
+        F.sum("r2").cast("long").alias("r2sum"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    wall = Window.partitionBy()
+    dev = F.col("r2sum") - F.max("n").over(wall) * (
+        F.count(F.lit(1)).over(wall) + 1
+    )
+    agg = rsum.select(
+        F.max("n").over(wall).alias("n"),
+        F.count(F.lit(1)).over(wall).alias("k"),
+        dev.alias("dev"),
+    ).groupBy("n", "k").agg(F.sum(F.col("dev") * F.col("dev")).alias("ss"))
+    q = F.lit(3.0) * F.col("ss") / (F.col("n") * F.col("k") * (F.col("k") + 1))
+    return agg.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.col("k").cast("long").alias("k"),
+        F.round(q, 6).alias("q_stat"),
+        (q > 9.488).alias("reject_equal"),
+    )
