@@ -1337,9 +1337,13 @@ FROM hw h, xs WHERE h.i = xs.n
 def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt-Winters (level + trend + 24-hour SEASON vector,
     α = β = γ = 0.5) on the densified global hourly event-count series
-    — ts_holt's seasonal upgrade and the third rung of the exponential
-    ladder (ewma → holt → holt-winters), forecasting the next three
-    hours with the daily cycle restored. The accumulator is now a
+    — the third rung of the exponential ladder (ewma → holt →
+    holt-winters), forecasting the next three hours with the daily
+    cycle restored. Distinct from ``ts_holt_seasonal``, which
+    deseasonalizes per-user series against STATIC hour-of-day means
+    before a plain Holt fit: here the season vector is model STATE,
+    updated every step (γ-smoothing), so a drifting daily profile is
+    tracked instead of frozen. The accumulator is now a
     (l, b, seas[24]) struct whose season component is a ROLLING QUEUE:
     each step consumes seas[1] (the value from exactly m hours ago) and
     appends the refreshed seasonal — F.aggregate carries the array

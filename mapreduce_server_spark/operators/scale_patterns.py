@@ -1,13 +1,18 @@
-"""Scale-technique operators: the physical patterns a 100 TB deployment
-reaches for — skew salting, bloom pre-filtering, and deterministic
-frequency/membership sketches — each expressed so the RESULT stays
-exact-oracle-checkable even though the technique exists purely for the
-physical plan (SURVEY §2.C/§2.D scale notes; ARCHITECTURE §13).
+"""Explicit bloom-filter operators: the hand-rolled twins of Spark's
+runtime bloom machinery, expressed so the RESULT stays exact-oracle-
+checkable even though the technique exists purely for the physical plan
+(SURVEY §2.C/§2.D scale notes; ARCHITECTURE §13). ``join_bloom_semi``
+builds the pre-filter by hand where ``join_bloom_runtime``
+(relational.py) lets Catalyst's InjectRuntimeFilter compile it — the
+pair documents both rungs, exactly like the udf_cogroup_asof/join_asof
+cost ladder. ``sketch_bloom`` exposes the filter itself as data (the
+membership confusion matrix), next to ``sketch_countmin``/
+``sketch_kmv``'s frequency/cardinality sketches in aggregates.py.
 
 Determinism discipline: every hash is md5-derived (the dedup_minhash
 recipe — ``conv(substring(md5(..), 1, 8), 16, 10)`` ≡ DuckDB
-``('0x' || substr(md5(..), 1, 8))::BIGINT``), so sketch contents and
-salt assignments replay bit-for-bit in SQL; no RNG anywhere.
+``('0x' || substr(md5(..), 1, 8))::BIGINT``), so bloom contents replay
+bit-for-bit in SQL; no RNG anywhere.
 """
 
 from __future__ import annotations
@@ -18,17 +23,7 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..sources.loader import Tables
 
-#: salt fan-out for the skewed-join demo (each hot key spreads over 16
-#: reducers; at 100 TB size this to the observed per-key row count /
-#: target partition size)
-SALT_N = 16
-
-#: count-min sketch geometry: 4 independent hash rows × 256 buckets.
-#: Error bound: overestimate ≤ 2·n/w with prob ≥ 1 − (1/2)^d.
-CMS_D = 4
-CMS_W = 256
-
-#: bloom geometry for the membership demo: 2048 bits, 3 hashes.
+#: bloom geometry: 2048 bits, 3 hashes (both operators).
 BLOOM_M = 2048
 BLOOM_K = 3
 
@@ -46,62 +41,6 @@ def _md5_int_sql(prefix: str, expr: str) -> str:
 
 
 @query(
-    "join_skew_salted",
-    category="C.join",
-    oracle="""
-SELECT s.s_nationkey, count(*) AS n_items,
-       sum(l.l_extendedprice::DECIMAL(18,2))::DOUBLE AS revenue
-FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-GROUP BY 1
-""",
-)
-def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sided SALTED join — the hand-rolled skew mitigation when one
-    join key is hot enough to stall a sort-merge reducer (agg_salted's
-    sibling for joins): the fact side gets ``salt = h(row id) % 16``,
-    the dim side is replicated 16× (one copy per salt via a literal
-    explode), and the join key becomes (key, salt) — each hot key's
-    rows now land on 16 reducers instead of 1. The dim replication
-    costs 16·|dim| rows, which is why AQE's runtime skew-join split
-    (``spark.sql.adaptive.skewJoin``) is the first resort and this the
-    explicit fallback for aggregation-adjacent cases it can't see.
-    The merge-join hint keeps Spark from broadcasting the small fixture
-    dim — the whole point is demonstrating the shuffle-join shape.
-    Results are identical to the plain join (the oracle IS the plain
-    join): salting only re-buckets rows, decimal partials merge
-    exactly."""
-    t = Tables(spark, sf_dir)
-    li = t.lineitem.select(
-        "l_suppkey",
-        "l_extendedprice",
-        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_N)).alias(
-            "salt"
-        ),
-    )
-    dim = (
-        t.supplier.select("s_suppkey", "s_nationkey")
-        .withColumn(
-            "salt",
-            F.explode(F.array(*[F.lit(i) for i in range(SALT_N)])),
-        )
-        .hint("merge")
-    )
-    return (
-        li.join(
-            dim,
-            (li.l_suppkey == dim.s_suppkey) & (li.salt == dim.salt),
-        )
-        .groupBy("s_nationkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("revenue"),
-        )
-    )
-
-
-@query(
     "join_bloom_semi",
     category="C.join",
     oracle="""
@@ -116,9 +55,13 @@ GROUP BY 1
 """,
 )
 def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-prefiltered semi-join — the runtime-filter pattern Spark's
-    own ``InjectRuntimeFilter`` applies under AQE, built explicitly so
-    the mechanics are visible: (1) hash the selective dim key set into
+    """Bloom-prefiltered semi-join, built BY HAND — the explicit twin of
+    ``join_bloom_runtime`` (relational.py), which lets Catalyst's
+    ``InjectRuntimeFilter`` compile the same pattern; spelled out here
+    so the mechanics are visible and checkable piecewise (and because
+    the hand-rolled form works on engines/paths the injector won't
+    touch, e.g. pre-filtering before a Python-side stage):
+    (1) hash the selective dim key set into
     an m=2048-bit / k=3 bloom (md5-derived positions, aggregated to ONE
     sorted set-bit array row), (2) broadcast it and pre-filter the fact
     scan with 3 ``array_contains`` probes — false positives pass, true
@@ -162,127 +105,6 @@ def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("total"),
-    )
-
-
-def _cms_bucket_sql(d: int) -> str:
-    return f"{_md5_int_sql(f'cms{d}:', 'user_id')} % {CMS_W}"
-
-
-@query(
-    "sketch_cms",
-    category="D.agg",
-    oracle=f"""
-WITH cells AS (
-  SELECT d.d,
-         ('0x' || substr(md5('cms' || d.d || ':' || user_id::VARCHAR), 1, 8))::BIGINT
-           % {CMS_W} AS bucket,
-         count(*) AS cnt
-  FROM events, (SELECT unnest(generate_series(0, {CMS_D - 1})) AS d) d
-  GROUP BY 1, 2
-),
-q AS (SELECT DISTINCT user_id FROM events WHERE user_id % 100 = 0),
-est AS (
-  SELECT q.user_id,
-         min(c.cnt) AS est
-  FROM q, (SELECT unnest(generate_series(0, {CMS_D - 1})) AS d) d
-  JOIN cells c
-    ON c.d = d.d
-   AND c.bucket = ('0x' || substr(md5('cms' || d.d || ':' || q.user_id::VARCHAR), 1, 8))::BIGINT
-                  % {CMS_W}
-  GROUP BY 1
-),
-truth AS (
-  SELECT user_id, count(*) AS true_n FROM events
-  WHERE user_id % 100 = 0 GROUP BY 1
-)
-SELECT e.user_id, e.est::BIGINT AS est, t.true_n::BIGINT AS true_n,
-       (e.est - t.true_n)::BIGINT AS overcount
-FROM est e JOIN truth t ON e.user_id = t.user_id
-""",
-)
-def sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch, the mergeable frequency estimator: d=4 md5 hash
-    rows × w=256 counters over event user_ids — the fixed-size answer
-    to "how often did key X occur" when the key space is too large for
-    an exact per-key count. One pass builds all d·w = 1024 cells as a
-    single (d, bucket) group-by (each input row contributes to d
-    cells via a literal posexplode — map-side combined, so the shuffle
-    carries ≤ 1024 rows per task regardless of input size); estimates
-    are min-over-rows, queried here for the deterministic probe set
-    ``user_id % 100 = 0`` next to their true counts, making the
-    CMS guarantee (est ≥ truth, est ≤ truth + 2n/w w.h.p.) visible in
-    the output. Everything is md5-derived and integer — the sketch
-    CONTENT is oracle-exact, not just the query semantics."""
-    ev = Tables(spark, sf_dir).events
-    ds = F.array(*[F.lit(i) for i in range(CMS_D)])
-    cells = (
-        ev.select(F.explode(ds).alias("d"), "user_id")
-        .groupBy(
-            "d",
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit("cms"),
-                                F.col("d").cast("string"),
-                                F.lit(":"),
-                                F.col("user_id").cast("string"),
-                            ).cast("binary")
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % CMS_W
-            ).alias("bucket"),
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    probes = (
-        ev.filter(F.col("user_id") % 100 == 0)
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("true_n"))
-    )
-    probe_cells = probes.select(
-        "user_id", "true_n", F.explode(ds).alias("d")
-    ).select(
-        "user_id",
-        "true_n",
-        "d",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("cms"),
-                            F.col("d").cast("string"),
-                            F.lit(":"),
-                            F.col("user_id").cast("string"),
-                        ).cast("binary")
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % CMS_W
-        ).alias("bucket"),
-    )
-    est = (
-        probe_cells.join(F.broadcast(cells), ["d", "bucket"])
-        .groupBy("user_id", "true_n")
-        .agg(F.min("cnt").alias("est"))
-    )
-    return est.select(
-        "user_id",
-        F.col("est").cast("long").alias("est"),
-        F.col("true_n").cast("long").alias("true_n"),
-        (F.col("est") - F.col("true_n")).cast("long").alias("overcount"),
     )
 
 

@@ -5883,134 +5883,6 @@ def stat_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "ml_logreg_gd",
-    category="D.agg",
-    oracle="""
-WITH pts AS (
-  SELECT (n_chars * 0.001::DECIMAL(4,3))::DECIMAL(14,3) AS x,
-         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-  FROM documents
-),
-m1 AS (
-  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-         sum(CASE WHEN y = 1 THEN x ELSE 0::DECIMAL(14,3) END) AS sxy
-  FROM pts
-),
-w1 AS (
-  SELECT n,
-         round(-0.1 * ((0.5::DECIMAL(2,1) * sx - sxy)::DOUBLE / n), 6)
-           ::DECIMAL(8,6) AS w,
-         round(-0.1 * ((0.5 * n - sy)::DOUBLE / n), 6)::DECIMAL(8,6) AS b
-  FROM m1
-),
-sig AS (
-  SELECT p.x, p.y,
-         round(1.0 / (1.0 + exp(-((w1.w * p.x + w1.b)::DOUBLE))), 6)
-           ::DECIMAL(7,6) AS s
-  FROM pts p CROSS JOIN w1
-),
-m2 AS (
-  SELECT sum(((s - y)::DECIMAL(8,6) * x)::DECIMAL(22,9)) AS gw,
-         sum((s - y)::DECIMAL(8,6)) AS gb
-  FROM sig
-)
-SELECT w1.n::BIGINT AS n,
-       round(w1.w::DOUBLE - 0.1 * (m2.gw::DOUBLE / w1.n), 6) AS w_final,
-       round(w1.b::DOUBLE - 0.1 * (m2.gb::DOUBLE / w1.n), 6) AS b_final,
-       w1.w::DOUBLE AS w_step1, w1.b::DOUBLE AS b_step1
-FROM w1, m2
-""",
-)
-def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Logistic regression by TWO pinned full-batch gradient-descent
-    steps (predict ``lang = 'en'`` from document length, x = n_chars/
-    1000, lr = 0.1) — distributed training as moment algebra, the
-    pattern the ridge/ALS/GBDT ops use, extended to a NON-closed-form
-    model: each GD step is one scan producing exact decimal gradient
-    sums, and the only nonlinearity (the sigmoid, libm exp) is pinned
-    to DECIMAL(7,6) per row before it enters any sum, so the gradients
-    are exact decimal aggregates of pinned operands — fold-order-free
-    and SQL-replayable, the kmeans 6-dp hand-off rule applied to a
-    per-row activation. Step 1 needs no exp at all: w=b=0 makes every
-    σ exactly 0.5, so its gradient is pure decimal algebra. Weights
-    hand off between steps at 6 dp (broadcast one-row frame — never a
-    collect). At 100 TB each step stays one map-side-combined scan;
-    more steps = more scans, which is exactly how distributed
-    full-batch GD costs on a real cluster."""
-    d = Tables(spark, sf_dir).documents
-    pts = d.select(
-        (F.col("n_chars") * F.lit(0.001).cast("decimal(4,3)"))
-        .cast("decimal(14,3)")
-        .alias("x"),
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
-    ).cache()  # two scans by construction: one per GD step
-    m1 = pts.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(
-            F.when(F.col("y") == 1, F.col("x")).otherwise(
-                F.lit(0).cast("decimal(14,3)")
-            )
-        ).alias("sxy"),
-    )
-    half = F.lit(0.5).cast("decimal(2,1)")
-    w1 = m1.select(
-        "n",
-        F.round(
-            F.lit(-0.1) * ((half * F.col("sx") - F.col("sxy")).cast("double") / F.col("n")),
-            6,
-        )
-        .cast("decimal(8,6)")
-        .alias("w"),
-        F.round(
-            F.lit(-0.1) * ((F.lit(0.5) * F.col("n") - F.col("sy")).cast("double") / F.col("n")),
-            6,
-        )
-        .cast("decimal(8,6)")
-        .alias("b"),
-    )
-    sig = pts.crossJoin(F.broadcast(w1)).select(
-        "x",
-        "y",
-        "n",
-        "w",
-        "b",
-        F.round(
-            F.lit(1.0)
-            / (
-                F.lit(1.0)
-                + F.exp(-((F.col("w") * F.col("x") + F.col("b")).cast("double")))
-            ),
-            6,
-        )
-        .cast("decimal(7,6)")
-        .alias("s"),
-    )
-    m2 = sig.groupBy("n", "w", "b").agg(
-        F.sum(
-            ((F.col("s") - F.col("y")).cast("decimal(8,6)") * F.col("x")).cast(
-                "decimal(22,9)"
-            )
-        ).alias("gw"),
-        F.sum((F.col("s") - F.col("y")).cast("decimal(8,6)")).alias("gb"),
-    )
-    return m2.select(
-        F.col("n").cast("long").alias("n"),
-        F.round(
-            F.col("w").cast("double") - F.lit(0.1) * (F.col("gw").cast("double") / F.col("n")),
-            6,
-        ).alias("w_final"),
-        F.round(
-            F.col("b").cast("double") - F.lit(0.1) * (F.col("gb").cast("double") / F.col("n")),
-            6,
-        ).alias("b_final"),
-        F.col("w").cast("double").alias("w_step1"),
-        F.col("b").cast("double").alias("b_step1"),
-    )
-
-
-@query(
     "stat_friedman",
     category="D.agg",
     oracle="""
@@ -6086,4 +5958,71 @@ def stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("long").alias("k"),
         F.round(q, 6).alias("q_stat"),
         (q > 9.488).alias("reject_equal"),
+    )
+
+
+@query(
+    "ts_kalman",
+    category="E.window",
+    oracle="""
+WITH RECURSIVE series AS (
+  SELECT user_id, value::DOUBLE AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+  FROM events
+),
+kf AS (
+  SELECT user_id, 1::BIGINT AS i, x AS m, 1.0::DOUBLE AS p
+  FROM series WHERE i = 1
+  UNION ALL
+  SELECT s.user_id, s.i,
+         k.m + (k.p + 1.0) / (k.p + 1.0 + 4.0) * (s.x - k.m),
+         (1.0 - (k.p + 1.0) / (k.p + 1.0 + 4.0)) * (k.p + 1.0)
+  FROM kf k JOIN series s ON s.user_id = k.user_id AND s.i = k.i + 1
+),
+last AS (SELECT user_id, max(i) AS n FROM kf GROUP BY 1)
+SELECT k.user_id, last.n::BIGINT AS n_events,
+       k.m AS level_filtered, k.p AS p_last
+FROM kf k JOIN last ON k.user_id = last.user_id AND k.i = last.n
+""",
+)
+def ts_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter (local-level model, process noise q = 1,
+    measurement noise r = 4) over each user's value series — the
+    optimal-filtering sibling of ts_ewma whose smoothing weight ADAPTS:
+    the gain K_t = (p+q)/(p+q+r) starts high (uncertain prior) and
+    settles to the steady state, unlike the fixed α ladder. Per step:
+    predict p⁻ = p + q; gain K = p⁻/(p⁻+r); update m += K·(x−m),
+    p = (1−K)·p⁻. State is an (m, p) struct fold over the
+    (ts, event_id)-ordered list (the ts_holt machinery verbatim);
+    bit-exactness needs no rounding because both engines run the
+    textually identical op sequence — including the division, whose
+    operands are identical doubles (ARCHITECTURE §4). Oracle: recursive
+    CTE (multi-field list_reduce corruption trap). One user_id shuffle;
+    streaming form carries (m, p) in applyInPandasWithState."""
+    ev = Tables(spark, sf_dir).events
+    vals = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda e: e.getField("value").cast("double"),
+    )
+    seed = F.struct(
+        F.element_at(vals, 1).alias("m"), F.lit(1.0).alias("p")
+    )
+
+    def step(s, x):
+        pm = s.getField("p") + F.lit(1.0)
+        gain = pm / (pm + F.lit(4.0))
+        return F.struct(
+            (s.getField("m") + gain * (x - s.getField("m"))).alias("m"),
+            ((F.lit(1.0) - gain) * pm).alias("p"),
+        )
+
+    st = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        seed,
+        step,
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        st.getField("m").alias("level_filtered"),
+        st.getField("p").alias("p_last"),
     )

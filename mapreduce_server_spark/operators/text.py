@@ -1109,3 +1109,86 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_text"
         ),
     )
+
+
+@query(
+    "text_substring_dup",
+    category="J.text",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         md5(array_to_string(t[g.i:g.i+7], ' ')) AS h
+  FROM toks, (SELECT unnest(generate_series(1, 512)) AS i) g
+  WHERE g.i <= len(t) - 7
+),
+cnt AS (SELECT h, count(*) AS c FROM grams GROUP BY 1),
+flagged AS (
+  SELECT g.source, g.h, cnt.c >= 2 AS dup
+  FROM grams g JOIN cnt ON g.h = cnt.h
+),
+docs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+SELECT d.source, d.n_docs,
+       count(*) AS total_windows,
+       count(*) FILTER (WHERE dup) AS dup_windows,
+       round(count(*) FILTER (WHERE dup) * 1.0 / count(*), 6) AS dup_ratio
+FROM flagged f JOIN docs d ON f.source = d.source
+GROUP BY d.source, d.n_docs
+""",
+)
+def text_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-substring duplication audit — the Lee et al. 2022
+    "Deduplicating Training Data" measurement the minhash/simhash
+    ladder can't give: slide an 8-token window over every document,
+    hash each window (md5 of the space-joined tokens — engine-portable,
+    collision-negligible at fixture scale), and count windows whose
+    exact text occurs ≥2 times ANYWHERE in the corpus, reported as a
+    per-source duplication ratio (the signal that a shard is
+    boilerplate-heavy and needs substring-level dedup before
+    training). Plan: windows materialize as ONE per-row hash array
+    (transform over sequence — no per-window row explosion until the
+    single explode), the occurrence count is one hash-keyed partial-agg
+    shuffle, and the join back is hash-co-partitioned with it; at
+    100 TB this is the canonical shape of suffix-style dedup after
+    shingling. Short docs (<8 tokens) contribute zero windows but
+    still count in n_docs."""
+    d = Tables(spark, sf_dir).documents
+    t = F.split(F.col("text"), " ")
+    gram_hashes = F.when(
+        F.size(t) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 7),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ", F.slice(t, i.cast("int"), 8)
+                ).cast("binary")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select(
+        "source", F.explode(gram_hashes).alias("h")
+    ).cache()  # feeds the count agg AND the join back
+    cnt = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    flagged = grams.join(cnt, "h").select(
+        "source", (F.col("c") >= 2).alias("dup")
+    )
+    docs = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_windows"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("dup_windows"),
+        )
+        .join(F.broadcast(docs), "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_windows",
+            "dup_windows",
+            F.round(
+                F.col("dup_windows") * F.lit(1.0) / F.col("total_windows"), 6
+            ).alias("dup_ratio"),
+        )
+    )

@@ -1,5 +1,5 @@
 """Independent replays for round-7 batch 2 (ts_ljungbox,
-stat_wilcoxon, ml_logreg_gd, rank_hits) — pure numpy / pure Python from
+stat_wilcoxon, rank_hits) — pure numpy / pure Python from
 the raw parquet, NOT the engines' shared algebra (the ts_cross_corr
 lesson), mirroring each operator's pinned roundings."""
 
@@ -80,30 +80,6 @@ def test_wilcoxon_matches_pure_python(spark):
         2 * (sum(1 for v in av if v < a) + 1) + sum(1 for v in av if v == a) - 1
         for a in (abs(d) for d in diffs)
     )
-
-
-def test_logreg_gd_matches_numpy(spark):
-    rows = duckdb.sql(
-        f"SELECT n_chars, lang = 'en' FROM '{SF001}/documents.parquet'"
-    ).fetchall()
-    x = np.array([round(r[0] * 0.001, 3) for r in rows])
-    y = np.array([1.0 if r[1] else 0.0 for r in rows])
-    n = len(x)
-    lr = 0.1
-    # step 1: sigma = 0.5 exactly at w = b = 0
-    w = round(-lr * ((0.5 - y) * x).sum() / n, 6)
-    b = round(-lr * (0.5 - y).sum() / n, 6)
-    w1, b1 = w, b
-    # step 2: sigma pinned to 6 dp before the gradient sums
-    s = np.round(1.0 / (1.0 + np.exp(-(w * x + b))), 6)
-    w2 = round(w - lr * ((s - y) * x).sum() / n, 6)
-    b2 = round(b - lr * (s - y).sum() / n, 6)
-    row = REGISTRY["ml_logreg_gd"].fn(spark, SF001).collect()[0]
-    assert row["n"] == n
-    assert abs(row["w_step1"] - w1) < 1e-9
-    assert abs(row["b_step1"] - b1) < 1e-9
-    assert abs(row["w_final"] - w2) < 2e-6
-    assert abs(row["b_final"] - b2) < 2e-6
 
 
 def test_hits_matches_numpy(spark):

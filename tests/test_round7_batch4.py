@@ -1,0 +1,79 @@
+"""Independent replays for round-7 batch 4 (text_substring_dup,
+ts_kalman) — pure Python/numpy from the raw parquet."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import duckdb
+
+from mapreduce_server_spark.registry import REGISTRY
+
+from .conftest import SF001
+
+
+def test_substring_dup_matches_pure_python(spark):
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{SF001}/documents.parquet'"
+    ).fetchall()
+    grams: list[tuple[str, str]] = []
+    n_docs: Counter = Counter()
+    for src, text in docs:
+        n_docs[src] += 1
+        toks = text.split(" ")
+        for i in range(len(toks) - 7):
+            grams.append(
+                (src, hashlib.md5(" ".join(toks[i : i + 8]).encode()).hexdigest())
+            )
+    counts = Counter(h for _, h in grams)
+    per_src: dict[str, list[int]] = {}
+    for src, h in grams:
+        a = per_src.setdefault(src, [0, 0])
+        a[0] += 1
+        a[1] += 1 if counts[h] >= 2 else 0
+    got = {
+        r["source"]: r
+        for r in REGISTRY["text_substring_dup"].fn(spark, SF001).collect()
+    }
+    assert set(got) == set(per_src)
+    for src, (tot, dup) in per_src.items():
+        r = got[src]
+        assert r["n_docs"] == n_docs[src]
+        assert r["total_windows"] == tot
+        assert r["dup_windows"] == dup
+        assert abs(r["dup_ratio"] - round(dup / tot, 6)) < 1e-6
+    # the tiny shared vocabulary makes 8-gram collisions real: non-zero
+    # duplication must be detected somewhere
+    assert any(a[1] > 0 for a in per_src.values())
+
+
+def test_kalman_matches_pure_python(spark):
+    rows = duckdb.sql(
+        f"""
+        SELECT user_id, value FROM '{SF001}/events.parquet'
+        ORDER BY user_id, ts, event_id
+        """
+    ).fetchall()
+    series: dict[int, list[float]] = {}
+    for u, v in rows:
+        series.setdefault(u, []).append(float(v))
+    got = {r["user_id"]: r for r in REGISTRY["ts_kalman"].fn(spark, SF001).collect()}
+    assert set(got) == set(series)
+    q, r_noise = 1.0, 4.0
+    for u, xs in series.items():
+        m, p = xs[0], 1.0
+        for x in xs[1:]:
+            pm = p + q
+            gain = pm / (pm + r_noise)
+            m = m + gain * (x - m)
+            p = (1.0 - gain) * pm
+        assert got[u]["n_events"] == len(xs)
+        assert got[u]["level_filtered"] == m, u  # bit-exact fold
+        assert got[u]["p_last"] == p, u
+    # the gain actually adapted: p approaches the steady state
+    # p* = (sqrt(17) - 1) / 2 ~ 1.5616 (solves p = (1-K)(p+q) for
+    # q=1, r=4) from its 1.0 prior for any long-enough series
+    p_star = (17**0.5 - 1) / 2
+    multi = [u for u, xs in series.items() if len(xs) > 10]
+    assert multi and all(abs(got[u]["p_last"] - p_star) < 1e-6 for u in multi)

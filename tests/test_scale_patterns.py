@@ -1,8 +1,7 @@
-"""Independent replays for the scale-technique operators (sketches
-re-verified in pure Python with hashlib — the ts_cross_corr lesson:
-oracle parity can't catch a formula bug when both engines share the
-algebra) plus structural assertions that the physical technique itself
-engaged (salting really shuffles, the bloom really prunes)."""
+"""Independent replays for the explicit bloom operators (re-verified in
+pure Python with hashlib — the ts_cross_corr lesson: oracle parity
+can't catch a formula bug when both engines share the md5 algebra)
+plus structural assertions that the pruning really engages."""
 
 from __future__ import annotations
 
@@ -12,13 +11,7 @@ from collections import Counter
 import duckdb
 from pyspark.sql import functions as F
 
-from mapreduce_server_spark.operators.scale_patterns import (
-    BLOOM_K,
-    BLOOM_M,
-    CMS_D,
-    CMS_W,
-    SALT_N,
-)
+from mapreduce_server_spark.operators.scale_patterns import BLOOM_K, BLOOM_M
 from mapreduce_server_spark.registry import REGISTRY
 from mapreduce_server_spark.sources.loader import Tables
 
@@ -27,31 +20,6 @@ from .conftest import SF001
 
 def _h(prefix: str, key: int, mod: int) -> int:
     return int(hashlib.md5(f"{prefix}{key}".encode()).hexdigest()[:8], 16) % mod
-
-
-def test_cms_matches_pure_python_sketch(spark):
-    ev = duckdb.sql(
-        f"SELECT user_id FROM '{SF001}/events.parquet'"
-    ).fetchall()
-    users = [r[0] for r in ev]
-    # build the sketch independently
-    cells = [Counter() for _ in range(CMS_D)]
-    for u in users:
-        for d in range(CMS_D):
-            cells[d][_h(f"cms{d}:", u, CMS_W)] += 1
-    truth = Counter(users)
-    got = {
-        r["user_id"]: r
-        for r in REGISTRY["sketch_cms"].fn(spark, SF001).collect()
-    }
-    probe_set = {u for u in truth if u % 100 == 0}
-    assert set(got) == probe_set and probe_set
-    for u in probe_set:
-        est = min(cells[d][_h(f"cms{d}:", u, CMS_W)] for d in range(CMS_D))
-        assert got[u]["est"] == est, u
-        assert got[u]["true_n"] == truth[u], u
-        # the CMS guarantee: never an undercount
-        assert got[u]["overcount"] >= 0, u
 
 
 def test_bloom_matches_pure_python_and_never_false_negative(spark):
@@ -85,28 +53,6 @@ def test_bloom_matches_pure_python_and_never_false_negative(spark):
     assert got == dict(expect)
     # structural bloom guarantee: a member never misses
     assert (False, True) not in got
-
-
-def test_salted_join_shuffles_and_matches_plain(spark):
-    df = REGISTRY["join_skew_salted"].fn(spark, SF001)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" in plan, "merge hint did not take - dim was broadcast"
-    t = Tables(spark, SF001)
-    plain = (
-        t.lineitem.join(
-            t.supplier, F.col("l_suppkey") == F.col("s_suppkey")
-        )
-        .groupBy("s_nationkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("revenue"),
-        )
-    )
-    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))
-    # the salt fan-out really replicates the dim SALT_N times
-    assert SALT_N == 16
 
 
 def test_bloom_semi_prunes_before_exact_join(spark):
