@@ -135,12 +135,14 @@ SELECT
   coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
   (nullif(o_orderstatus, 'O') IS NULL) AS is_open
 FROM orders
+WHERE o_orderkey % 10 = 0
 """,
 )
 def project_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI 3-valued NULL semantics (fixtures have no NULLs — synthesized
-    via nullif, per SURVEY.md §2.B)."""
-    o = Tables(spark, sf_dir).orders
+    via nullif, per SURVEY.md §2.B). Demo rows capped by a deterministic
+    modulo filter pushed to the scan (VERDICT r6 §next #2)."""
+    o = Tables(spark, sf_dir).orders.filter(F.col("o_orderkey") % 10 == 0)
     nulled = F.nullif(F.col("o_orderstatus"), F.lit("O"))
     return o.select(
         "o_orderkey",

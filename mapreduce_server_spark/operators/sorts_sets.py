@@ -32,17 +32,22 @@ from ..sources.loader import Tables
 SELECT o_orderkey, o_totalprice,
        row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pos
 FROM orders
+QUALIFY pos <= 1000
 """,
 )
 def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total-order sort (TeraSort shape [MR04 §5.3]): Spark samples key
     ranges and range-partitions, so each output partition is globally
     ordered — the sampled-range-partitioner MR pattern, built in. The
-    ``pos`` column freezes the order into the value set."""
+    ``pos`` column freezes the order into the value set; the
+    total-ordered head (pos ≤ 1000) caps driver transfer (VERDICT r6
+    §next #2) — both engines pick the identical rows."""
     o = Tables(spark, sf_dir).orders
     w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return o.select("o_orderkey", "o_totalprice").withColumn(
-        "pos", F.row_number().over(w)
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= 1000)
     )
 
 

@@ -50,12 +50,16 @@ def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, round(ln(1 + value), 6) AS log1p_value
 FROM events
+WHERE event_id % 10 = 0
 """,
 )
 def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized scalar pandas UDF (Arrow batch transfer): numpy log1p.
-    Rounded to 6 dp — numpy/libm vs DuckDB ln may differ in the last ulp."""
-    ev = Tables(spark, sf_dir).events
+    Rounded to 6 dp — numpy/libm vs DuckDB ln may differ in the last
+    ulp. Demo rows capped by a deterministic modulo filter pushed to
+    the scan (VERDICT r6 §next #2) — Arrow batching is what's
+    demonstrated, not driver transfer."""
+    ev = Tables(spark, sf_dir).events.filter(F.col("event_id") % 10 == 0)
 
     @F.pandas_udf(DoubleType())
     def log1p_vec(v: pd.Series) -> pd.Series:

@@ -151,7 +151,9 @@ def test_moving_median_matches_pandas(spark, duck):
     rows = REGISTRY["win_moving_median"].fn(spark, SF001).collect()
     got = {r["event_id"]: r["med7"] for r in rows}
     df = duck.execute(
-        "SELECT user_id, event_id, value FROM events ORDER BY user_id, ts, event_id"
+        # mirror the operator's demo-row cap (VERDICT r6 §next #2)
+        "SELECT user_id, event_id, value FROM events WHERE user_id % 20 = 0 "
+        "ORDER BY user_id, ts, event_id"
     ).fetch_df()
     expect = (
         df.groupby("user_id")["value"]
