@@ -453,3 +453,56 @@ def matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(users, ["day_s", "event_type"]).select(
         "day_s", "event_type", "n", "sum_value", "max_value", "n_users_exact"
     )
+
+
+@query(
+    "stream_topk",
+    category="I.stream",
+    oracle="""
+WITH agg AS (
+  SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP))::BIGINT AS ws_s,
+         user_id,
+         count(*) AS n,
+         sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT ws_s, user_id, n, sum_value, rk
+FROM (SELECT *, row_number() OVER (PARTITION BY ws_s
+                                   ORDER BY n DESC, user_id) AS rk
+      FROM agg)
+WHERE rk <= 3
+""",
+)
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed TOP-K — the trending-items query every event platform
+    serves (top users per tumbling hour by activity): tumbling-window
+    pre-aggregate (map-side combined — the shuffle carries one row per
+    (window, user), never raw events), then a per-window row_number
+    top-3 with the (count DESC, user_id) total order. In Structured
+    Streaming the same pre-aggregate runs incrementally under a
+    watermark and the rank-prune runs on the compacted state store
+    per trigger (rank over update-mode output) — the batch plan here
+    IS that per-trigger computation, the events_batch twin discipline.
+    At 100 TB the window agg is the only full-data shuffle; the top-k
+    window runs on |windows|×|active users| aggregated rows."""
+    ev = Tables(spark, sf_dir).events
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "sum_value"
+        ),
+    )
+    wr = Window.partitionBy("w").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        agg.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("ws_s"),
+            "user_id",
+            "n",
+            "sum_value",
+            "rk",
+        )
+    )

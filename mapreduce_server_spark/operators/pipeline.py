@@ -472,3 +472,76 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@query(
+    "pipeline_shuffle",
+    category="J.pipeline",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source,
+         md5('shuf:' || doc_id::VARCHAR) AS k,
+         ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 8))::BIGINT % 8
+           AS shard
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, source, shard,
+         row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+  FROM keyed
+)
+SELECT shard, count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       min(doc_id) FILTER (WHERE pos = 1) AS first_doc,
+       max(pos) AS last_pos
+FROM pos GROUP BY shard
+""",
+)
+def pipeline_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE + sharding — the step every
+    pretraining pipeline runs between curation and tokenization:
+    neighboring raw documents correlate (same crawl, same source), and
+    a model trained on unshuffled data sees correlated batches, so docs
+    are (1) assigned to one of 8 output shards by key hash and
+    (2) ordered WITHIN each shard by an independent md5 sort key —
+    both pure functions of doc_id, so the 'random' order is
+    reproducible across runs, engines, and cluster sizes (the
+    sample_hash discipline applied to ordering; an RNG shuffle can't
+    give a stable training order). The plan is exactly one shuffle:
+    hash-partition by shard, in-partition sort by the md5 key — the
+    write-side shape of ``df.repartition(shard).sortWithinPartitions``
+    that produces ready-to-stream training shards at any scale. Output
+    is the per-shard audit (sizes, source mix, the deterministic first
+    doc) rather than the 5k-row shard listing itself."""
+    d = Tables(spark, sf_dir).documents
+    keyed = d.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")).cast("binary")
+        ).alias("k"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("shard:"), F.col("doc_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 8
+        ).alias("shard"),
+    )
+    wp = Window.partitionBy("shard").orderBy("k", "doc_id")
+    pos = keyed.withColumn("pos", F.row_number().over(wp))
+    return pos.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("first_doc"),
+        F.max("pos").alias("last_pos"),
+    )

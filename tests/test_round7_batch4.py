@@ -77,3 +77,59 @@ def test_kalman_matches_pure_python(spark):
     p_star = (17**0.5 - 1) / 2
     multi = [u for u, xs in series.items() if len(xs) > 10]
     assert multi and all(abs(got[u]["p_last"] - p_star) < 1e-6 for u in multi)
+
+
+def test_stream_topk_matches_pure_python(spark):
+    rows = duckdb.sql(
+        f"""
+        SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT, user_id
+        FROM '{SF001}/events.parquet'
+        """
+    ).fetchall()
+    per_win: dict[int, Counter] = {}
+    for ws, u in rows:
+        per_win.setdefault(ws, Counter())[u] += 1
+    expect = set()
+    for ws, cnt in per_win.items():
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rk, (u, n) in enumerate(top, 1):
+            expect.add((ws, u, n, rk))
+    got = {
+        (r["ws_s"], r["user_id"], r["n"], r["rk"])
+        for r in REGISTRY["stream_topk"].fn(spark, SF001).collect()
+    }
+    assert got == expect
+
+
+def test_pipeline_shuffle_is_deterministic_and_balanced(spark):
+    docs = duckdb.sql(
+        f"SELECT doc_id, source FROM '{SF001}/documents.parquet'"
+    ).fetchall()
+    shards: dict[int, list] = {}
+    for doc_id, src in docs:
+        sh = int(
+            hashlib.md5(f"shard:{doc_id}".encode()).hexdigest()[:8], 16
+        ) % 8
+        shards.setdefault(sh, []).append(
+            (hashlib.md5(f"shuf:{doc_id}".encode()).hexdigest(), doc_id, src)
+        )
+    got = {
+        r["shard"]: r
+        for r in REGISTRY["pipeline_shuffle"].fn(spark, SF001).collect()
+    }
+    assert set(got) == set(shards)
+    n_total = 0
+    for sh, items in shards.items():
+        items.sort()
+        r = got[sh]
+        assert r["n_docs"] == len(items)
+        assert r["last_pos"] == len(items)
+        assert r["first_doc"] == items[0][1]
+        assert r["n_sources"] == len({s for _, _, s in items})
+        n_total += len(items)
+    assert n_total == len(docs)
+    # hash sharding balances: no shard more than 2x the mean
+    mean = n_total / 8
+    assert all(len(v) < 2 * mean for v in shards.values())
+    # the shuffle decorrelates sources: every shard mixes many sources
+    assert all(got[sh]["n_sources"] >= 10 for sh in shards)
