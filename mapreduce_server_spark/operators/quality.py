@@ -602,3 +602,111 @@ def quality_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_hits").cast("long").alias("total_hits"),
         F.max("n_hits").cast("long").alias("max_hits"),
     )
+
+
+@query(
+    "quality_reconcile",
+    category="L.quality",
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey, o_totalprice::DECIMAL(18,2) AS price,
+         o_orderkey % 64 AS blk
+  FROM orders
+),
+b AS (  -- simulated drifted replica: lost rows + corrupted values
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 997 = 500
+              THEN (o_totalprice::DECIMAL(18,2) + 1)::DECIMAL(18,2)
+              ELSE o_totalprice::DECIMAL(18,2) END AS price,
+         o_orderkey % 64 AS blk
+  FROM orders WHERE o_orderkey % 997 <> 13
+),
+fa AS (
+  SELECT blk, count(*) AS cnt_a,
+         sum(('0x' || substr(md5('rc:' || o_orderkey::VARCHAR || '|'
+                                  || price::VARCHAR), 1, 8))::BIGINT)::BIGINT
+           AS fp_a
+  FROM a GROUP BY 1
+),
+fb AS (
+  SELECT blk, count(*) AS cnt_b,
+         sum(('0x' || substr(md5('rc:' || o_orderkey::VARCHAR || '|'
+                                  || price::VARCHAR), 1, 8))::BIGINT)::BIGINT
+           AS fp_b
+  FROM b GROUP BY 1
+)
+SELECT fa.blk, fa.cnt_a, coalesce(fb.cnt_b, 0) AS cnt_b,
+       CASE WHEN fb.blk IS NULL OR fa.cnt_a <> fb.cnt_b
+              THEN 'count_mismatch'
+            WHEN fa.fp_a <> fb.fp_b THEN 'content_mismatch'
+            ELSE 'ok' END AS status
+FROM fa LEFT JOIN fb ON fa.blk = fb.blk
+""",
+)
+def quality_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-fingerprint TABLE RECONCILIATION — the migration/replica
+    diff every data platform runs ("did the copy lose or corrupt
+    anything?") done the only way that works at 100 TB: never compare
+    rows across tables; hash every row to an integer (md5 of the
+    canonical key|value rendering — decimal-cast first so both engines
+    render identically), sum per key-block (order-free integer sums ⇒
+    partition-order-proof), and compare ONE (count, fingerprint) pair
+    per block — 64 rows cross the network however big the tables are,
+    and only mismatched blocks ever need row-level drill-down
+    (re-run with a finer modulus on just those blocks). The replica
+    here is derived from orders with deterministic simulated drift
+    (rows where key % 997 = 13 lost; values at key % 997 = 500
+    corrupted by +1), so the operator provably flags count and
+    content mismatches while clean blocks report ok — same
+    NULL-synthesis convention as project_null."""
+    o = Tables(spark, sf_dir).orders
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    a = o.select(
+        "o_orderkey",
+        price.alias("price"),
+        (F.col("o_orderkey") % 64).alias("blk"),
+    )
+    b = o.filter(F.col("o_orderkey") % 997 != 13).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 997 == 500, (price + 1).cast("decimal(18,2)"))
+        .otherwise(price)
+        .alias("price"),
+        (F.col("o_orderkey") % 64).alias("blk"),
+    )
+
+    def fingerprint(df: DataFrame, cnt: str, fp: str) -> DataFrame:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("rc:"),
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("|"),
+                        F.col("price").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return df.groupBy("blk").agg(
+            F.count(F.lit(1)).alias(cnt), F.sum(h).cast("long").alias(fp)
+        )
+
+    fa = fingerprint(a, "cnt_a", "fp_a")
+    fb = fingerprint(b, "cnt_b", "fp_b")
+    j = fa.join(fb, "blk", "left")
+    return j.select(
+        "blk",
+        "cnt_a",
+        F.coalesce(F.col("cnt_b"), F.lit(0)).alias("cnt_b"),
+        F.when(
+            F.col("cnt_b").isNull() | (F.col("cnt_a") != F.col("cnt_b")),
+            "count_mismatch",
+        )
+        .when(F.col("fp_a") != F.col("fp_b"), "content_mismatch")
+        .otherwise("ok")
+        .alias("status"),
+    )

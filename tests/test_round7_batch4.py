@@ -133,3 +133,47 @@ def test_pipeline_shuffle_is_deterministic_and_balanced(spark):
     assert all(len(v) < 2 * mean for v in shards.values())
     # the shuffle decorrelates sources: every shard mixes many sources
     assert all(got[sh]["n_sources"] >= 10 for sh in shards)
+
+
+def test_reconcile_flags_planted_drift_exactly(spark):
+    rows = duckdb.sql(
+        f"SELECT o_orderkey, o_totalprice::DECIMAL(18,2) FROM '{SF001}/orders.parquet'"
+    ).fetchall()
+    # independent replay of the block diff
+    fa: dict[int, list] = {}
+    fb: dict[int, list] = {}
+    for k, p in rows:
+        blk = k % 64
+        h = int(hashlib.md5(f"rc:{k}|{p}".encode()).hexdigest()[:8], 16)
+        fa.setdefault(blk, [0, 0])
+        fa[blk][0] += 1
+        fa[blk][1] += h
+        if k % 997 == 13:
+            continue  # lost in the replica
+        p2 = p + 1 if k % 997 == 500 else p
+        h2 = int(hashlib.md5(f"rc:{k}|{p2}".encode()).hexdigest()[:8], 16)
+        fb.setdefault(blk, [0, 0])
+        fb[blk][0] += 1
+        fb[blk][1] += h2
+    got = {
+        r["blk"]: r
+        for r in REGISTRY["quality_reconcile"].fn(spark, SF001).collect()
+    }
+    assert set(got) == set(fa)
+    statuses = Counter()
+    for blk, (ca, ha) in fa.items():
+        cb, hb = fb.get(blk, (0, 0))
+        if ca != cb:
+            want = "count_mismatch"
+        elif ha != hb:
+            want = "content_mismatch"
+        else:
+            want = "ok"
+        assert got[blk]["status"] == want, blk
+        assert got[blk]["cnt_a"] == ca and got[blk]["cnt_b"] == cb, blk
+        statuses[want] += 1
+    # the planted drift is visible AND bounded: some blocks flagged,
+    # most clean
+    assert statuses["count_mismatch"] >= 1
+    assert statuses["content_mismatch"] >= 1
+    assert statuses["ok"] > statuses["count_mismatch"] + statuses["content_mismatch"]
