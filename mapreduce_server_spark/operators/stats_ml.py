@@ -6026,3 +6026,121 @@ def ts_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.getField("m").alias("level_filtered"),
         st.getField("p").alias("p_last"),
     )
+
+
+@query(
+    "ts_changepoint_binseg",
+    category="E.window",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+  FROM events
+),
+grid AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+         FROM bounds),
+c AS (SELECT date_trunc('day', ts) AS d, count(*) AS x
+      FROM events GROUP BY 1),
+series AS (
+  SELECT row_number() OVER (ORDER BY g.d) AS t, g.d,
+         coalesce(c.x, 0) AS x
+  FROM grid g LEFT JOIN c ON g.d = c.d
+),
+pre AS (
+  SELECT t, d, x,
+         sum(x) OVER (ORDER BY t) AS sl,
+         count(*) OVER (ORDER BY t) AS nl
+  FROM series
+),
+tot AS (SELECT sum(x) AS s, count(*) AS n FROM series),
+cand AS (
+  SELECT p.t AS split_t, p.d AS split_d, p.sl, p.nl,
+         tot.s - p.sl AS sr, tot.n - p.nl AS nr, tot.s, tot.n,
+         round(p.sl * p.sl * 1.0 / p.nl
+               + (tot.s - p.sl) * (tot.s - p.sl) * 1.0 / (tot.n - p.nl)
+               - tot.s * tot.s * 1.0 / tot.n, 6) AS reduction
+  FROM pre p, tot
+  WHERE p.nl < tot.n
+)
+SELECT epoch(split_d)::BIGINT AS split_after_s,
+       nl::BIGINT AS n_pre, nr::BIGINT AS n_post,
+       round(sl * 1.0 / nl, 6) AS mean_pre,
+       round(sr * 1.0 / nr, 6) AS mean_post,
+       reduction
+FROM cand
+QUALIFY row_number() OVER (ORDER BY reduction DESC, split_t) = 1
+""",
+)
+def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CHANGEPOINT LOCALIZATION — the first split of binary
+    segmentation: over the densified daily event-count series, find
+    the boundary that maximizes the between-segment SSE reduction
+    S_L²/n_L + S_R²/n_R − S²/n (the classic mean-shift objective; each
+    further binseg level would recurse into the halves). Complements
+    ``ts_cusum``: CUSUM is the ONLINE sequential alarm, this is the
+    batch localizer you run after the alarm fired to date the shift.
+    Everything derives from one daily prefix-sum window over the
+    ~30-row calendar grid (integer S_L/n_L exact in doubles far below
+    2⁵³, so the reduction is identical doubles on both engines →
+    6-dp-round + split-index-tiebreak argmax, the SURVEY §5.2 recipe).
+    One events shuffle (the daily agg); candidate evaluation is
+    calendar-bounded at any SF."""
+    ev = Tables(spark, sf_dir).events
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("d")
+    )
+    c = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    wt = Window.orderBy("d")
+    wrun = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    series = (
+        grid.join(c, "d", "left")
+        .select("d", F.coalesce(F.col("x"), F.lit(0)).alias("x"))
+        .withColumn("t", F.row_number().over(wt))
+    )
+    pre = series.select(
+        "t",
+        "d",
+        F.sum("x").over(wrun).alias("sl"),
+        F.count(F.lit(1)).over(wrun).alias("nl"),
+    )
+    tot = series.agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    sl, nl = F.col("sl"), F.col("nl")
+    s, n = F.col("s"), F.col("n")
+    sr, nr = s - sl, n - nl
+    cand = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(nl < n)
+        .select(
+            "t",
+            "d",
+            nl.alias("nl"),
+            nr.alias("nr"),
+            sl.alias("sl"),
+            sr.alias("sr"),
+            F.round(
+                sl * sl * F.lit(1.0) / nl
+                + sr * sr * F.lit(1.0) / nr
+                - s * s * F.lit(1.0) / n,
+                6,
+            ).alias("reduction"),
+        )
+    )
+    return (
+        cand.orderBy(F.desc("reduction"), F.asc("t"))
+        .limit(1)
+        .select(
+            F.unix_seconds("d").alias("split_after_s"),
+            F.col("nl").cast("long").alias("n_pre"),
+            F.col("nr").cast("long").alias("n_post"),
+            F.round(F.col("sl") * F.lit(1.0) / F.col("nl"), 6).alias("mean_pre"),
+            F.round(F.col("sr") * F.lit(1.0) / F.col("nr"), 6).alias("mean_post"),
+            "reduction",
+        )
+    )

@@ -177,3 +177,35 @@ def test_reconcile_flags_planted_drift_exactly(spark):
     assert statuses["count_mismatch"] >= 1
     assert statuses["content_mismatch"] >= 1
     assert statuses["ok"] > statuses["count_mismatch"] + statuses["content_mismatch"]
+
+
+def test_changepoint_matches_numpy(spark):
+    import numpy as np
+
+    days = duckdb.sql(
+        f"""
+        SELECT date_trunc('day', ts) AS d, count(*) AS x
+        FROM '{SF001}/events.parquet' GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    d0 = days[0][0]
+    n_slots = (days[-1][0] - d0).days + 1
+    x = np.zeros(n_slots)
+    for d, cnt in days:
+        x[(d - d0).days] = cnt
+    s, n = x.sum(), len(x)
+    best = None
+    for k in range(1, n):  # split after position k (1-indexed prefix)
+        sl, nl = x[:k].sum(), k
+        sr, nr = s - sl, n - k
+        red = round(sl * sl / nl + sr * sr / nr - s * s / n, 6)
+        if best is None or red > best[0]:
+            best = (red, k, sl, sr)
+    red, k, sl, sr = best
+    row = REGISTRY["ts_changepoint_binseg"].fn(spark, SF001).collect()[0]
+    assert row["n_pre"] == k and row["n_post"] == n - k
+    assert abs(row["reduction"] - red) < 2e-6
+    assert abs(row["mean_pre"] - round(sl / k, 6)) < 1e-6
+    assert abs(row["mean_post"] - round(sr / (n - k), 6)) < 1e-6
+    # the two segment means really differ at the chosen split
+    assert row["mean_pre"] != row["mean_post"]
