@@ -28,7 +28,8 @@ _SAFE_EPOCH_RE = re.compile(
     r"o_orderdate\b|"  # DATE column
     r"ws\b|"  # already-bucketed window starts
     r"w\.|"  # window-start alias
-    r"tb\b"  # time_bucket alias in stream_sliding
+    r"tb\b|"  # time_bucket alias in stream_sliding
+    r"split_d\b"  # day-truncated split boundary (ts_changepoint_binseg)
     r")"
 )
 
