@@ -2207,16 +2207,23 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence on identical operands in both engines.
 
     Plan (rewritten after FULLBENCH flagged the 4-chained-sort version
-    at 1.4 s): ONE full-data sort pass total. The x side (l_quantity,
-    50 distinct values) never sorts row data — its doubled midranks
-    come from a value-level histogram (2·Σcnt_lte − cnt + 1) joined
-    back broadcast. The y side (l_extendedprice, ~97% unique → a
-    histogram saves nothing) uses one window whose TWO functions share
-    a single Window operator: rank() plus count(*) over the same
-    (flag, price) ordering with its default RANGE running frame —
-    count-≤-current INCLUDES ties, and rank + cnt_lte ≡ 2·rank + cnt
-    − 1, the doubled midrank, with no second (flag, price)-partitioned
-    tie-count spec (which forced its own sort pass)."""
+    at 1.4 s, then re-parallelized): NO flag-partitioned full-data
+    sort at all. The x side (l_quantity, 50 distinct values) never
+    sorts row data — its doubled midranks come from a value-level
+    histogram (2·Σcnt_lte − cnt + 1) joined back broadcast. The y side
+    (l_extendedprice, ~97% unique → a histogram saves nothing) gets a
+    TWO-LEVEL distributed rank: a flag-partitioned window would rank
+    correctly but with parallelism = |flags| = 3 (at 100 TB that is
+    three reducers sorting 33 TB each — the window-parallelism
+    ceiling), so instead (1) prices bucket by floor(price/1000), (2) a
+    tiny (flag, bucket) histogram yields each bucket's preceding-row
+    offset via a window over the aggregate, and (3) ranking runs
+    WITHIN (flag, bucket) — parallelism |flags|·|buckets|, each task
+    sorting one bucket. Equal prices share a bucket, so the in-bucket
+    rank() + tie-inclusive RANGE-frame count (one Window operator —
+    both functions share the spec) compose with 2·offset into the
+    exact global doubled midrank: ry = rank_in + cnt_lte_in +
+    2·offset."""
     li = Tables(spark, sf_dir).lineitem
     flag = "l_returnflag"
     # x: tiny (flag, quantity) histogram → doubled midrank per value
@@ -2230,18 +2237,33 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2 * F.sum("cnt").over(wq) - F.col("cnt") + 1).alias("rx_i"),
         )
     )
-    # y: rank and tie-inclusive running count share ONE window operator
-    wy = Window.partitionBy(flag).orderBy("l_extendedprice")
+    # y level 1: per-(flag, bucket) row counts → preceding-row offsets
+    bkt = F.floor(F.col("l_extendedprice") / 1000).alias("bkt")
+    hb = li.select(flag, bkt).groupBy(flag, "bkt").agg(
+        F.count(F.lit(1)).alias("bcnt")
+    )
+    wb = Window.partitionBy(flag).orderBy("bkt")
+    boff = hb.select(
+        flag,
+        "bkt",
+        (F.sum("bcnt").over(wb) - F.col("bcnt")).alias("off"),
+    )
+    # y level 2: rank + tie-inclusive running count share ONE window
+    # operator within each (flag, bucket); offsets restore global ranks
+    wy = Window.partitionBy(flag, "bkt").orderBy("l_extendedprice")
     r = (
-        li.select(flag, "l_quantity", "l_extendedprice")
+        li.select(flag, "l_quantity", "l_extendedprice", bkt)
         .withColumn(
-            "ry_i", F.rank().over(wy) + F.count(F.lit(1)).over(wy)
+            "ry_in", F.rank().over(wy) + F.count(F.lit(1)).over(wy)
         )
+        .join(F.broadcast(boff), [flag, "bkt"])
         .join(F.broadcast(hx), [flag, "l_quantity"])
         .select(
             flag,
             F.col("rx_i").cast("decimal(38,0)").alias("rx"),
-            F.col("ry_i").cast("decimal(38,0)").alias("ry"),
+            (F.col("ry_in") + 2 * F.col("off"))
+            .cast("decimal(38,0)")
+            .alias("ry"),
         )
     )
     m = r.groupBy(flag).agg(
