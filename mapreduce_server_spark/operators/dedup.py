@@ -621,11 +621,18 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.where(
         F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
-    ).select("doc_id", "shingle").cache()
+    ).select("doc_id", "shingle", "n_sh").cache()
+    # AllPairs LENGTH filter (applied inside the candidate join, before
+    # any verification): J >= t forces t*|a| <= |b| <= |a|/t, so
+    # mismatched-size pairs never leave the bucket
     cands = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n_sh") >= F.ceil(F.lit(t) * F.col("a.n_sh")))
+            & (F.col("b.n_sh") * F.lit(t) <= F.col("a.n_sh"))
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )

@@ -33,6 +33,16 @@ PEDAGOGICAL_DEMOS = {
     "udf_python": "row-at-a-time Python UDF demo; built-in twin in-module",
 }
 
+#: Compute-bound rows whose cost is the algorithm, not a plan defect or
+#: driver transfer — annotated so the slowest-ten table explains itself.
+COMPUTE_NOTES = {
+    "dedup_jaccard_prefix": (
+        "exact AllPairs verification of ~310k candidates at t=0.5 "
+        "(demo threshold; production near-dup t=0.9 keeps ~10% of postings)"
+    ),
+    "agg_sample": "the 10% hash-sample IS the output (60k rows by design)",
+}
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -75,7 +85,7 @@ def main() -> None:
         "| --- | --- | --- | --- |",
     ]
     for key, (dt, n) in sorted(results.items(), key=lambda kv: -kv[1][0])[:10]:
-        note = PEDAGOGICAL_DEMOS.get(key, "")
+        note = PEDAGOGICAL_DEMOS.get(key, "") or COMPUTE_NOTES.get(key, "")
         if not note and n >= 100_000:
             note = f"collect-bound ({n} demo rows to driver; plan is scan+expr)"
         lines.append(f"| {key} | {dt:.3f} | {n} | {note} |")
