@@ -2,8 +2,10 @@
 """Benchmark the headline queries; prints ONE JSON line for the driver.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS
-(default 32). Method mirrors BASELINE.md: median of 3 timed runs after one
-warm-up, timing includes collect(); cold JVM start excluded.
+(default 32). Method mirrors BASELINE.md (warm runs, timing includes
+collect(), cold JVM start excluded) with a noise-robust median of 5 timed
+runs after one warm-up — round-7 showed a ±30% run-to-run band on a busy
+host, and the median of 5 is a fairer estimator of the same quantity.
 """
 
 from __future__ import annotations
@@ -44,11 +46,11 @@ def main() -> None:
             continue
         spec.fn(spark, sf_dir).collect()  # warm-up
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
-        times[key] = round(sorted(runs)[1], 4)
+        times[key] = round(sorted(runs)[2], 4)
 
     print(
         json.dumps(

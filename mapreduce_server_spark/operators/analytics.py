@@ -1379,7 +1379,13 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list(F.struct("h", "x"))),
         lambda e: e.getField("x"),
     )
-    one = series.agg(xs.alias("v"), F.count(F.lit(1)).alias("n"))
+    # guard: the model needs one full 24h season to seed; the oracle's
+    # recursive CTE (seed pinned at i=24) emits zero rows on a shorter
+    # fixture, so mirror that here instead of folding an ill-defined
+    # seed (round-7 ADVICE).
+    one = series.agg(xs.alias("v"), F.count(F.lit(1)).alias("n")).where(
+        F.col("n") >= 24
+    )
     first24 = F.slice(F.col("v"), 1, 24)
     # seed mean written once via a named column (expression-inlining trap:
     # a repeated l0 Column would re-fold the 24-sum per reference)

@@ -36,8 +36,24 @@ def _md5_int(prefix: str, col) -> F.Column:
 
 
 def _md5_int_sql(prefix: str, expr: str) -> str:
-    """DuckDB twin of :func:`_md5_int`."""
+    """DuckDB twin of :func:`_md5_int` — the sketch_bloom oracle is
+    BUILT from this helper so the two engines' hash spellings are one
+    definition apart, not two (round-7 ADVICE: an inlined copy could
+    drift silently)."""
     return f"('0x' || substr(md5('{prefix}' || ({expr})::VARCHAR), 1, 8))::BIGINT"
+
+
+#: sketch_bloom oracle fragments, generated per hash index k so the SQL
+#: mirrors the Spark side's unrolled k=3 probes exactly.
+_BLOOM_BITS_SQL = ", ".join(
+    f"{_md5_int_sql(f'bm{i}:', 'o_custkey')} % {BLOOM_M}"
+    for i in range(BLOOM_K)
+)
+_BLOOM_PROBE_SQL = "\n         AND ".join(
+    f"({_md5_int_sql(f'bm{i}:', 'c.c_custkey')} % {BLOOM_M}"
+    f" IN (SELECT bit FROM bits))"
+    for i in range(BLOOM_K)
+)
 
 
 @query(
@@ -116,16 +132,12 @@ WITH members AS (
   SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
 ),
 bits AS (
-  SELECT DISTINCT
-         ('0x' || substr(md5('bm' || k.k || ':' || o_custkey::VARCHAR), 1, 8))::BIGINT
-           % {BLOOM_M} AS bit
-  FROM members, (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS k) k
+  SELECT DISTINCT unnest([{_BLOOM_BITS_SQL}]) AS bit
+  FROM members
 ),
 probe AS (
   SELECT c.c_custkey,
-         (SELECT count(*) FROM (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS k) k
-          WHERE ('0x' || substr(md5('bm' || k.k || ':' || c.c_custkey::VARCHAR), 1, 8))::BIGINT
-                % {BLOOM_M} IN (SELECT bit FROM bits)) = {BLOOM_K} AS in_bloom,
+         {_BLOOM_PROBE_SQL} AS in_bloom,
          c.c_custkey IN (SELECT o_custkey FROM members) AS is_member
   FROM customer c
 )

@@ -5697,11 +5697,13 @@ series AS (
 tot AS (SELECT count(*) AS nn, sum(x) AS s, sum(x * x) AS q FROM series),
 rho AS (
   SELECT k.lag AS k,
-         round((tot.nn * tot.nn * sum(a.x * b.x)
-                - tot.nn * tot.s * (sum(a.x) + sum(b.x))
-                + (tot.nn - k.lag) * tot.s * tot.s)
-               / (tot.nn * tot.nn * tot.q - tot.nn * tot.s * tot.s)
-               * 1.0, 6) AS r
+         round((tot.nn::DOUBLE * tot.nn::DOUBLE * sum(a.x * b.x)::DOUBLE
+                - tot.nn::DOUBLE * tot.s::DOUBLE
+                  * (sum(a.x)::DOUBLE + sum(b.x)::DOUBLE)
+                + (tot.nn - k.lag)::DOUBLE * tot.s::DOUBLE * tot.s::DOUBLE)
+               / (tot.nn::DOUBLE * tot.nn::DOUBLE * tot.q::DOUBLE
+                  - tot.nn::DOUBLE * tot.s::DOUBLE * tot.s::DOUBLE),
+               6) AS r
   FROM series a
   CROSS JOIN (SELECT unnest(range(1, 13)) AS lag) k
   JOIN series b ON b.t = a.t + k.lag
@@ -5730,7 +5732,9 @@ def ts_ljungbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the χ²₁₂ 95% critical value (literal 21.026). Reuses
     ts_acf_multi's machinery end-to-end: densified calendar grid
     (~720 rows), lag self-join ON THE GRID not the events, every ρ_k
-    from the same ×N² integer moment identity rounded to 6 dp; the Σ
+    from the same ×N² moment identity (exact integer sums, combine in
+    identical doubles — nn²·ck outgrows int64 near sf10) rounded to
+    6 dp; the Σ
     over k is a k-ordered left fold (stat_entropy pattern) so the
     12-term double sum is fold-order-free; one heavy shuffle total
     (the hourly partial agg). The verdict boolean compares identical
@@ -5776,17 +5780,34 @@ def ts_ljungbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "k",
             "nn",
+            # moments stay exact integer sums; the ×N² combine runs in
+            # DOUBLES on both engines (the stat_spearman discipline) —
+            # nn²·ck passes int64 around sf10 where Spark would wrap
+            # silently while DuckDB errors (round-7 ADVICE). Identical
+            # IEEE op sequence on identical operands → still bit-exact.
             F.round(
                 (
-                    F.col("nn") * F.col("nn") * F.col("ck")
-                    - F.col("nn") * F.col("s") * (F.col("sh") + F.col("st"))
-                    + (F.col("nn") - F.col("k")) * F.col("s") * F.col("s")
+                    F.col("nn").cast("double")
+                    * F.col("nn").cast("double")
+                    * F.col("ck").cast("double")
+                    - F.col("nn").cast("double")
+                    * F.col("s").cast("double")
+                    * (
+                        F.col("sh").cast("double")
+                        + F.col("st").cast("double")
+                    )
+                    + (F.col("nn") - F.col("k")).cast("double")
+                    * F.col("s").cast("double")
+                    * F.col("s").cast("double")
                 )
                 / (
-                    F.col("nn") * F.col("nn") * F.col("q")
-                    - F.col("nn") * F.col("s") * F.col("s")
-                )
-                * F.lit(1.0),
+                    F.col("nn").cast("double")
+                    * F.col("nn").cast("double")
+                    * F.col("q").cast("double")
+                    - F.col("nn").cast("double")
+                    * F.col("s").cast("double")
+                    * F.col("s").cast("double")
+                ),
                 6,
             ).alias("r"),
         )

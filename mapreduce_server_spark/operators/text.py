@@ -1147,7 +1147,10 @@ def text_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact text occurs ≥2 times ANYWHERE in the corpus, reported as a
     per-source duplication ratio (the signal that a shard is
     boilerplate-heavy and needs substring-level dedup before
-    training). Plan: windows materialize as ONE per-row hash array
+    training). Windows cap at the first 512 per document (both
+    engines) — a fixed per-doc audit budget that keeps the blowup
+    factor bounded by 512× regardless of document length. Plan:
+    windows materialize as ONE per-row hash array
     (transform over sequence — no per-window row explosion until the
     single explode), the occurrence count is one hash-keyed partial-agg
     shuffle, and the join back is hash-co-partitioned with it; at
@@ -1156,10 +1159,14 @@ def text_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     still count in n_docs."""
     d = Tables(spark, sf_dir).documents
     t = F.split(F.col("text"), " ")
+    # window count caps at 512/doc on BOTH sides (oracle:
+    # generate_series(1, 512)) — without the Spark-side least() any
+    # document over 519 tokens would silently diverge (round-7 ADVICE;
+    # the fixture's ≤512-token docs made the gap latent).
     gram_hashes = F.when(
         F.size(t) >= 8,
         F.transform(
-            F.sequence(F.lit(1), F.size(t) - 7),
+            F.sequence(F.lit(1), F.least(F.size(t) - 7, F.lit(512))),
             lambda i: F.md5(
                 F.concat_ws(
                     " ", F.slice(t, i.cast("int"), 8)

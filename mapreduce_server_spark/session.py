@@ -37,6 +37,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce by advisory size (64 MB), not up to the parallelism cap:
+        # the Spark docs recommend false on busy clusters for efficient
+        # resource use; locally it stops tiny shuffles fanning into 32
+        # one-row tasks (pure scheduling overhead at any scale).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")

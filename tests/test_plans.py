@@ -306,6 +306,33 @@ def test_interpolate_windows_share_one_exchange(spark):
     assert p.count("Exchange hashpartitioning") <= 2  # hourly agg + window
 
 
+def test_global_window_topk_never_single_partition_sorts(spark):
+    """Fence for the load-bearing limit-through-window rewrite (round-8
+    verdict item 3): sort_global / sort_multi read as a GLOBAL window
+    (`row_number() OVER (ORDER BY …) ≤ 1000` with no PARTITION BY) —
+    naively a single-partition sort of the whole table, the classic
+    scale-killer. Catalyst's LimitPushDownThroughWindow /
+    InferWindowGroupLimit rewrites it into a distributed top-k
+    (per-partition heaps + driver merge): the physical plan must show
+    TakeOrderedAndProject (or a WindowGroupLimit) BELOW the window and
+    ZERO exchanges. A Spark upgrade or an innocent edit (extra window
+    function, rank frame the rewrite can't handle) would silently
+    reintroduce the 1-partition sort — this test makes that loud."""
+    for key in ("sort_global", "sort_multi"):
+        p = _plan(spark, key)
+        assert "TakeOrderedAndProject" in p or "WindowGroupLimit" in p, (
+            key,
+            p,
+        )
+        assert "Exchange" not in p, (key, p)
+        # the full-table global Sort must NOT survive as a plan node
+        # (TakeOrderedAndProject subsumes ordering; a standalone Sort
+        # means the rewrite did not fire)
+        import re
+
+        assert re.search(r"\bSort \(\d+\)", p) is None, (key, p)
+
+
 def test_triangles_ordered_caches_shared_subtrees(spark):
     """The multiply-referenced edge/oriented frames must come from the
     cache (InMemoryTableScan), not re-derived lineage."""
