@@ -338,50 +338,76 @@ IVF_TRAIN_CAP = 10_000  # max vectors collected for quantizer training
 _IVF_CACHE: dict[str, list[list[float]]] = {}
 
 
-def _l2sq(emb_col, centroid: list[float]):
-    """Squared L2 distance between an embedding column and a literal
-    centroid — one JVM-side fold (zip_with + aggregate), no UDF."""
-    c = F.lit(centroid).cast("array<double>")
-    diff = F.zip_with(emb_col.cast("array<double>"), c, lambda x, y: (x - y) * (x - y))
-    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+def _micro(emb_col):
+    """Embedding → integer micro-units: floor(x·10⁶ + 0.5) per component
+    (the emb_quantize nearest-int recipe — identical binary-double
+    semantics on Spark / DuckDB / Python, so all three engines derive
+    the SAME integer vector). Quantizing the IVF input at 6 dp costs
+    nothing at ±0.6-magnitude embeddings and makes every distance an
+    EXACT int64 (|v| ≤ 1e6 ⇒ Σ64 squares ≤ 6.4e13), which is what lets
+    the whole quantizer replay in SQL (round-8 verdict item 2)."""
+    return F.transform(
+        emb_col,
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
 
 
-def _assign_cluster(emb_col, centroids: list[list[float]]):
-    """argmin over centroid distances, ties to the lowest cluster id."""
-    dists = F.array(*[_l2sq(emb_col, c) for c in centroids])
+def _l2sq_int(micro_col, centroid: list[int]):
+    """Squared L2 distance between a micro-unit vector column and a
+    literal integer centroid — one JVM-side int64 fold, exact."""
+    c = F.lit(centroid).cast("array<long>")
+    diff = F.zip_with(micro_col, c, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diff, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _assign_cluster(emb_col, centroids: list[list[int]]):
+    """argmin over exact integer centroid distances, ties to the lowest
+    cluster id."""
+    vi = _micro(emb_col)
+    dists = F.array(*[_l2sq_int(vi, c) for c in centroids])
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
-def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
-    """K coarse centroids: stride-spaced seeds over vec_id order, refined
-    with IVF_ITERS Lloyd rounds — trained DRIVER-SIDE in numpy on one
-    collected DETERMINISTIC SAMPLE, capped at IVF_TRAIN_CAP vectors.
-    Past the cap, rows are kept by an md5(vec_id) 16-bit-bucket filter
-    (the sample_hash discipline: seedless, partitioning-independent, a
-    pure function of vec_id and the corpus count) — coarse-quantizer
-    quality needs a sample, never the corpus, so training cost is
-    CONSTANT in corpus size while the fixture corpora (≤ 2k vectors)
-    sit under the cap and train on everything, unchanged. A
-    JVM-expression training loop was measured 20× slower at
-    sf0.1: higher-order-function folds run interpreted (outside
-    whole-stage codegen), and K×dim literal trees pay multi-second
-    planning per Lloyd round — the same blocked-BLAS escape-hatch
-    rationale as knn_join (ARCHITECTURE.md §6). Only TRAINING is
-    driver-side: corpus assignment in knn_ivf stays a declarative JVM
-    plan. Centroids are rounded to 6 dp each round, pinning the
-    quantizer (hence every downstream assignment) bit-stable across
-    runs — the SURVEY §5.2 determinism rule applied to learned state
-    (np.argmin ties resolve to the lowest cluster id, matching
-    _assign_cluster's array_position tie rule)."""
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
+    """K coarse centroids IN INTEGER MICRO-UNITS: stride-spaced seeds
+    over vec_id order, refined with IVF_ITERS Lloyd rounds — trained
+    DRIVER-SIDE in numpy int64 on one collected DETERMINISTIC SAMPLE,
+    capped at IVF_TRAIN_CAP vectors. Past the cap, rows are kept by an
+    md5(vec_id) 16-bit-bucket filter (the sample_hash discipline:
+    seedless, partitioning-independent, a pure function of vec_id and
+    the corpus count) — coarse-quantizer quality needs a sample, never
+    the corpus, so training cost is CONSTANT in corpus size while the
+    fixture corpora (≤ 2k vectors) sit under the cap and train on
+    everything, unchanged. A JVM-expression training loop was measured
+    20× slower at sf0.1: higher-order-function folds run interpreted
+    (outside whole-stage codegen), and K×dim literal trees pay
+    multi-second planning per Lloyd round — the same blocked-BLAS
+    escape-hatch rationale as knn_join (ARCHITECTURE.md §6). Only
+    TRAINING is driver-side: corpus assignment in knn_ivf stays a
+    declarative JVM plan.
+
+    Round-8 exactness upgrade (verdict item 2): training runs on
+    ``_micro``-quantized vectors in PURE int64 — squared distances are
+    exact order-free integer sums, the Lloyd mean rounds half-up via
+    the integer identity (2·Σ + n) // (2n), and np.argmin ties resolve
+    to the lowest cluster id, matching both _assign_cluster's
+    array_position rule and the oracle's ORDER BY d, cid. Every step
+    is therefore a pure integer function of the data that DuckDB
+    replays bit-for-bit (the _IVF_ORACLE unrolled CTEs) — knn_ivf /
+    knn_ivf_pruned graduate from rows-only to exact-oracle."""
     if sf_dir in _IVF_CACHE:
         return _IVF_CACHE[sf_dir]
     import numpy as np
 
     e = Tables(spark, sf_dir).embeddings
-    samp = e.select("vec_id", "embedding")
+    samp = e.select("vec_id", _micro(F.col("embedding")).alias("vi"))
     n_corpus = e.count()
     if n_corpus > IVF_TRAIN_CAP:
         # keep ≈ IVF_TRAIN_CAP vectors: 16-bit md5 bucket under threshold
+        # (for n ≤ cap the threshold exceeds 65535, so the oracle applies
+        # the SAME filter unconditionally as a no-op — invariant-free)
         keep = max(1, (65536 * IVF_TRAIN_CAP) // n_corpus)
         bucket = F.conv(
             F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 4),
@@ -390,43 +416,130 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
         ).cast("long")
         samp = samp.filter(bucket < keep)
     rows = samp.orderBy("vec_id").collect()
-    mat = np.array([[float(x) for x in r[1]] for r in rows])  # (n, 64) f64
+    mat = np.array([[int(x) for x in r[1]] for r in rows], dtype=np.int64)
     stride = max(1, len(rows) // IVF_K)
     cents = mat[::stride][:IVF_K].copy()
     for _ in range(IVF_ITERS):
-        # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin ties → lowest id
+        # ||x-c||² expanded stays exact int64; argmin ties → lowest id
         d2 = (
             (mat * mat).sum(axis=1)[:, None]
-            - 2.0 * (mat @ cents.T)
+            - 2 * (mat @ cents.T)
             + (cents * cents).sum(axis=1)[None, :]
         )
         assign = np.argmin(d2, axis=1)
-        cents = np.array(
-            [
-                np.round(mat[assign == k].mean(axis=0), 6)
-                if (assign == k).any()
-                else cents[k]  # empty cluster: keep previous centroid
-                for k in range(IVF_K)
-            ]
-        )
-    _IVF_CACHE[sf_dir] = [[float(x) for x in c] for c in cents]
+        new = []
+        for k in range(len(cents)):
+            members = mat[assign == k]
+            if len(members):
+                s = members.sum(axis=0)
+                n = len(members)
+                # round-half-up mean in exact integer arithmetic:
+                # floor((2s + n) / 2n) — the oracle computes the same
+                # via floor((2*s + n)/(2.0*n)) (operands < 2^53, exact)
+                new.append((2 * s + n) // (2 * n))
+            else:
+                new.append(cents[k])  # empty cluster: keep previous
+        cents = np.array(new, dtype=np.int64)
+    _IVF_CACHE[sf_dir] = [[int(x) for x in c] for c in cents]
     return _IVF_CACHE[sf_dir]
 
 
-def _probe_cells(cents: list[list[float]], qv: list[float]) -> list[int]:
-    """The query's IVF_NPROBE nearest cells — a pure-Python double fold on
-    the rounded centroids (same arithmetic class as the JVM fold —
-    deterministic; ties resolve to the lowest cluster id via sort)."""
+def _probe_cells(cents: list[list[int]], qv: list[float]) -> list[int]:
+    """The query's IVF_NPROBE nearest cells — exact integer distances on
+    the micro-quantized query (ties resolve to the lowest cluster id
+    via sort; same total order as the oracle's ORDER BY d, cid)."""
+    import math
+
+    qi = [math.floor(float(x) * 1000000.0 + 0.5) for x in qv]
     qdists = []
     for k, c in enumerate(cents):
-        acc = 0.0
-        for x, y in zip(qv, c):
-            acc += (float(x) - y) * (float(x) - y)
+        acc = 0
+        for x, y in zip(qi, c):
+            acc += (x - y) * (x - y)
         qdists.append((acc, k))
     return [k for _, k in sorted(qdists)[:IVF_NPROBE]]
 
 
-@query("knn_ivf", category="J.sim", tags=("side_effects",))
+#: SQL twins of _micro and _l2sq_int (int64-exact, order-free).
+_IVF_MICRO_SQL = "list_transform({a}, x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT)"
+_IVF_DIST_SQL = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+def _ivf_lloyd_round(i: int, prev: str) -> str:
+    """One unrolled Lloyd CTE block: assign sample to ``prev`` centroids
+    (ties → lowest cid), then per-cluster integer half-up mean
+    floor((2Σ + n)/(2n)) with empty clusters keeping their previous
+    centroid — the exact SQL replay of _ivf_centroids' numpy loop."""
+    d = _IVF_DIST_SQL.format(a="s.vi", b="c.cvec")
+    return f"""
+d{i} AS (SELECT s.vec_id, s.vi, c.cid, {d} AS d
+         FROM samp s CROSS JOIN {prev} c),
+a{i} AS (SELECT vec_id, vi, cid FROM d{i}
+         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+x{i} AS (SELECT cid, generate_subscripts(vi, 1) AS dim1, unnest(vi) AS v
+         FROM a{i}),
+m{i} AS (SELECT cid, dim1, sum(v)::BIGINT AS sv, count(*)::BIGINT AS cnt
+         FROM x{i} GROUP BY 1, 2),
+g{i} AS (SELECT cid,
+                list(floor((2 * sv + cnt) / (2.0 * cnt))::BIGINT
+                     ORDER BY dim1) AS cvec
+         FROM m{i} GROUP BY cid),
+c{i} AS (SELECT p.cid, coalesce(g{i}.cvec, p.cvec) AS cvec
+         FROM {prev} p LEFT JOIN g{i} ON g{i}.cid = p.cid)"""
+
+
+_IVF_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {_IVF_MICRO_SQL.format(a="embedding")} AS vi
+  FROM embeddings
+),
+nc AS (SELECT count(*) AS n FROM e),
+samp AS (
+  SELECT vec_id, vi, row_number() OVER (ORDER BY vec_id) AS rn
+  FROM e, nc
+  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 4))::BIGINT
+        < greatest(1, {65536 * IVF_TRAIN_CAP} // nc.n)
+),
+ns AS (SELECT greatest(1, count(*) // {IVF_K}) AS stride FROM samp),
+seeds AS (
+  SELECT ((rn - 1) // ns.stride)::INT AS cid, vi AS cvec
+  FROM samp, ns
+  WHERE (rn - 1) % ns.stride = 0 AND (rn - 1) // ns.stride < {IVF_K}
+),{_ivf_lloyd_round(1, "seeds")},{_ivf_lloyd_round(2, "c1")},
+q AS (SELECT embedding AS qe, vi AS qi FROM e WHERE vec_id = {QUERY_VEC_ID}),
+probes AS (
+  SELECT c.cid FROM q CROSS JOIN c2 c
+  ORDER BY {_IVF_DIST_SQL.format(a="q.qi", b="c.cvec")}, c.cid
+  LIMIT {IVF_NPROBE}
+),
+asg AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_IVF_DIST_SQL.format(a="e.vi", b="c.cvec")} AS d
+  FROM e CROSS JOIN c2 c
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+),
+cell AS (
+  SELECT vec_id, embedding, cid AS cluster FROM asg
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+scored AS (
+  SELECT cell.vec_id, cell.cluster,
+         round({DUCK_DOT.format(a="cell.embedding", b="q.qe")}
+               / ({DUCK_NORM.format(a="cell.embedding")}
+                  * {DUCK_NORM.format(a="q.qe")}), 6) AS cos_sim
+  FROM cell, q
+  WHERE cell.cluster IN (SELECT cid FROM probes)
+)
+SELECT vec_id, cluster, cos_sim FROM scored
+QUALIFY row_number() OVER (ORDER BY cos_sim DESC, vec_id) <= 10
+"""
+
+
+@query("knn_ivf", category="J.sim", tags=("side_effects",), oracle=_IVF_ORACLE)
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via IVF (inverted-file) coarse quantization — the
     other canonical ANN scale path next to knn_lsh. Corpus vectors are
@@ -436,9 +549,12 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a probe is a partition-pruned scan (files outside the 4 cells are
     never opened), train centroids on a sample, and raise K with corpus
     size (K ≈ sqrt(n) keeps cells scan-sized). Deterministic end-to-end:
-    stride seeds + 6-dp-rounded Lloyd rounds, no RNG. Rows-only (learned
-    centroids aren't SQL) — recall + exactness pytests vs knn_bruteforce
-    in tests/test_similarity.py."""
+    stride seeds + integer-exact Lloyd rounds on micro-quantized
+    vectors, no RNG — and since round 8 the learned centroids ARE SQL:
+    _IVF_ORACLE replays sampling, seeding, both Lloyd rounds, probe
+    selection and assignment as unrolled CTEs in exact int64 (verdict
+    item 2 — rows-only → exact oracle). Recall + exactness pytests vs
+    knn_bruteforce in tests/test_similarity.py."""
     e = Tables(spark, sf_dir).embeddings
     cents = _ivf_centroids(spark, sf_dir)
     qv = _query_vector(spark, sf_dir)
@@ -553,7 +669,14 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_ivf_pruned", category="J.sim", tags=("side_effects",))
+@query(
+    "knn_ivf_pruned",
+    category="J.sim",
+    tags=("side_effects",),
+    oracle=_IVF_ORACLE,  # identical result contract to knn_ivf — the
+    # partitioned write/pruned read is a physical rewrite, not semantics
+    # (the dedup_jaccard_prefix shared-oracle precedent)
+)
 def knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """knn_ivf's persisted form: the corpus is WRITTEN partitioned by its
     IVF cell id, so the probe is a partition-pruned scan — Spark's file
