@@ -491,8 +491,10 @@ c{i} AS (SELECT p.cid, coalesce(g{i}.cvec, p.cvec) AS cvec
          FROM {prev} p LEFT JOIN g{i} ON g{i}.cid = p.cid)"""
 
 
-_IVF_ORACLE = f"""
-WITH e AS (
+#: shared oracle prefix: trained centroids (c2) + every vector's cell —
+#: reused verbatim by knn_ivf, knn_ivf_pruned, knn_cell_stats and
+#: knn_semdedup so the quantizer replay exists in exactly one spelling.
+_IVF_CELLS_CTE = f"""e AS (
   SELECT vec_id, embedding,
          {_IVF_MICRO_SQL.format(a="embedding")} AS vi
   FROM embeddings
@@ -509,7 +511,10 @@ seeds AS (
   SELECT ((rn - 1) // ns.stride)::INT AS cid, vi AS cvec
   FROM samp, ns
   WHERE (rn - 1) % ns.stride = 0 AND (rn - 1) // ns.stride < {IVF_K}
-),{_ivf_lloyd_round(1, "seeds")},{_ivf_lloyd_round(2, "c1")},
+),{_ivf_lloyd_round(1, "seeds")},{_ivf_lloyd_round(2, "c1")}"""
+
+_IVF_ORACLE = f"""
+WITH {_IVF_CELLS_CTE},
 q AS (SELECT embedding AS qe, vi AS qi FROM e WHERE vec_id = {QUERY_VEC_ID}),
 probes AS (
   SELECT c.cid FROM q CROSS JOIN c2 c
@@ -716,6 +721,295 @@ def knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+#: SemDeDup pruning threshold — fixture embeddings are near-isotropic
+#: (within-cluster cosines ≈ N(0, 1/8)), so 0.3 ≈ 2.4σ exercises the
+#: survivor rule with a realistic drop fraction; production corpora run
+#: ε ≈ 0.9+ (Abbas et al. 2023 report ~50% web-data drops at ε≈0.95).
+SEMDEDUP_T = 0.3
+
+
+def _cell_assign_cols(emb_col, cents: list[list[int]]):
+    """(cluster, sqdist-to-own-centroid) from the exact integer
+    distances — the struct-min twin of :func:`_assign_cluster` for
+    operators that also need the winning distance."""
+    vi = _micro(emb_col)
+    dists = F.array(*[_l2sq_int(vi, c) for c in cents])
+    dmin = F.array_min(dists)
+    cluster = (F.array_position(dists, dmin) - 1).cast("int")
+    return cluster, dmin
+
+
+@query(
+    "knn_cell_stats",
+    category="J.sim",
+    oracle=f"""
+WITH {_IVF_CELLS_CTE},
+asg AS (
+  SELECT e.vec_id, c.cid,
+         {_IVF_DIST_SQL.format(a="e.vi", b="c.cvec")} AS d
+  FROM e CROSS JOIN c2 c
+),
+cell AS (
+  SELECT vec_id, cid AS cluster, d FROM asg
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+g AS (SELECT cluster, count(*) AS n, sum(d)::BIGINT AS sd
+      FROM cell GROUP BY 1),
+t AS (SELECT sum(n)::BIGINT AS nt FROM g)
+SELECT cluster::INT AS cluster, n::BIGINT AS n_vectors,
+       round(n::DOUBLE / t.nt, 6) AS share,
+       ((2 * sd + n) // (2 * n))::BIGINT AS avg_sqdist
+FROM g, t
+""",
+)
+def knn_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-balance audit: per-cell population share and mean
+    squared distance to the owning centroid (micro-units²) — the
+    dashboard that decides whether the coarse quantizer needs
+    retraining. A skewed share column means hot cells (probe latency
+    ceiling: a probe scans its cells end-to-end), and a cell whose
+    avg_sqdist outgrows the others is a quantization-drift signal
+    (corpus moved since training — the index equivalent of
+    quality_drift_psi). Exact end-to-end: assignment and distances ride
+    the same integer micro-unit pipeline as knn_ivf (shared
+    _IVF_CELLS_CTE oracle prefix), the per-cell sums are order-free
+    int64, the mean is the integer half-up identity (2Σ+n)//(2n)
+    (rounding the ~1e11-magnitude double quotient to 6 dp diverges in
+    the last ulp across engines), and share is one identical double
+    division. Scale: one scan + one 16-row aggregate — the audit costs
+    one pass regardless of corpus size; the global total rides a
+    16-row window, never a second scan."""
+    e = Tables(spark, sf_dir).embeddings
+    cents = _ivf_centroids(spark, sf_dir)
+    cluster, dmin = _cell_assign_cols(F.col("embedding"), cents)
+    g = (
+        e.select(cluster.alias("cluster"), dmin.alias("d"))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("d").alias("sd"))
+    )
+    wt = Window.partitionBy()
+    return g.select(
+        "cluster",
+        F.col("n").cast("long").alias("n_vectors"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias(
+            "share"
+        ),
+        # exact integer half-up mean (micro-units²): rounding the ~1e11
+        # double quotient to 6 dp differs in the last ulp across engines
+        # (first-cut trap) — the Lloyd-mean integer identity doesn't
+        F.expr("(2 * sd + n) div (2 * n)").cast("long").alias("avg_sqdist"),
+    )
+
+
+@query(
+    "knn_semdedup",
+    category="J.sim",
+    oracle=f"""
+WITH {_IVF_CELLS_CTE},
+asg AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_IVF_DIST_SQL.format(a="e.vi", b="c.cvec")} AS d
+  FROM e CROSS JOIN c2 c
+),
+cell AS (
+  SELECT vec_id, embedding, cid AS cluster FROM asg
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+cs AS (
+  SELECT cell.vec_id, cell.embedding, cell.cluster,
+         {DUCK_NORM.format(a="cell.embedding")} AS nrm,
+         {DUCK_DOT.format(a="cell.embedding", b="cd.cvd")}
+           / ({DUCK_NORM.format(a="cell.embedding")}
+              * {DUCK_NORM.format(a="cd.cvd")}) AS csim
+  FROM cell
+  JOIN (SELECT cid, list_transform(cvec, v -> v::DOUBLE / 1000000) AS cvd
+        FROM c2) cd
+    ON cd.cid = cell.cluster
+),
+drops AS (
+  SELECT DISTINCT x.vec_id
+  FROM cs x JOIN cs y
+    ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+  WHERE {DUCK_DOT.format(a="x.embedding", b="y.embedding")}
+          / (x.nrm * y.nrm) >= {SEMDEDUP_T}
+    AND (y.csim < x.csim OR (y.csim = x.csim AND y.vec_id < x.vec_id))
+)
+SELECT cluster::INT AS cluster, count(*)::BIGINT AS n_vectors,
+       count(*) FILTER (WHERE vec_id IN (SELECT vec_id FROM drops))::BIGINT
+         AS n_dropped,
+       round(count(*) FILTER (WHERE vec_id IN (SELECT vec_id FROM drops))
+             * 1.0 / count(*), 6) AS drop_ratio
+FROM cs GROUP BY cluster
+""",
+)
+def knn_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup scoped to the
+    learned IVF cells — the modern curation step between exact/minhash
+    dedup (same bytes/shingles) and nothing: embedding-near documents
+    that SHARE NO n-grams (translations, templated rewrites,
+    paraphrases) still collapse. Pipeline: (1) assign every vector to
+    its IVF cell (the knn_ivf quantizer, shared verbatim), (2) ONLY
+    within a cell, mark x dropped when a cell-mate y has
+    cos(x, y) ≥ ε and y sits closer in rank to the centroid — the
+    paper's keep-one-per-duplicate-group rule made deterministic by
+    the (centroid-cosine, vec_id) total order, (3) report per-cell
+    keep/drop accounting. Why cluster-scoped is THE scale shape: the
+    all-pairs cosine space is n², but near-dups land in the same cell
+    (dedup_embedding covers the global-pair form at broadcast scale),
+    so the join is cluster-partitioned with Σ nᵢ² work and K ≈ √n
+    keeps cells bounded — the 100 TB plan is shuffle-by-cell then
+    per-cell pairs, never a global product. Exactness: cell ids are
+    integer-exact (micro-unit distances), both cosine folds are the
+    bit-identical sequential double fold on both engines, and the
+    drop decision compares those identical doubles (ARCHITECTURE §4
+    decision-in-doubles rule), so the oracle replays candidate sets
+    AND survivor choices exactly."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    e = Tables(spark, sf_dir).embeddings
+    cents = _ivf_centroids(spark, sf_dir)
+    cents_np = np.array(cents, dtype=np.int64)
+    cvd = [[v / 1000000 for v in c] for c in cents]
+
+    def _assign_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Per-batch: micro-quantize (identical elementwise doubles to
+        _micro), assign cells by EXACT int64 distance (numpy integer
+        matmul ≡ the JVM fold — order-free integers), then nrm/csim as
+        SEQUENTIAL per-row Python folds (bit-identical to the oracle's
+        list_sum; numpy's unrolled accumulators would NOT be). One
+        Arrow pass replaces the 16×64-literal interpreted fold tree,
+        measured ~5× on this stage."""
+        for pdf in batches:
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            vi = np.floor(mat * 1000000.0 + 0.5).astype(np.int64)
+            d2 = (
+                (vi * vi).sum(axis=1)[:, None]
+                - 2 * (vi @ cents_np.T)
+                + (cents_np * cents_np).sum(axis=1)[None, :]
+            )
+            cl = np.argmin(d2, axis=1)
+            nrms, csims = [], []
+            for i in range(len(mat)):
+                acc = 0.0
+                for x in mat[i]:
+                    acc += x * x
+                nrm_i = math.sqrt(acc)  # Math.sqrt twin, NOT pow(x, .5)
+                cv = cvd[cl[i]]
+                accn = 0.0
+                for x in cv:
+                    accn += x * x
+                accd = 0.0
+                for x, y in zip(mat[i], cv):
+                    accd += x * y
+                nrms.append(nrm_i)
+                csims.append(accd / (nrm_i * math.sqrt(accn)))
+            yield pd.DataFrame(
+                {
+                    "cluster": cl.astype(np.int32),
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "nrm": nrms,
+                    "csim": csims,
+                }
+            )
+
+    cs = (
+        e.select("vec_id", "embedding")
+        .mapInPandas(
+            _assign_score,
+            "cluster int, vec_id bigint, embedding array<float>, "
+            "nrm double, csim double",
+        )
+        .cache()  # feeds candidates + both rescore sides + the final
+        # accounting — never re-derived (jaccard_prefix rule)
+    )
+    # candidate pairs per cell via blocked BLAS (the dedup_embedding
+    # escape hatch, here GROUPED: applyInPandas per cluster, so the
+    # pair space is Σnᵢ² and the shuffle key is the cell — the exact
+    # 100 TB shape). The epsilon-relaxed cut only prunes; the decision
+    # threshold and survivor order are re-derived JVM-side below.
+    import numpy as np
+    import pandas as pd
+
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        ids = np.array(pdf["vec_id"], dtype=np.int64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        cos = (mat @ mat.T) / (nrm[:, None] * nrm[None, :])
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = cos[iu, ju] >= SEMDEDUP_T - 1e-6
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {"vec_a": np.minimum(a, b), "vec_b": np.maximum(a, b)}
+        )
+
+    cand = cs.select("cluster", "vec_id", "embedding").groupBy(
+        "cluster"
+    ).applyInPandas(_cell_pairs, "vec_a BIGINT, vec_b BIGINT")
+    ca = cs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        F.col("csim").alias("csim_a"),
+    )
+    cb = cs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        F.col("csim").alias("csim_b"),
+    )
+    pair_cos = dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    # per qualifying pair the member LARGER in the (csim, vec_id) total
+    # order is dropped — ≡ the oracle's EXISTS-a-smaller-neighbor rule
+    drops = (
+        cand.join(F.broadcast(ca), "vec_a")
+        .join(F.broadcast(cb), "vec_b")
+        .where(pair_cos >= SEMDEDUP_T)
+        .select(
+            F.when(
+                (F.col("csim_a") > F.col("csim_b"))
+                | (
+                    (F.col("csim_a") == F.col("csim_b"))
+                    & (F.col("vec_a") > F.col("vec_b"))
+                ),
+                F.col("vec_a"),
+            )
+            .otherwise(F.col("vec_b"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return (
+        cs.join(drops, "vec_id", "left")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum(F.coalesce(F.col("dropped"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .select(
+            "cluster",
+            "n_vectors",
+            "n_dropped",
+            F.round(
+                F.col("n_dropped") * F.lit(1.0) / F.col("n_vectors"), 6
+            ).alias("drop_ratio"),
+        )
     )
 
 

@@ -246,3 +246,34 @@ def test_ivf_quantizer_trains_on_capped_sample(spark, tmp_path):
         assert kept < n // 2
     finally:
         _IVF_CACHE.pop(d, None)
+
+
+def test_cell_stats_partition_of_corpus(spark):
+    """knn_cell_stats is a partition audit: populations sum to the
+    corpus size, shares to ~1, and every cell is non-degenerate."""
+    from mapreduce_server_spark.operators.similarity import IVF_K
+
+    rows = REGISTRY["knn_cell_stats"].fn(spark, SF001).collect()
+    assert len(rows) <= IVF_K
+    n_corpus = REGISTRY["knn_cell_stats"].fn(spark, SF001).sparkSession.read.parquet(
+        f"{SF001}/embeddings.parquet"
+    ).count()
+    assert sum(r.n_vectors for r in rows) == n_corpus
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4  # 6-dp rounding slack
+    for r in rows:
+        assert r.n_vectors > 0 and r.avg_sqdist >= 0
+
+
+def test_semdedup_survivor_invariants(spark):
+    """SemDeDup accounting invariants: per-cell totals partition the
+    corpus; at least one survivor per cell (the member minimal in the
+    (centroid-cosine, vec_id) order can never be dropped — the drop
+    rule requires a strictly-smaller neighbor); drop_ratio consistent."""
+    rows = REGISTRY["knn_semdedup"].fn(spark, SF001).collect()
+    n_corpus = spark.read.parquet(f"{SF001}/embeddings.parquet").count()
+    assert sum(r.n_vectors for r in rows) == n_corpus
+    for r in rows:
+        assert 0 <= r.n_dropped < r.n_vectors  # >=1 survivor per cell
+        assert abs(r.drop_ratio - round(r.n_dropped / r.n_vectors, 6)) < 1e-9
+    # the rule actually fires on the fixture (non-degenerate demo)
+    assert sum(r.n_dropped for r in rows) > 0
