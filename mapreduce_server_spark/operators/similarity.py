@@ -994,7 +994,7 @@ def knn_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dropped", F.lit(1))
     )
     return (
-        cs.join(drops, "vec_id", "left")
+        cs.join(F.broadcast(drops), "vec_id", "left")
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vectors"),
