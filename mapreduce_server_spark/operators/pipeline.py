@@ -128,8 +128,67 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FFD_CAP = 128
 
+#: pack_ffd oracle — replays the ENTIRE first-fit-decreasing fold as a
+#: DuckDB recursive CTE (the ts_holt_winters list-state recipe): items
+#: ordered (n_tokens DESC, doc_id) per source; fold state is four
+#: parallel BIGINT lists (remaining capacity, n_docs, total_tokens,
+#: max_doc_tokens per open bin); each step finds the first bin with
+#: rem >= nt via list_min over an index lambda (NULL when none fits →
+#: open a new 128-capacity bin, exactly the Python branch). All-integer,
+#: so the replay is bit-exact. All 20 sources advance in lockstep (one
+#: recursion step = one item per source), depth = max docs/source.
+_FFD_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT source, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tokens DESC, doc_id) AS i,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM toks
+),
+fold(source, i, n, rem, nd, tt, mx) AS (
+  SELECT source, 0::BIGINT, n,
+         []::BIGINT[], []::BIGINT[], []::BIGINT[], []::BIGINT[]
+  FROM (SELECT DISTINCT source, n FROM ordered)
+  UNION ALL
+  SELECT source, i, n,
+         CASE WHEN ff IS NULL THEN list_append(rem, 128 - nt)
+              ELSE list_transform(range(1, len(rem)+1),
+                     j -> CASE WHEN j = ff THEN rem[j] - nt ELSE rem[j] END)
+         END,
+         CASE WHEN ff IS NULL THEN list_append(nd, 1::BIGINT)
+              ELSE list_transform(range(1, len(nd)+1),
+                     j -> CASE WHEN j = ff THEN nd[j] + 1 ELSE nd[j] END)
+         END,
+         CASE WHEN ff IS NULL THEN list_append(tt, nt)
+              ELSE list_transform(range(1, len(tt)+1),
+                     j -> CASE WHEN j = ff THEN tt[j] + nt ELSE tt[j] END)
+         END,
+         CASE WHEN ff IS NULL THEN list_append(mx, nt)
+              ELSE list_transform(range(1, len(mx)+1),
+                     j -> CASE WHEN j = ff THEN greatest(mx[j], nt) ELSE mx[j] END)
+         END
+  FROM (
+    SELECT f.source, f.i + 1 AS i, f.n, f.rem, f.nd, f.tt, f.mx,
+           o.n_tokens AS nt,
+           list_min(list_transform(range(1, len(f.rem)+1),
+             j -> CASE WHEN f.rem[j] >= o.n_tokens THEN j END)) AS ff
+    FROM fold f JOIN ordered o ON o.source = f.source AND o.i = f.i + 1
+  )
+)
+SELECT source,
+       (unnest(range(1, len(nd)+1)) - 1)::BIGINT AS bin_id,
+       unnest(nd)::BIGINT AS n_docs,
+       unnest(tt)::BIGINT AS total_tokens,
+       unnest(mx)::BIGINT AS max_doc_tokens
+FROM fold WHERE i = n
+"""
 
-@query("pack_ffd", category="J.pipeline")
+
+@query("pack_ffd", category="J.pipeline", oracle=_FFD_ORACLE)
 def pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing bin packing per source shard: documents are
     NOT split across sequences (pack_sequences' concat-then-chunk twin
@@ -140,9 +199,11 @@ def pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     the group key; shards pack in parallel after ONE shuffle on source,
     and at 100 TB the shard key is the file/partition id so group state
     stays bounded by shard size, not corpus size. The open-bin scan is
-    stateful and order-dependent → not SQL-expressible; the rows-only
-    driver check is backed by a pytest that replays FFD in pure Python
-    and asserts capacity/partition invariants (tests/test_stats_ml.py)."""
+    order-dependent but DETERMINISTIC (total order, integer state), so
+    the oracle replays the whole fold as a recursive CTE carrying the
+    per-bin state lists (see _FFD_ORACLE) — converted from rows-only in
+    round 8. The pytest replay in tests/test_stats_ml.py stays as the
+    engine-independent third opinion."""
     d = Tables(spark, sf_dir).documents
     t = d.select(
         "source",

@@ -2,7 +2,8 @@
 pack_ffd): parity vs DuckDB is covered by test_oracle_parity's
 registry sweep; these pin the *math* — OLS against numpy's closed form,
 entropy bounds, seasonal-index mass balance, k-means invariants, and an
-exact pure-Python FFD replay for the rows-only packer."""
+exact pure-Python FFD replay for the packer (the engine-independent
+third opinion beside its round-8 recursive-CTE oracle)."""
 
 from __future__ import annotations
 
