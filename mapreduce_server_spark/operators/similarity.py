@@ -1239,6 +1239,76 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_oracle() -> str:
+    """Composes the knn_join (exact ground truth) and knn_join_lsh
+    (approximate) oracles verbatim as CTEs — one shared definition per
+    pipeline, so the audit's notion of "exact" and "approx" can never
+    drift from the operators it audits (the _md5_int_sql precedent)."""
+    from ..registry import REGISTRY
+
+    exact = REGISTRY["knn_join"].oracle
+    approx = REGISTRY["knn_join_lsh"].oracle
+    return f"""
+WITH exact AS ({exact}),
+approx AS ({approx}),
+per_vec AS (
+  SELECT e.vec_id, count(a.vec_id)::BIGINT AS hits
+  FROM exact e LEFT JOIN approx a
+    ON a.vec_id = e.vec_id AND a.nbr_id = e.nbr_id
+  GROUP BY e.vec_id
+)
+SELECT hits, count(*)::BIGINT AS n_vectors,
+       round(count(*)::DOUBLE / (sum(count(*)) OVER ())::DOUBLE, 6) AS share
+FROM per_vec GROUP BY hits
+"""
+
+
+@query("knn_recall", category="J.sim", oracle=_recall_oracle())
+def knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 audit of the LSH k-NN join against exact ground truth —
+    the acceptance gate a 100 TB deployment runs (on a sampled shard)
+    before swapping brute force for the bucketed index: per vector,
+    how many of the exact top-3 does knn_join_lsh recover? Output is
+    the hits histogram (hits ∈ 0..3, n_vectors, share); micro-recall =
+    Σ(hits·n)/3n ≈ 0.68 on the fixture (floor 0.6 pinned in
+    tests/test_similarity.py long before this became a first-class
+    query). Composes the two REGISTERED operators — plan and oracle
+    both reuse the audited pipelines' own definitions, so the audit
+    can't measure a stale variant. The left join from exact keeps
+    0-hit vectors in the histogram (every vector has exactly 3 exact
+    rows); the comparison is on integer pair KEYS, so the audit adds
+    no float surface of its own. Scale shape: two vec_id-keyed
+    equi-joins plus a 4-row final aggregate — the expensive parts ARE
+    the audited operators."""
+    exact = knn_join(spark, sf_dir).select("vec_id", "nbr_id")
+    approx = (
+        knn_join_lsh(spark, sf_dir)
+        .select("vec_id", "nbr_id")
+        .withColumn("found", F.lit(1))
+    )
+    per_vec = (
+        exact.join(approx, ["vec_id", "nbr_id"], "left")
+        .groupBy("vec_id")
+        .agg(F.sum(F.coalesce(F.col("found"), F.lit(0))).alias("hits"))
+    )
+    # ≤4-row grouped frame — the unpartitioned window is a constant-size
+    # final reduce, same shape as the registry's other scalar shares.
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_vec.groupBy("hits")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            F.col("hits").cast("long").alias("hits"),
+            "n_vectors",
+            F.round(
+                F.col("n_vectors") / F.sum("n_vectors").over(w), 6
+            ).alias("share"),
+        )
+    )
+
+
 @query(
     "ml_silhouette",
     category="J.sim",

@@ -277,3 +277,37 @@ def test_semdedup_survivor_invariants(spark):
         assert abs(r.drop_ratio - round(r.n_dropped / r.n_vectors, 6)) < 1e-9
     # the rule actually fires on the fixture (non-degenerate demo)
     assert sum(r.n_dropped for r in rows) > 0
+
+
+def test_knn_recall_histogram_replays_upstream(spark):
+    """Independent replay of the knn_recall audit: rebuild the hits
+    histogram in pure Python from the two UPSTREAM operators' collected
+    outputs (not from knn_recall's own join) and compare exactly —
+    histogram, shares (HALF_UP like the engines), and the corpus-size
+    partition invariant. Also ties the audit to the long-standing
+    recall floor: micro-recall derived from the histogram must clear
+    the same 0.6 bar test_lsh_join_recall_floor pins."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    exact = {}
+    for r in REGISTRY["knn_join"].fn(spark, SF001).collect():
+        exact.setdefault(r.vec_id, set()).add(r.nbr_id)
+    approx = {}
+    for r in REGISTRY["knn_join_lsh"].fn(spark, SF001).collect():
+        approx.setdefault(r.vec_id, set()).add(r.nbr_id)
+    hist = Counter(
+        len(nbrs & approx.get(v, set())) for v, nbrs in exact.items()
+    )
+    total = sum(hist.values())
+
+    rows = {r.hits: r for r in REGISTRY["knn_recall"].fn(spark, SF001).collect()}
+    assert {h: r.n_vectors for h, r in rows.items()} == dict(hist)
+    assert sum(r.n_vectors for r in rows.values()) == total  # every vector
+    for h, r in rows.items():
+        want = Decimal(repr(hist[h] / total)).quantize(
+            Decimal("0.000001"), ROUND_HALF_UP
+        )
+        assert Decimal(repr(r.share)) == want
+    micro = sum(h * c for h, c in hist.items()) / (3 * total)
+    assert micro >= 0.6, micro
