@@ -24,7 +24,7 @@ per-doc key bounds any skew by document length, not corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -89,6 +89,154 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum(kept).alias("n_kept"),
+    )
+
+
+_TEMP_ORACLE = """
+WITH c AS (
+  SELECT lang, count(*)::BIGINT AS n_total FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(n_total)::BIGINT AS n_corpus FROM c),
+w AS (
+  SELECT lang, n_total, n_corpus,
+         sqrt(n_total::DOUBLE / n_corpus::DOUBLE) AS w
+  FROM c, tot
+),
+ws AS (SELECT list_sum(list(w ORDER BY lang)) AS wsum FROM w),
+pol AS (
+  SELECT lang, n_total,
+         round(w / wsum, 6) AS mix_share,
+         floor(n_corpus::DOUBLE * (w / wsum) + 0.5)::BIGINT AS target_n
+  FROM w, ws
+),
+pol2 AS (
+  SELECT lang, n_total, mix_share, target_n,
+         target_n // n_total AS n_repeat,
+         floor(65536.0 * (target_n % n_total)::DOUBLE
+               / n_total::DOUBLE)::BIGINT AS th
+  FROM pol
+),
+extra AS (
+  SELECT d.lang,
+         count(*) FILTER (
+           WHERE ('0x' || substr(md5('tmp:' || d.doc_id::VARCHAR), 1, 4))::BIGINT
+                 < p.th
+         )::BIGINT AS kept_extra
+  FROM documents d JOIN pol2 p USING (lang)
+  GROUP BY d.lang
+)
+SELECT p.lang, p.n_total, p.mix_share, p.target_n, p.n_repeat,
+       e.kept_extra,
+       (p.n_repeat * p.n_total + e.kept_extra)::BIGINT AS realized_n
+FROM pol2 p JOIN extra e USING (lang)
+"""
+
+
+@query("sample_temperature", category="J.pipeline", oracle=_TEMP_ORACLE)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling (the multilingual-pretraining
+    standard: sample language i ∝ share_i^(1/T), T=2 here — mC4/XLM-R
+    flatten skewed language distributions exactly this way). Unlike
+    sample_mixture's FIXED thresholds, the policy is DERIVED FROM THE
+    DATA in the same query: per-language counts → tempered weights →
+    normalized mixture → integer target counts, then REALIZED as
+    n_repeat full copies (upsampled rare languages) plus a fractional
+    md5-threshold keep — every decision a pure function of (corpus
+    stats, doc_id), so reruns and engine swaps resample identically.
+
+    Float discipline: the only float stages are sqrt/divide/floor on
+    IEEE doubles computed identically in both engines; the one
+    order-sensitive reduction (the weight normalizer) folds in
+    lang-sorted order on BOTH sides (F.aggregate over sort_array ≡
+    DuckDB list_sum over list(ORDER BY lang)); targets then drop to
+    integers via the floor(x+0.5) half-up identity before any further
+    arithmetic.
+
+    Scale shape: one partial-agg shuffle for the counts, a ≤|langs|-row
+    policy frame broadcast back onto the scan (BroadcastHashJoin), one
+    final |langs|-row agg. The policy math is constant-size; the corpus
+    is touched by exactly two scans and zero wide shuffles."""
+    d = Tables(spark, sf_dir).documents
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # tempered weight per language over the ≤|langs|-row grouped frame
+    t = counts.select(
+        "lang",
+        "n_total",
+        F.sum("n_total").over(w_all).alias("n_corpus"),
+        F.sqrt(F.col("n_total") / F.sum("n_total").over(w_all)).alias("w"),
+    )
+    # normalizer: lang-ordered sequential fold (matches list_sum order)
+    folded = t.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("lang", "w"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s.w,
+        ).alias("wsum")
+    )
+    p = F.col("w") / F.col("wsum")
+    target = F.floor(F.col("n_corpus") * p + F.lit(0.5)).cast("long")
+    pol = (
+        t.crossJoin(F.broadcast(folded))
+        .select(
+            "lang",
+            "n_total",
+            F.round(p, 6).alias("mix_share"),
+            target.alias("target_n"),
+        )
+        .select(
+            "lang",
+            "n_total",
+            "mix_share",
+            "target_n",
+            F.expr("target_n div n_total").alias("n_repeat"),
+            F.floor(
+                F.lit(65536.0)
+                * (F.col("target_n") % F.col("n_total"))
+                / F.col("n_total")
+            )
+            .cast("long")
+            .alias("th"),
+        )
+    )
+    h16 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("tmp:"), F.col("doc_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    extra = (
+        d.select("lang", h16.alias("h16"))
+        .join(F.broadcast(pol.select("lang", "th")), "lang")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("h16") < F.col("th"), 1).otherwise(0)).alias(
+                "kept_extra"
+            )
+        )
+    )
+    return (
+        pol.join(extra, "lang")
+        .select(
+            "lang",
+            "n_total",
+            "mix_share",
+            "target_n",
+            "n_repeat",
+            "kept_extra",
+            (F.col("n_repeat") * F.col("n_total") + F.col("kept_extra"))
+            .cast("long")
+            .alias("realized_n"),
+        )
     )
 
 

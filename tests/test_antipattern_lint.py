@@ -73,6 +73,9 @@ _BNLJ_ALLOWED: set[str] = {
     "text_bm25", "text_langid", "text_perplexity", "ts_acf_multi",
     "ts_changepoint_binseg", "ts_cross_corr", "ts_dtw", "ts_granger",
     "ts_holt_seasonal", "ts_ljungbox",
+    # round-8 session 2: crossJoin(broadcast(folded)) where folded is
+    # the 1-row lang-ordered weight-normalizer scalar (audited 2026-08-15)
+    "sample_temperature",
 }
 
 
