@@ -1046,8 +1046,15 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(
             F.count(F.lit(1)).alias("k_eff"),
+            # WHEN/OTHERWISE, not a bool cast: the left-join misses are
+            # NULL and (NULL & x) is NULL, so a pair with ZERO common
+            # min-hashes (possible on a shrunken fixture) would sum to
+            # NULL where the oracle's CASE yields 0 — mirror the CASE
             F.sum(
-                ((F.col("ina") == 1) & (F.col("inb") == 1)).cast("long")
+                F.when(
+                    F.col("ina").isNotNull() & F.col("inb").isNotNull(),
+                    F.lit(1),
+                ).otherwise(F.lit(0)).cast("long")
             ).alias("n_both"),
         )
     )

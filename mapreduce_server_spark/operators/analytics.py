@@ -307,7 +307,9 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("s") / F.col("n")
     std = F.sqrt(F.col("ssq") / F.col("n") - mean * mean)
-    z = (F.col("value") - mean) / std
+    # try_divide: std = 0 (single-event type on a shrunken fixture)
+    # yields NULL like DuckDB's x/0; |NULL| > 2.4 filters the row out
+    z = F.try_divide(F.col("value") - mean, std)
     return (
         ev.join(F.broadcast(stats), "event_type")
         .where(F.abs(z) > 2.4)
@@ -717,7 +719,11 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
     )
     stats = med.join(mad, "event_type")
-    rz = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    # try_divide: a degenerate group (mad = 0 on a shrunken fixture)
+    # yields NULL exactly like DuckDB's x/0, and |NULL| > 3 filters out
+    rz = F.try_divide(
+        F.col("value") - F.col("med"), F.lit(1.4826) * F.col("mad")
+    )
     return (
         ev.join(F.broadcast(stats), "event_type")
         .where(F.abs(rz) > 3.0)
@@ -959,7 +965,9 @@ def ts_holt_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal exponential smoothing in the two-pass production form:
     (1) an ADDITIVE hour-of-day seasonal index from exact decimal means
     (hourly mean − global mean, each a single division — the
-    ts_seasonality discipline), broadcast as one 24-slot array; (2) the
+    ts_seasonality discipline), broadcast as one hour-keyed map (users
+    whose NEXT hour has no index on a short fixture are dropped,
+    mirroring the oracle's inner re-seasonalizing join); (2) the
     ``ts_holt`` α=β=½ level+trend fold over the DESEASONALIZED series,
     re-seasonalizing the one-step forecast with the next hour's index.
     This is how pipelines actually run Holt-Winters at scale — frozen
@@ -991,11 +999,12 @@ def ts_holt_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(gm))
         .select("h", (F.col("hm") - F.col("m")).alias("s"))
     )
+    # hour-KEYED map, not a positional array: with hours missing from a
+    # shrunken fixture a 24-slot positional index is off-by-rank (and
+    # ANSI element_at throws out-of-bounds) while the oracle joins on
+    # the hour value — the keyed lookup mirrors the join exactly.
     sarr = sz.agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("h", "s"))),
-            lambda p: p.getField("s"),
-        ).alias("sarr")
+        F.map_from_entries(F.collect_list(F.struct("h", "s"))).alias("smap")
     )
     deseason = ev.crossJoin(F.broadcast(sarr)).select(
         "user_id",
@@ -1003,9 +1012,10 @@ def ts_holt_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.hour("ts").alias("h"),
         (
-            F.col("value") - F.element_at(F.col("sarr"), F.hour("ts") + 1)
+            # own hour always present (sz is built from these events)
+            F.col("value") - F.element_at(F.col("smap"), F.hour("ts"))
         ).alias("x"),
-        F.col("sarr"),
+        F.col("smap"),
     )
     vals = F.transform(
         F.sort_array(F.collect_list(F.struct("ts", "event_id", "x"))),
@@ -1032,12 +1042,21 @@ def ts_holt_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         ),
     )
-    next_s = F.element_at(F.first("sarr"), ((last_h + 1) % 24) + 1)
-    return deseason.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        st.getField("l").alias("level_last"),
-        st.getField("b").alias("trend_last"),
-        (st.getField("l") + st.getField("b") + next_s).alias("forecast_next"),
+    # the NEXT hour's index can be absent on a short fixture; the oracle
+    # re-seasonalizes via an INNER join on (h_last+1)%24 and silently
+    # drops such users — try_element_at → NULL → the filter mirrors it.
+    next_s = F.try_element_at(F.first("smap"), (last_h + 1) % 24)
+    return (
+        deseason.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            st.getField("l").alias("level_last"),
+            st.getField("b").alias("trend_last"),
+            (st.getField("l") + st.getField("b") + next_s).alias(
+                "forecast_next"
+            ),
+        )
+        .where(F.col("forecast_next").isNotNull())
     )
 
 

@@ -2071,15 +2071,18 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n - n1
     r = F.col("r")
     mu = 2.0 * n1 * n2 / n + 1
-    var = (
-        2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+    # try_divide twice: n = 1 zeroes the σ² denominator and n1 = n2 = 1
+    # zeroes σ² itself on a shrunken fixture — DuckDB's x/0 → NULL
+    # propagates to a NULL z_score; these mirror it exactly
+    var = F.try_divide(
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n), n * n * (n - 1.0)
     )
     return agg.select(
         "event_type",
         r.alias("n_runs"),
         n1.alias("n1"),
         n2.alias("n2"),
-        F.round((r - mu) / F.sqrt(var), 6).alias("z_score"),
+        F.round(F.try_divide(r - mu, F.sqrt(var)), 6).alias("z_score"),
     )
 
 
@@ -3376,7 +3379,9 @@ def stat_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n")
     mean = F.col("s").cast("double") / n
-    var = (F.col("q").cast("double") / n - mean * mean) * n / (n - 1)
+    # try_divide: a 1-user type on a shrunken fixture zeroes the sample-
+    # variance denominator; DuckDB's x/0 → NULL dispersion is mirrored
+    var = F.try_divide((F.col("q").cast("double") / n - mean * mean) * n, n - 1)
     return m.select(
         "event_type",
         n.alias("n_users"),
@@ -5496,7 +5501,10 @@ def ts_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p2",
         "s1",
         "s2",
-        ((m * p1 - s1 * sy) / (m * q11 - s1 * s1)).alias("phir"),
+        # try_divide on every ratio below: a constant/collinear design
+        # (possible on a shrunken grid) zeroes this denominator or det;
+        # DuckDB's x/0 → NULL propagates to NULL beta/f_stat — mirrored
+        F.try_divide(m * p1 - s1 * sy, m * q11 - s1 * s1).alias("phir"),
         (
             m * (q11 * q22 - q12 * q12)
             - s1 * (s1 * q22 - q12 * s2)
@@ -5522,17 +5530,19 @@ def ts_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     rss_r = syy - ((sy - phir * s1) / m) * sy - phir * p1
     rss_u = (
         syy
-        - (F.col("detc") / det) * sy
-        - (F.col("det1") / det) * p1
-        - (F.col("det2") / det) * p2
+        - F.try_divide(F.col("detc"), det) * sy
+        - F.try_divide(F.col("det1"), det) * p1
+        - F.try_divide(F.col("det2"), det) * p2
     )
-    beta = F.col("det2") / det
+    beta = F.try_divide(F.col("det2"), det)
     return fit.select(
         F.col("eff").alias("effect_type"),
         F.col("cause").alias("cause_type"),
         m.cast("long").alias("n_obs"),
         F.round(beta, 6).alias("beta"),
-        F.round((rss_r - rss_u) * (m - 3) / rss_u, 6).alias("f_stat"),
+        F.round(F.try_divide((rss_r - rss_u) * (m - 3), rss_u), 6).alias(
+            "f_stat"
+        ),
     )
 
 

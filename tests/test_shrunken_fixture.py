@@ -1,0 +1,81 @@
+"""Shrunken-fixture robustness sweep: EVERY events-based oracle key must
+stay Spark≡DuckDB on a 12-hour truncation of the events table.
+
+Why this gate exists: the fixture has been regenerated between rounds
+before (the ts encoding drift), and round-7 ADVICE found one operator
+(ts_holt_winters) whose Spark side silently diverged from its oracle on
+a hypothetical sub-24h fixture. A round-8 audit of the same class found
+SEVEN more — five ANSI DIVIDE_BY_ZERO errors where DuckDB's x/0 yields
+NULL (anomaly_zscore, stat_dispersion, stat_runs_test, ts_granger,
+ts_mad_outliers → F.try_divide), one positional seasonal-index lookup
+that breaks when hours are missing (ts_holt_seasonal → hour-keyed map +
+the oracle's inner-join drop rule), and one NULL-vs-0 boolean-cast sum
+(sketch_kmv_jaccard → the oracle's CASE). This sweep turns that audit
+into CI: a 12-row, 7-distinct-hour events table exercises empty hours,
+single-member groups, zero variances, zero-overlap sketches and
+degenerate regressions across all ~90 events-reading oracles at once.
+
+The truncation is a pure filter of the committed sf0.001 fixture —
+deterministic, no synthesis."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import duckdb
+import pytest
+
+from mapreduce_server_spark import REGISTRY
+from mapreduce_server_spark.sources.loader import TABLE_NAMES
+
+from .conftest import SF0001, make_duck
+from .parity import assert_parity
+
+
+@pytest.fixture(scope="module")
+def shrunk_dir():
+    d = tempfile.mkdtemp(prefix="shrunk12h_")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (SELECT * FROM read_parquet('{SF0001}/events.parquet')
+              WHERE ts < (SELECT min(ts)
+                          FROM read_parquet('{SF0001}/events.parquet'))
+                         + INTERVAL 12 HOUR)
+        TO '{os.path.join(d, "events.parquet")}' (FORMAT PARQUET)
+        """
+    )
+    for t in TABLE_NAMES:
+        if t != "events":
+            shutil.copy(
+                os.path.join(SF0001, f"{t}.parquet"),
+                os.path.join(d, f"{t}.parquet"),
+            )
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_every_events_oracle_survives_a_12_hour_fixture(spark, shrunk_dir):
+    duck = make_duck(shrunk_dir)
+    keys = sorted(
+        k
+        for k, s in REGISTRY.items()
+        if s.oracle and "events" in s.oracle
+    )
+    assert len(keys) >= 80  # the sweep must actually cover the tier
+    bad: list[tuple[str, str]] = []
+    for k in keys:
+        try:
+            assert_parity(
+                REGISTRY[k].raw_fn(spark, shrunk_dir),
+                duck,
+                REGISTRY[k].oracle,
+                k,
+            )
+        except AssertionError as e:
+            bad.append((k, f"MISMATCH {str(e)[:160]}"))
+        except Exception as e:  # engine error = worst divergence class
+            bad.append((k, f"{type(e).__name__} {str(e)[:160]}"))
+    assert not bad, bad
