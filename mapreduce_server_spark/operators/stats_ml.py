@@ -792,21 +792,32 @@ def stat_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = F.col("n")
     n2 = F.col("nt") - F.col("n")
     m1 = F.col("s").cast("double") / n1
-    m2 = (F.col("st") - F.col("s")).cast("double") / n2
-    v1 = (F.col("q").cast("double") / n1 - m1 * m1) * n1 / (n1 - 1)
-    v2 = (
-        (F.col("qt") - F.col("q")).cast("double") / n2 - m2 * m2
-    ) * n2 / (n2 - 1)
-    se2 = v1 / n1 + v2 / n2
+    # try_divide on every zero-able denominator (1-doc source ⇒ n−1 = 0;
+    # single-source corpus ⇒ n2 = 0; equal-length degenerate ⇒ se2 = 0):
+    # DuckDB's x/0 → NULL, and the NULLs propagate identically
+    m2 = F.try_divide((F.col("st") - F.col("s")).cast("double"), n2)
+    v1 = F.try_divide(
+        (F.col("q").cast("double") / n1 - m1 * m1) * n1, n1 - 1
+    )
+    v2 = F.try_divide(
+        (
+            F.try_divide((F.col("qt") - F.col("q")).cast("double"), n2)
+            - m2 * m2
+        )
+        * n2,
+        n2 - 1,
+    )
+    r2 = F.try_divide(v2, n2)
+    se2 = v1 / n1 + r2
     return j.select(
         "source",
         n1.alias("n_s"),
-        F.round((m1 - m2) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(F.try_divide(m1 - m2, F.sqrt(se2)), 6).alias("t_stat"),
         F.round(
-            se2 * se2
-            / (
-                (v1 / n1) * (v1 / n1) / (n1 - 1)
-                + (v2 / n2) * (v2 / n2) / (n2 - 1)
+            F.try_divide(
+                se2 * se2,
+                F.try_divide((v1 / n1) * (v1 / n1), n1 - 1)
+                + F.try_divide(r2 * r2, n2 - 1),
             ),
             6,
         ).alias("df"),
