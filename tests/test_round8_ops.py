@@ -90,3 +90,84 @@ def test_sample_temperature_replays_policy_and_realization(spark):
             assert float(r.mix_share) < raw[r.lang]
         else:
             assert float(r.mix_share) > raw[r.lang]
+
+
+def test_knn_semdedup_replays_drop_semantics(spark):
+    """Third-opinion replay of SemDeDup from the raw parquet: micro-
+    quantized int64 cell assignment (explicit (dist, cid) argmin),
+    sequential-fold cosines (math.sqrt, per-element loops — never numpy
+    accumulators, which fold in a different order), the ≥T pair rule
+    over ALL within-cell pairs (no BLAS prefilter — it must only ever
+    PRUNE), and the drop-the-(csim, vec_id)-larger survivor rule. The
+    per-cell accounting must match the operator exactly. Shares only
+    the trained centroid list with the operator (itself pinned by
+    test_knn_ivf_deterministic_rebuild); everything downstream is
+    re-derived independently."""
+    from mapreduce_server_spark.operators.similarity import (
+        SEMDEDUP_T,
+        _ivf_centroids,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF001}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchall()
+    cents = _ivf_centroids(spark, SF001)
+    cvd = [[v / 1000000 for v in c] for c in cents]
+
+    def micro(vec):
+        return [math.floor(float(x) * 1000000.0 + 0.5) for x in vec]
+
+    def sdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    cells: dict[int, list[tuple[int, list[float]]]] = {}
+    csim: dict[int, float] = {}
+    nrm: dict[int, float] = {}
+    for vec_id, emb in rows:
+        vi = micro(emb)
+        best = min(
+            (
+                (
+                    sum((a - b) * (a - b) for a, b in zip(vi, c)),
+                    cid,
+                )
+                for cid, c in enumerate(cents)
+            )
+        )
+        cl = best[1]
+        cells.setdefault(cl, []).append((vec_id, emb))
+        nrm[vec_id] = math.sqrt(sdot(emb, emb))
+        cv = cvd[cl]
+        csim[vec_id] = sdot(emb, cv) / (
+            nrm[vec_id] * math.sqrt(sdot(cv, cv))
+        )
+
+    dropped: set[int] = set()
+    for cl, members in cells.items():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                ia, ea = members[i]
+                ib, eb = members[j]
+                if sdot(ea, eb) / (nrm[ia] * nrm[ib]) >= SEMDEDUP_T:
+                    if (csim[ia], ia) > (csim[ib], ib):
+                        dropped.add(ia)
+                    else:
+                        dropped.add(ib)
+
+    expect = {
+        cl: (
+            len(members),
+            sum(1 for v, _e in members if v in dropped),
+        )
+        for cl, members in cells.items()
+    }
+    got = REGISTRY["knn_semdedup"].fn(spark, SF001).collect()
+    assert {r.cluster: (r.n_vectors, r.n_dropped) for r in got} == expect
+    for r in got:
+        want = _d6(expect[r.cluster][1] / expect[r.cluster][0])
+        assert Decimal(repr(r.drop_ratio)) == want
