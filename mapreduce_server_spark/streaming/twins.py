@@ -108,6 +108,35 @@ def dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def topk(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of stream_topk's stateful half: the per-(window,
+    user) counts maintained incrementally under the watermark. Update
+    mode re-emits a key's row whenever a trigger changes it, so the
+    LAST emission per key IS the compacted state-store row; the
+    per-window top-3 rank-prune then runs SINK-side on that compacted
+    state (rank over update-mode output — exactly the deployment split
+    the batch operator's docstring describes; a global rank cannot run
+    inside the streaming plan because row_number over an unbounded
+    window is not incrementally maintainable). The batch stream_topk
+    plan is this per-trigger computation run once over all data."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("ws_s"),
+            "user_id",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def run_to_memory(
     df: DataFrame,
     name: str,

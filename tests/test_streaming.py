@@ -167,6 +167,33 @@ def test_sliding_twin_matches_batch(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
 
 
+def test_topk_twin_matches_batch(spark, tmp_path):
+    """The topk twin's compacted update-mode state (+ the sink-side
+    per-window top-3 rank, the deployment split stream_topk's docstring
+    describes) equals the batch operator exactly. The sink keeps the
+    LAST emission per (window, user) — the update-mode compaction rule
+    — so the comparison holds regardless of how many triggers the file
+    source splits the input into."""
+    stream = twins.events_stream(spark, _events_dir(), max_files_per_trigger=1)
+    ckpt = str(tmp_path / "ck_topk")
+    rows = twins.run_collect(twins.topk(stream), "update", ckpt)
+    state: dict[tuple, tuple] = {}
+    for r in rows:  # update mode: later emission = newer state row
+        state[(r.ws_s, r.user_id)] = (r.n, r.sum_value)
+    per_win: dict = {}
+    for (ws_s, user_id), (n, sv) in state.items():
+        per_win.setdefault(ws_s, []).append((-n, user_id, n, sv))
+    got = set()
+    for ws_s, members in per_win.items():
+        for rk, (_neg, user_id, n, sv) in enumerate(sorted(members)[:3], 1):
+            got.add((ws_s, user_id, n, sv, rk))
+    batch = {
+        (r.ws_s, r.user_id, r.n, r.sum_value, r.rk)
+        for r in REGISTRY["stream_topk"].fn(spark, SF001).collect()
+    }
+    assert got == batch
+
+
 def test_interval_join_twin_matches_batch(spark):
     """Stream-stream interval join over one drain equals the batch
     stream_join (same events, same 24 h bound)."""
