@@ -445,3 +445,325 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(frac < rate)
         .select("event_id", "event_type")
     )
+
+
+# --- coreset selection: Gonzalez farthest-point (k-center) over embeddings
+
+K_CENTERS = 5  # coreset size (rounds = K_CENTERS - 1 after the seed)
+
+#: selected centers per sf_dir: [(vec_id, micro-unit vector)], driver-tiny.
+_KCENTER_CACHE: dict[str, list[tuple[int, list[int]]]] = {}
+
+
+def _kcenter_centers(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[int]]]:
+    """Gonzalez (1985) farthest-point traversal in INTEGER MICRO-UNITS
+    (the knn_ivf discipline — similarity._micro): seed = lowest vec_id,
+    then K-1 rounds of "pick the vector maximizing its distance to the
+    nearest selected center" (ties → lowest vec_id, already-selected ids
+    excluded so all-zero-distance duplicate corpora stay well-defined).
+    Every distance is an exact int64 fold, so the whole traversal is a
+    pure integer function of the corpus that the oracle replays as
+    unrolled CTEs.
+
+    Scale shape: each round is ONE corpus scan + TakeOrderedAndProject
+    (a 1-row collect — bounded, audited in tests/test_antipattern_lint);
+    K passes total, the textbook Gonzalez cost. At 100 TB the
+    escalation path is k-center oversampling (pick a capped md5-sampled
+    candidate pool per round, the IVF_TRAIN_CAP discipline) — the
+    2-approximation guarantee degrades gracefully with sample rate."""
+    from .similarity import _l2sq_int, _micro
+
+    if sf_dir in _KCENTER_CACHE:
+        return _KCENTER_CACHE[sf_dir]
+    e = Tables(spark, sf_dir).embeddings.select(
+        "vec_id", _micro(F.col("embedding")).alias("vi")
+    )
+    seed = e.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(int(seed[0]), [int(x) for x in seed[1]])]
+    for _ in range(K_CENTERS - 1):
+        dcols = [_l2sq_int(F.col("vi"), c) for _, c in centers]
+        d = F.least(*dcols) if len(dcols) > 1 else dcols[0]
+        sel_ids = [vid for vid, _ in centers]
+        row = (
+            e.where(~F.col("vec_id").isin(sel_ids))
+            .select("vec_id", "vi", d.alias("d"))
+            .orderBy(F.desc("d"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((int(row[0]), [int(x) for x in row[1]]))
+    _KCENTER_CACHE[sf_dir] = centers
+    return centers
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled-CTE replay of the full Gonzalez traversal + the final
+    nearest-center assignment — the knn_ivf Lloyd-round pattern: every
+    round's argmax is ORDER BY d DESC, vec_id LIMIT 1 over the running
+    min-distance frame, and min-distances fold via least() (min over
+    int64 is associative, so the incremental fold equals the Spark
+    side's fresh least-over-all-centers)."""
+    from .similarity import _IVF_DIST_SQL, _IVF_MICRO_SQL
+
+    micro = _IVF_MICRO_SQL.format(a="embedding")
+    dist_mc = _IVF_DIST_SQL.format(a="m.vi", b="c.vi")
+    dist_pc = _IVF_DIST_SQL.format(a="p.vi", b="c.vi")
+    parts = [
+        f"m AS (SELECT vec_id, {micro} AS vi FROM embeddings)",
+        "c0 AS (SELECT vec_id, vi FROM m ORDER BY vec_id LIMIT 1)",
+        f"d0 AS (SELECT m.vec_id, m.vi, {dist_mc} AS d FROM m, c0 c)",
+    ]
+    for i in range(1, K_CENTERS):
+        prev_ids = " UNION ALL ".join(
+            f"SELECT vec_id FROM c{j}" for j in range(i)
+        )
+        parts.append(
+            f"c{i} AS (SELECT vec_id, vi FROM d{i - 1} "
+            f"WHERE vec_id NOT IN ({prev_ids}) "
+            f"ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+        if i < K_CENTERS - 1:
+            parts.append(
+                f"d{i} AS (SELECT p.vec_id, p.vi, least(p.d, {dist_pc}) AS d "
+                f"FROM d{i - 1} p, c{i} c)"
+            )
+    cents = " UNION ALL ".join(
+        f"SELECT {j} AS rk, vec_id, vi FROM c{j}" for j in range(K_CENTERS)
+    )
+    parts.append(f"cents AS ({cents})")
+    parts.append(
+        f"ad AS (SELECT m.vec_id, c.rk, c.vec_id AS cvid, {dist_mc} AS d "
+        f"FROM m CROSS JOIN cents c)"
+    )
+    parts.append(
+        "pick AS (SELECT vec_id, rk, cvid, d, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, rk) AS rn FROM ad)"
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT rk AS center_rank, cvid AS center_vec_id,
+       count(*)::BIGINT AS n_members, max(d)::BIGINT AS radius_d2
+FROM pick WHERE rn = 1
+GROUP BY rk, cvid
+ORDER BY rk
+"""
+
+
+@query("sample_kcenter", category="J.pipeline", oracle=_kcenter_oracle())
+def sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center coreset selection over the embedding corpus (Gonzalez
+    1985's farthest-point traversal — the geometry behind coreset-based
+    active learning / data-selection schemes like Sener & Savarese
+    2018): pick K=5 maximally-spread vectors, then audit the induced
+    partition — per center its rank, vec_id, member count, and covering
+    radius (max member distance, exact int64 micro-units²). The radius
+    column IS the k-center objective value; a curation pipeline uses
+    the selected ids as the diversity-maximizing seed set and the radii
+    to decide whether K must grow.
+
+    Only SELECTION is driver-side (K bounded 1-row collects on
+    TakeOrderedAndProject plans — the knn_ivf training/serving split);
+    the returned plan is the declarative corpus-wide assignment:
+    per-row argmin over K literal centroids (ties → lowest rank,
+    array_position semantics ≡ the oracle's ORDER BY d, rk) + ONE
+    ≤K-group aggregate. No shuffle of vectors — the wide argmin is
+    narrow per-row work and the aggregate carries K rows."""
+    from .similarity import _l2sq_int, _micro
+
+    cents = _kcenter_centers(spark, sf_dir)
+    e = Tables(spark, sf_dir).embeddings.select(
+        "vec_id", _micro(F.col("embedding")).alias("vi")
+    )
+    dists = F.array(*[_l2sq_int(F.col("vi"), c) for _, c in cents])
+    mn = F.array_min(dists)
+    rk = (F.array_position(dists, mn) - 1).cast("int")
+    vid_lut = F.lit([vid for vid, _ in cents]).cast("array<long>")
+    return (
+        e.select(rk.alias("center_rank"), mn.alias("d"))
+        .groupBy("center_rank")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("d").alias("radius_d2"),
+        )
+        .select(
+            "center_rank",
+            F.element_at(vid_lut, F.col("center_rank") + 1).alias(
+                "center_vec_id"
+            ),
+            "n_members",
+            "radius_d2",
+        )
+        .orderBy("center_rank")
+    )
+
+
+# --- DSIR-style importance resampling: hashed-n-gram domain weighting
+
+DSIR_B = 64  # hashed feature buckets
+DSIR_TOP = 25  # selected documents reported
+DSIR_TARGET_LANG = "en"  # the fixture's stand-in "target domain" slice
+
+
+def _dsir_oracle() -> str:
+    """Built from scale_patterns._md5_int_sql so the feature-hash
+    spelling is ONE definition shared with sketch_bloom/join_bloom_semi
+    (the round-7 ADVICE discipline) — the bucket id can't drift between
+    engines."""
+    from .scale_patterns import _md5_int_sql
+
+    h = _md5_int_sql("dsir:", "bg")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM toks
+),
+f AS (
+  SELECT doc_id, lang, {h} % {DSIR_B} AS b, count(*)::BIGINT AS cnt
+  FROM bg GROUP BY 1, 2, 3
+),
+ct AS (SELECT b, sum(cnt)::BIGINT AS ct FROM f
+       WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+cr AS (SELECT b, sum(cnt)::BIGINT AS cr FROM f GROUP BY 1),
+bk AS (
+  SELECT g.b, coalesce(ct.ct, 0)::BIGINT AS ct, coalesce(cr.cr, 0)::BIGINT AS cr
+  FROM (SELECT unnest(generate_series(0, {DSIR_B - 1})) AS b) g
+  LEFT JOIN ct USING (b) LEFT JOIN cr USING (b)
+),
+tot AS (SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM bk),
+lam AS (
+  SELECT b,
+         ln((ct + 1)::DOUBLE / (nt + {DSIR_B})::DOUBLE)
+         - ln((cr + 1)::DOUBLE / (nr + {DSIR_B})::DOUBLE) AS lam
+  FROM bk, tot
+),
+pd AS (
+  SELECT f.doc_id,
+         round(list_sum(list(f.cnt::DOUBLE * lam.lam ORDER BY f.b)), 6) AS w
+  FROM f JOIN lam ON f.b = lam.b
+  GROUP BY f.doc_id
+)
+SELECT d.doc_id, d.lang, coalesce(pd.w, 0.0) AS dsir_w
+FROM documents d LEFT JOIN pd USING (doc_id)
+ORDER BY dsir_w DESC, doc_id
+LIMIT {DSIR_TOP}
+"""
+
+
+@query("sample_dsir", category="J.pipeline", oracle=_dsir_oracle())
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by its hashed-bigram log importance weight against a target domain
+    — here the English slice stands in for the "high-quality target" —
+    and report the top-25. Per bucket b of 64 hashed bigram features,
+    λ_b = ln p_target(b) − ln p_raw(b) with add-1 smoothing; a doc's
+    weight is Σ_b count_b(doc)·λ_b. The per-doc double fold runs in
+    BUCKET order on both engines (fsum over sort_array ≡ list_sum over
+    list ORDER BY b — the sample_temperature discipline), weights are
+    6-dp-rounded before the doc_id-tiebroken top-k, and every count is
+    exact int64, so the oracle is exact despite the log-space math.
+    Docs with no features (single-token) score 0 via the final left
+    join — no fixture length invariant.
+
+    Scale shape: ONE tokenize/explode pass feeds the per-(doc, bucket)
+    counts (map-side combine bounds the shuffle by docs×64, not token
+    count); the λ table is 64 rows BROADCAST to the per-doc fold; the
+    result is TakeOrderedAndProject. The hashing trick is the whole
+    point at 100 TB — feature space is fixed at B buckets regardless
+    of vocabulary, exactly as in the paper."""
+    from ..functions.vector import fsum
+    from .scale_patterns import _md5_int
+    from .text import tokens
+
+    d = Tables(spark, sf_dir).documents
+    idx = F.sequence(F.lit(1), F.size(F.col("t")) - 1)
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+        ),
+    )
+    base = (
+        d.select("doc_id", "lang", tokens().alias("t"))
+        .where(F.size("t") >= 2)
+        .select("doc_id", "lang", F.explode(bigrams).alias("bg"))
+    )
+    f = base.groupBy(
+        "doc_id", "lang", (_md5_int("dsir:", F.col("bg")) % DSIR_B).alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+    ct = (
+        f.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("ct"))
+    )
+    cr = f.groupBy("b").agg(F.sum("cnt").alias("cr"))
+    bk = (
+        spark.range(DSIR_B)
+        .select(F.col("id").alias("b"))
+        .join(ct, "b", "left")
+        .join(cr, "b", "left")
+        .select(
+            "b",
+            F.coalesce(F.col("ct"), F.lit(0)).cast("long").alias("ct"),
+            F.coalesce(F.col("cr"), F.lit(0)).cast("long").alias("cr"),
+        )
+    )
+    tot = bk.agg(
+        F.sum("ct").cast("long").alias("nt"), F.sum("cr").cast("long").alias("nr")
+    )
+    lam = bk.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log(
+                (F.col("ct") + 1).cast("double")
+                / (F.col("nt") + DSIR_B).cast("double")
+            )
+            - F.log(
+                (F.col("cr") + 1).cast("double")
+                / (F.col("nr") + DSIR_B).cast("double")
+            )
+        ).alias("lam"),
+    )
+    pd = (
+        f.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                fsum(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("b"),
+                                    (
+                                        F.col("cnt").cast("double")
+                                        * F.col("lam")
+                                    ).alias("term"),
+                                )
+                            )
+                        ),
+                        lambda s: s.getField("term"),
+                    )
+                ),
+                6,
+            ).alias("w")
+        )
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(pd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("w"), F.lit(0.0)).alias("dsir_w"),
+        )
+        .orderBy(F.col("dsir_w").desc(), F.col("doc_id"))
+        .limit(DSIR_TOP)
+    )

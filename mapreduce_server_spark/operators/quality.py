@@ -710,3 +710,112 @@ def quality_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("status"),
     )
+
+
+# --- privacy audit: k-anonymity / l-diversity with one-step generalization
+
+KANON_K = 5  # minimum equivalence-class size (the "k" in k-anonymity)
+
+
+@query(
+    "quality_kanon",
+    category="L.quality",
+    oracle=f"""
+WITH b AS (
+  SELECT c_nationkey AS nk, c_mktsegment AS seg,
+         CASE WHEN c_acctbal < 0 THEN 'neg'
+              WHEN c_acctbal < 5000 THEN 'mid'
+              ELSE 'high' END AS band
+  FROM customer
+),
+t0 AS (
+  SELECT nk, seg, band,
+         count(*) OVER (PARTITION BY nk, seg) AS n0
+  FROM b
+),
+t1 AS (
+  SELECT nk, seg, band, n0,
+         sum(CASE WHEN n0 < {KANON_K} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY nk) AS n1
+  FROM t0
+),
+f AS (
+  SELECT CASE WHEN n0 >= {KANON_K} THEN nk
+              WHEN n1 >= {KANON_K} THEN nk
+              ELSE -1 END AS nationkey,
+         CASE WHEN n0 >= {KANON_K} THEN seg ELSE '*' END AS segment,
+         CASE WHEN n0 >= {KANON_K} THEN 0
+              WHEN n1 >= {KANON_K} THEN 1
+              ELSE 2 END AS gen_level,
+         band
+  FROM t1
+)
+SELECT nationkey, segment, gen_level,
+       count(*)::BIGINT AS class_size,
+       count(DISTINCT band)::BIGINT AS l_div
+FROM f
+GROUP BY nationkey, segment, gen_level
+ORDER BY gen_level, nationkey, segment
+""",
+)
+def quality_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    et al. 2007) over the customer quasi-identifiers (nation, market
+    segment) with the sensitive attribute = account-balance band
+    (neg / mid / high) — the release gate a curation pipeline runs
+    before shipping user-adjacent tables into a training corpus, next
+    to text_pii_scrub (which redacts values; this audits re-identifying
+    GROUPS). One generalization step: equivalence classes smaller than
+    k=KANON_K are generalized to (nation, '*');
+    classes still under k are fully suppressed into the (-1, '*')
+    bucket. Output is one row per FINAL class: size, distinct sensitive
+    values (l-diversity), and the generalization level that produced it
+    (0 = released as-is, 1 = segment generalized, 2 = suppressed).
+
+    Execution shape: two layered window counts on the same (nation,
+    segment) partitioning — ONE shuffle keyed by nation (Spark reuses
+    the nk-hash exchange for both windows since (nk, seg) partitions
+    nest inside nk) — then a ≤126-class aggregate; pure integer/string
+    math, so the oracle is exact. At 100 TB the window form still holds
+    (per-nation row groups are the skew bound); the alternative
+    two-aggregate + broadcast-back plan trades the window for two
+    shuffles of class keys only."""
+    c = Tables(spark, sf_dir).customer
+    band = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    b = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        band.alias("band"),
+    )
+    k = F.lit(KANON_K)
+    t0 = b.withColumn(
+        "n0", F.count(F.lit(1)).over(Window.partitionBy("nk", "seg"))
+    )
+    t1 = t0.withColumn(
+        "n1",
+        F.sum(F.when(F.col("n0") < k, 1).otherwise(0)).over(
+            Window.partitionBy("nk")
+        ),
+    )
+    released = F.col("n0") >= k
+    merged = F.col("n1") >= k
+    f = t1.select(
+        F.when(released | merged, F.col("nk")).otherwise(F.lit(-1)).alias(
+            "nationkey"
+        ),
+        F.when(released, F.col("seg")).otherwise(F.lit("*")).alias("segment"),
+        F.when(released, 0).when(merged, 1).otherwise(2).alias("gen_level"),
+        "band",
+    )
+    return (
+        f.groupBy("nationkey", "segment", "gen_level")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("band").alias("l_div"),
+        )
+        .orderBy("gen_level", "nationkey", "segment")
+    )

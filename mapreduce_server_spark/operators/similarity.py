@@ -1525,3 +1525,136 @@ def knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         selected = selected.unionByName(pick)
     return selected.select("pick", "vec_id", "rel", "mmr")
+
+
+# --- hybrid retrieval: reciprocal-rank fusion of lexical + semantic lists
+
+RRF_C = 60  # the standard RRF damping constant (Cormack et al. 2009)
+RRF_LIST_K = 20  # depth of each input ranking
+RRF_TOP = 10  # fused results returned
+
+
+def _rrf_oracle() -> str:
+    """Splices the REGISTERED text_bm25 oracle verbatim as the lexical
+    CTE (the knn_recall / _md5_int_sql shared-definition discipline), so
+    the fusion's notion of "BM25 ranking" can never drift from the
+    operator it fuses; the semantic CTE is the knn_bruteforce cosine
+    spelling against the same query vector.
+
+    The inner ``text`` import is load-bearing: operators/__init__ imports
+    this module BEFORE text.py (alphabetical), so the splice triggers
+    text_bm25's registration itself rather than assuming import order
+    (text.py has no reverse dependency — no cycle)."""
+    from . import text as _text  # noqa: F401
+
+    from ..registry import REGISTRY
+
+    lex = REGISTRY["text_bm25"].oracle
+    dot = DUCK_DOT.format(a="embedding", b="qv")
+    nrm = DUCK_NORM.format(a="embedding")
+    qnrm = DUCK_NORM.format(a="qv")
+    return f"""
+WITH lex_base AS ({lex}),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+  FROM lex_base
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+sem_base AS (
+  SELECT vec_id AS doc_id,
+         round({dot} / ({nrm} * {qnrm}), 6) AS cos_sim
+  FROM embeddings, q
+  WHERE vec_id <> {QUERY_VEC_ID}
+),
+sem AS (
+  SELECT doc_id, sem_rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS sem_rank
+    FROM sem_base
+  ) WHERE sem_rank <= {RRF_LIST_K}
+),
+fused AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+         coalesce(l.lex_rank, 0)::BIGINT AS lex_rank,
+         coalesce(s.sem_rank, 0)::BIGINT AS sem_rank,
+         round(coalesce(1.0::DOUBLE / ({RRF_C} + l.lex_rank)::DOUBLE, 0.0)
+               + coalesce(1.0::DOUBLE / ({RRF_C} + s.sem_rank)::DOUBLE, 0.0),
+               6) AS rrf_score
+  FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id
+LIMIT {RRF_TOP}
+"""
+
+
+@query("rank_rrf", category="J.sim", oracle=_rrf_oracle())
+def rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher 2009): fuse the BM25 top-20 for the query {hash, join,
+    scan} with the embedding-cosine top-20 for the aligned query vector
+    (doc_id ≡ vec_id where the fixture ranges overlap) by
+    RRF(d) = Σ_lists 1/(60 + rank_list(d)), the score that needs no
+    cross-list calibration — which is exactly why hybrid search engines
+    use it over raw-score mixing. A doc missing from a list contributes
+    0 (rank reported as 0 = "miss"; ranks stay BIGINT-not-NULL so both
+    engines fetch int64, the dtype-drift rule in tests/parity.py).
+
+    Execution shape: the lexical list IS the registered text_bm25 plan
+    (20 rows — the rank window over it is a constant-size reduce); the
+    semantic list is a corpus scan + row_number ≤ 20, which Spark's
+    InferWindowGroupLimit rewrites into a distributed group-limit (the
+    fenced sort_global pattern, tests/test_plans.py) — no single-
+    partition sort of the corpus. The fusion join is 20×20 rows. At
+    100 TB the two list builders are the scale surfaces (BM25 posting
+    join, ANN index); the fusion itself stays constant-size. Both
+    rankings order on 6-dp-ROUNDED scores with id tiebreaks before
+    ranks are assigned, so every rank — hence the whole fusion — is
+    deterministic (the argmax-determinism recipe)."""
+    import math
+
+    from .text import text_bm25
+
+    lex_base = text_bm25(spark, sf_dir)
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    lex = lex_base.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("lex_rank")
+    )
+
+    e = Tables(spark, sf_dir).embeddings
+    qv = _query_vector(spark, sf_dir)
+    q = F.lit(qv).cast("array<float>")
+    acc = 0.0
+    for x in qv:
+        acc += float(x) * float(x)
+    q_norm = math.sqrt(acc)
+    sim = dot(F.col("embedding"), q) / (norm(F.col("embedding")) * F.lit(q_norm))
+    ws = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
+    sem = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .select(
+            "doc_id", F.row_number().over(ws).cast("long").alias("sem_rank")
+        )
+        .where(F.col("sem_rank") <= RRF_LIST_K)
+    )
+
+    fused = lex.join(sem, "doc_id", "full")
+    term = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(RRF_C) + F.col(c)).cast("double"), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.coalesce(F.col("lex_rank"), F.lit(0)).cast("long").alias("lex_rank"),
+            F.coalesce(F.col("sem_rank"), F.lit(0)).cast("long").alias("sem_rank"),
+            F.round(term("lex_rank") + term("sem_rank"), 6).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+        .limit(RRF_TOP)
+    )

@@ -32,6 +32,9 @@ COLLECT_ALLOWLIST = {
     "streaming/twins.py": 1,  # foreachBatch sink for the streaming twin tests
     "operators/similarity.py": 1,  # IVF quantizer: capped 10k training sample
     "operators/quality.py": 1,  # 1-row scalar agg (corpus total)
+    # k-center selection: seed fetch + K-1 argmax rounds, each a 1-row
+    # TakeOrderedAndProject collect (Gonzalez traversal; cached per sf_dir)
+    "operators/curation.py": 2,
 }
 
 
@@ -76,6 +79,10 @@ _BNLJ_ALLOWED: set[str] = {
     # round-8 session 2: crossJoin(broadcast(folded)) where folded is
     # the 1-row lang-ordered weight-normalizer scalar (audited 2026-08-15)
     "sample_temperature",
+    # round-9: rank_rrf inherits text_bm25's 1-row corpus-stats
+    # crossJoin; sample_dsir crossJoins its 1-row (nt, nr) totals onto
+    # the 64-row bucket frame (both audited 2026-08-15)
+    "rank_rrf", "sample_dsir",
 }
 
 
