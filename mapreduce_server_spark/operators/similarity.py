@@ -1658,3 +1658,121 @@ def rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
         .limit(RRF_TOP)
     )
+
+
+# --- graded ranking-quality audit of the hybrid fusion
+
+NDCG_K = 10  # audit depth (= RRF_TOP)
+
+
+def _ndcg_oracle() -> str:
+    """Splices BOTH audited pipelines' registered oracles verbatim
+    (rank_rrf = the ranking under audit, knn_bruteforce = the graded
+    ground truth) — the knn_recall composition rule, so the audit can
+    never measure a stale variant of either."""
+    from ..registry import REGISTRY
+
+    rrf = REGISTRY["rank_rrf"].oracle
+    exact = REGISTRY["knn_bruteforce"].oracle
+    return f"""
+WITH rrf AS ({rrf}),
+exact AS ({exact}),
+er AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS xr
+  FROM exact
+),
+au AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS pos
+  FROM rrf
+),
+j AS (
+  SELECT au.pos, coalesce({NDCG_K + 1} - er.xr, 0)::BIGINT AS rel
+  FROM au LEFT JOIN er ON au.doc_id = er.vec_id
+),
+d AS (
+  SELECT list_sum(list(rel::DOUBLE / log2((pos + 1)::DOUBLE) ORDER BY pos))
+           AS dcg,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS n_overlap
+  FROM j
+),
+i AS (
+  SELECT list_sum(list(({NDCG_K + 1} - i)::DOUBLE / log2((i + 1)::DOUBLE)
+                       ORDER BY i)) AS idcg
+  FROM (SELECT unnest(generate_series(1, {NDCG_K})) AS i)
+)
+SELECT round(d.dcg, 6) AS dcg, round(i.idcg, 6) AS idcg,
+       round(d.dcg / i.idcg, 6) AS ndcg, d.n_overlap
+FROM d, i
+"""
+
+
+@query("rank_ndcg", category="J.sim", oracle=_ndcg_oracle())
+def rank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the hybrid RRF fusion against graded semantic ground
+    truth — the second leg of the retrieval acceptance suite
+    (knn_recall checks the ANN index's SET overlap; this checks the
+    fused RANKING's order quality). Ground truth grades the exact
+    cosine top-10 as rel = 11-rank (10..1, 0 elsewhere); the audited
+    list is rank_rrf's top-10; DCG = Σ rel/log2(pos+1) folds in
+    POSITION order on both engines (fsum over sort_array ≡ list_sum
+    ORDER BY pos), IDCG folds the ideal grades the same way, and all
+    three outputs round at 6 dp — exact-oracle despite the log-space
+    math. Composes the two REGISTERED operators for both plan and
+    oracle (knn_recall's rule). Scale shape: the expensive parts ARE
+    the audited pipelines; the audit adds two 10-row rank windows, a
+    10-row join, and constant-size folds."""
+    from ..functions.vector import fsum
+
+    rrf = rank_rrf(spark, sf_dir)
+    exact = knn_bruteforce(spark, sf_dir)
+    er = exact.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id")))
+        .alias("xr"),
+    )
+    au = rrf.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id")))
+        .alias("pos"),
+    )
+    j = au.join(er, au.doc_id == er.vec_id, "left").select(
+        "pos",
+        F.coalesce(F.lit(NDCG_K + 1) - F.col("xr"), F.lit(0))
+        .cast("long")
+        .alias("rel"),
+    )
+
+    def _fold(pos_col: str, term: F.Column) -> F.Column:
+        return fsum(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col(pos_col), term.alias("t")))
+                ),
+                lambda s: s.getField("t"),
+            )
+        )
+
+    dterm = F.col("rel").cast("double") / F.log2(
+        (F.col("pos") + 1).cast("double")
+    )
+    d = j.agg(
+        _fold("pos", dterm).alias("dcg"),
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_overlap"),
+    )
+    ir = spark.range(1, NDCG_K + 1).select(F.col("id").alias("i"))
+    iterm = (F.lit(NDCG_K + 1) - F.col("i")).cast("double") / F.log2(
+        (F.col("i") + 1).cast("double")
+    )
+    i = ir.agg(_fold("i", iterm).alias("idcg"))
+    return d.crossJoin(F.broadcast(i)).select(
+        F.round(F.col("dcg"), 6).alias("dcg"),
+        F.round(F.col("idcg"), 6).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        "n_overlap",
+    )

@@ -220,3 +220,114 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("l_quantity").alias("sum_qty"),
     )
+
+
+# --- zone-map / file-skipping audit over simulated file layouts
+
+ZM_ROWS_PER_FILE = 4096  # simulated file granule for the 'orderkey' layout
+ZM_LO = "1997-01-01"  # audit predicate: lo <= l_shipdate < hi
+ZM_HI = "1997-07-01"
+
+
+@query(
+    "scan_zonemap",
+    category="A.scan",
+    oracle=f"""
+WITH base AS (
+  SELECT layout,
+         CASE layout
+           WHEN 'orderkey' THEN l_orderkey // {ZM_ROWS_PER_FILE}
+           ELSE (year(l_shipdate) - 1995) * 12 + (month(l_shipdate) - 1)
+         END AS fid,
+         l_shipdate,
+         CASE WHEN l_shipdate >= TIMESTAMP '{ZM_LO}'
+               AND l_shipdate <  TIMESTAMP '{ZM_HI}' THEN 1 ELSE 0 END AS m
+  FROM lineitem
+  CROSS JOIN (SELECT unnest(['orderkey', 'monthly']) AS layout)
+),
+zones AS (
+  SELECT layout, fid,
+         min(l_shipdate) AS zmin, max(l_shipdate) AS zmax,
+         count(*)::BIGINT AS n_rows, sum(m)::BIGINT AS n_match
+  FROM base GROUP BY layout, fid
+),
+classed AS (
+  SELECT layout,
+         CASE WHEN zmax < TIMESTAMP '{ZM_LO}'
+               OR zmin >= TIMESTAMP '{ZM_HI}' THEN 'skipped'
+              WHEN zmin >= TIMESTAMP '{ZM_LO}'
+               AND zmax < TIMESTAMP '{ZM_HI}' THEN 'full'
+              ELSE 'partial' END AS zone_class,
+         n_rows, n_match
+  FROM zones
+)
+SELECT layout, zone_class,
+       count(*)::BIGINT AS n_files,
+       sum(n_rows)::BIGINT AS n_rows,
+       sum(n_match)::BIGINT AS n_rows_matching
+FROM classed
+GROUP BY layout, zone_class
+ORDER BY layout, zone_class
+""",
+)
+def scan_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max data-skipping) audit — the manifest-level
+    pruning every lakehouse format (Delta/Iceberg/Hudi file stats,
+    parquet row-group stats) applies before a scan: simulate two file
+    layouts for lineitem, build per-file (min, max, rows) zone maps on
+    l_shipdate, and classify each file against the predicate
+    [{ZM_LO}, {ZM_HI}) as skipped / fully-matching / partial.
+
+    The two layouts are the audit's point: 'orderkey' (files cut every
+    4096 order keys ≈ ingest order; shipdate is uncorrelated with it in
+    this fixture, so zones span the whole date range and NOTHING
+    skips) vs 'monthly' (time-partitioned layout — the sink_zorder /
+    sink_partitioned story — where zones are tight and the scan skips
+    all but the predicate's months). The n_files/n_rows per class
+    quantify exactly how much IO each layout saves; a 100 TB table
+    lives or dies by this number, and the query shape — per-row file
+    assignment, per-file agg, per-class agg — is precisely how engines
+    compute skip stats from manifests (zone rows ≪ data rows; two
+    cheap shuffles of file-granular keys only). Pure integer/timestamp
+    math, so the oracle is exact."""
+    li = Tables(spark, sf_dir).lineitem.select("l_orderkey", "l_shipdate")
+    lo = F.lit(ZM_LO).cast("timestamp")
+    hi = F.lit(ZM_HI).cast("timestamp")
+    fid_order = F.expr(f"l_orderkey div {ZM_ROWS_PER_FILE}")
+    fid_month = (
+        (F.year("l_shipdate") - 1995) * 12 + (F.month("l_shipdate") - 1)
+    ).cast("long")
+    m = F.when(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi), 1
+    ).otherwise(0)
+    base = li.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("orderkey").alias("layout"), fid_order.alias("fid")),
+                F.struct(F.lit("monthly").alias("layout"), fid_month.alias("fid")),
+            )
+        ).alias("lf"),
+        F.col("l_shipdate"),
+        m.alias("m"),
+    ).select("lf.layout", "lf.fid", "l_shipdate", "m")
+    zones = base.groupBy("layout", "fid").agg(
+        F.min("l_shipdate").alias("zmin"),
+        F.max("l_shipdate").alias("zmax"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("m").alias("n_match"),
+    )
+    zone_class = (
+        F.when((F.col("zmax") < lo) | (F.col("zmin") >= hi), "skipped")
+        .when((F.col("zmin") >= lo) & (F.col("zmax") < hi), "full")
+        .otherwise("partial")
+    )
+    return (
+        zones.select("layout", zone_class.alias("zone_class"), "n_rows", "n_match")
+        .groupBy("layout", "zone_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_match").alias("n_rows_matching"),
+        )
+        .orderBy("layout", "zone_class")
+    )

@@ -83,6 +83,9 @@ _BNLJ_ALLOWED: set[str] = {
     # crossJoin; sample_dsir crossJoins its 1-row (nt, nr) totals onto
     # the 64-row bucket frame (both audited 2026-08-15)
     "rank_rrf", "sample_dsir",
+    # rank_ndcg: 1-row DCG frame crossJoins the 1-row IDCG constant,
+    # plus the inherited text_bm25 stats crossJoin (audited 2026-08-15)
+    "rank_ndcg",
 }
 
 

@@ -286,3 +286,107 @@ def test_rank_rrf_full_replay(spark):
     # each modality's list
     assert any(r["lex_rank"] > 0 for r in got)
     assert any(r["sem_rank"] > 0 for r in got)
+
+
+# --- scan_zonemap ----------------------------------------------------------
+
+
+def test_scan_zonemap_full_replay(spark):
+    """Exact replay of both simulated layouts' zone maps and the
+    skip/full/partial classification, plus the audit's reason to
+    exist: the time-clustered layout must actually skip files while
+    the ingest-order layout skips nothing (shipdate ⊥ orderkey)."""
+    import datetime
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT l_orderkey, l_shipdate FROM '{SF001}/lineitem.parquet'"
+    ).fetchall()
+    lo = datetime.datetime(1997, 1, 1)
+    hi = datetime.datetime(1997, 7, 1)
+
+    zones: dict[tuple[str, int], list] = {}
+    for ok, sd in rows:
+        for layout, fid in (
+            ("orderkey", ok // 4096),
+            ("monthly", (sd.year - 1995) * 12 + sd.month - 1),
+        ):
+            z = zones.setdefault((layout, fid), [sd, sd, 0, 0])
+            z[0] = min(z[0], sd)
+            z[1] = max(z[1], sd)
+            z[2] += 1
+            z[3] += 1 if lo <= sd < hi else 0
+
+    expect: dict[tuple[str, str], list[int]] = {}
+    for (layout, _fid), (zmin, zmax, n, nm) in zones.items():
+        if zmax < lo or zmin >= hi:
+            cls = "skipped"
+        elif zmin >= lo and zmax < hi:
+            cls = "full"
+        else:
+            cls = "partial"
+        e = expect.setdefault((layout, cls), [0, 0, 0])
+        e[0] += 1
+        e[1] += n
+        e[2] += nm
+
+    got = REGISTRY["scan_zonemap"].fn(spark, SF001).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        e = expect[(r["layout"], r["zone_class"])]
+        assert (r["n_files"], r["n_rows"], r["n_rows_matching"]) == tuple(e)
+    by = {(r["layout"], r["zone_class"]): r for r in got}
+    # ingest-order layout: wide zones, nothing skippable
+    assert ("orderkey", "skipped") not in by
+    # time-clustered layout: everything outside the window skips, and
+    # the window's months are fully-matching files
+    assert by[("monthly", "skipped")]["n_rows_matching"] == 0
+    assert by[("monthly", "skipped")]["n_files"] > 0
+    full = by[("monthly", "full")]
+    assert full["n_files"] == 6  # the predicate's six months
+    assert full["n_rows"] == full["n_rows_matching"]
+    for layout in ("orderkey", "monthly"):
+        assert sum(
+            r["n_rows"] for r in got if r["layout"] == layout
+        ) == len(rows)
+
+
+# --- rank_ndcg -------------------------------------------------------------
+
+
+def test_rank_ndcg_full_replay(spark):
+    """Replays the graded audit end-to-end from the raw fixture: the
+    BM25+cosine fusion (reusing this file's replays), exact-cosine
+    grades rel = 11-rank, position-ordered DCG/IDCG folds, 6-dp
+    rounds."""
+    lex = {d: i + 1 for i, d in enumerate(_bm25_replay())}
+    sem = {d: i + 1 for i, d in enumerate(_sem_replay())}
+    fused: dict[int, float] = {}
+    for d in set(lex) | set(sem):
+        s = 0.0
+        if d in lex:
+            s += 1.0 / (60 + lex[d])
+        if d in sem:
+            s += 1.0 / (60 + sem[d])
+        fused[d] = _d6(s)
+    audited = sorted(fused, key=lambda d: (-fused[d], d))[:10]
+    grades = {d: 11 - (i + 1) for i, d in enumerate(_sem_replay()[:10])}
+
+    dcg = 0.0
+    n_overlap = 0
+    for pos, d in enumerate(audited, start=1):
+        rel = grades.get(d, 0)
+        dcg += float(rel) / math.log2(pos + 1)
+        n_overlap += 1 if rel > 0 else 0
+    idcg = 0.0
+    for i in range(1, 11):
+        idcg += float(11 - i) / math.log2(i + 1)
+
+    got = REGISTRY["rank_ndcg"].fn(spark, SF001).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_overlap"] == n_overlap
+    assert r["dcg"] == _d6(dcg)
+    assert r["idcg"] == _d6(idcg)
+    assert r["ndcg"] == _d6(dcg / idcg)
+    assert 0.0 < r["ndcg"] <= 1.0
