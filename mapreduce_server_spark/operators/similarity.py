@@ -444,10 +444,13 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
     return _IVF_CACHE[sf_dir]
 
 
-def _probe_cells(cents: list[list[int]], qv: list[float]) -> list[int]:
-    """The query's IVF_NPROBE nearest cells — exact integer distances on
+def _probe_cells(
+    cents: list[list[int]], qv: list[float], nprobe: int = IVF_NPROBE
+) -> list[int]:
+    """The query's ``nprobe`` nearest cells — exact integer distances on
     the micro-quantized query (ties resolve to the lowest cluster id
-    via sort; same total order as the oracle's ORDER BY d, cid)."""
+    via sort; same total order as the oracle's ORDER BY d, cid).
+    knn_filter widens nprobe to compensate for predicate selectivity."""
     import math
 
     qi = [math.floor(float(x) * 1000000.0 + 0.5) for x in qv]
@@ -457,7 +460,7 @@ def _probe_cells(cents: list[list[int]], qv: list[float]) -> list[int]:
         for x, y in zip(qi, c):
             acc += (x - y) * (x - y)
         qdists.append((acc, k))
-    return [k for _, k in sorted(qdists)[:IVF_NPROBE]]
+    return [k for _, k in sorted(qdists)[:nprobe]]
 
 
 #: SQL twins of _micro and _l2sq_int (int64-exact, order-free).
@@ -1775,4 +1778,92 @@ def rank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("idcg"), 6).alias("idcg"),
         F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
         "n_overlap",
+    )
+
+
+# --- filtered ANN: predicate-aware IVF search
+
+FILTER_LABELS = (2, 5)  # the metadata predicate (≈20% selectivity)
+FILTER_NPROBE = 8  # 2× the unfiltered NPROBE — see docstring
+
+_FILTER_ORACLE = f"""
+WITH {_IVF_CELLS_CTE},
+q AS (SELECT embedding AS qe, vi AS qi FROM e WHERE vec_id = {QUERY_VEC_ID}),
+probes AS (
+  SELECT c.cid FROM q CROSS JOIN c2 c
+  ORDER BY {_IVF_DIST_SQL.format(a="q.qi", b="c.cvec")}, c.cid
+  LIMIT {FILTER_NPROBE}
+),
+asg AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_IVF_DIST_SQL.format(a="e.vi", b="c.cvec")} AS d
+  FROM e CROSS JOIN c2 c
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+),
+cell AS (
+  SELECT vec_id, embedding, cid AS cluster FROM asg
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+scored AS (
+  SELECT cell.vec_id, lb.label, cell.cluster,
+         round({DUCK_DOT.format(a="cell.embedding", b="q.qe")}
+               / ({DUCK_NORM.format(a="cell.embedding")}
+                  * {DUCK_NORM.format(a="q.qe")}), 6) AS cos_sim
+  FROM cell
+  JOIN embeddings lb ON lb.vec_id = cell.vec_id
+  CROSS JOIN q
+  WHERE cell.cluster IN (SELECT cid FROM probes)
+    AND lb.label IN {FILTER_LABELS}
+)
+SELECT vec_id, label, cluster, cos_sim FROM scored
+QUALIFY row_number() OVER (ORDER BY cos_sim DESC, vec_id) <= 10
+"""
+
+
+@query(
+    "knn_filter",
+    category="J.sim",
+    tags=("side_effects",),
+    oracle=_FILTER_ORACLE,
+)
+def knn_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — ANN under a metadata predicate
+    (label IN (2, 5)), the defining workload axis of modern
+    vector stores: a plain IVF probe loses recall when a filter thins
+    each probed cell, so the index must either PRE-FILTER during the
+    probe (this plan) or over-fetch and post-filter. This operator
+    takes the principled path: the predicate is applied INSIDE the
+    probed-cell scan (one fused Catalyst filter — cluster membership
+    AND label — so pruning and predicate both reach the scan) and
+    nprobe is widened 4 → 8 following the standard selectivity rule
+    (probe ≈ nprobe/selectivity cells to recover the unfiltered
+    candidate mass; label ∈ {2, 5} keeps ≈ 20% of vectors).
+
+    Reuses the EXACT shared quantizer: the trained centroids come from
+    _ivf_centroids (identical cache) and the oracle replays them via
+    the same _IVF_CELLS_CTE spelling as knn_ivf/knn_semdedup — one
+    quantizer definition across the whole IVF family. At 100 TB with
+    cell-partitioned files this is a partition-pruned scan of 8 cells
+    with the label predicate pushed to parquet row groups; the
+    filtered top-10 is TakeOrderedAndProject."""
+    e = Tables(spark, sf_dir).embeddings
+    cents = _ivf_centroids(spark, sf_dir)
+    qv = _query_vector(spark, sf_dir)
+    probes = _probe_cells(cents, qv, nprobe=FILTER_NPROBE)
+    q = F.lit(qv).cast("array<float>")
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("cluster", _assign_cluster(F.col("embedding"), cents))
+        .filter(
+            F.col("cluster").isin(probes)
+            & F.col("label").isin(list(FILTER_LABELS))
+        )
+        .select(
+            "vec_id",
+            "label",
+            "cluster",
+            F.round(cosine(F.col("embedding"), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
     )

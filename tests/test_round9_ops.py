@@ -390,3 +390,72 @@ def test_rank_ndcg_full_replay(spark):
     assert r["idcg"] == _d6(idcg)
     assert r["ndcg"] == _d6(dcg / idcg)
     assert 0.0 < r["ndcg"] <= 1.0
+
+
+# --- knn_filter ------------------------------------------------------------
+
+
+def test_knn_filter_replay_and_recall(spark):
+    """Replays the filtered IVF search from raw parquet: integer
+    micro-unit assignment to the trained centroids (only the trained
+    centroid list is shared with the operator — the test_round8
+    knn_semdedup rule), widened 8-cell probe, label predicate inside
+    the candidate set, exact cosine fold — every output row must
+    match. Then gates recall@10 vs the EXACT filtered ground truth at
+    ≥ 0.6 (measured 0.9 on this fixture; the widened probe is doing
+    its job)."""
+    from mapreduce_server_spark.operators.similarity import (
+        FILTER_LABELS,
+        FILTER_NPROBE,
+        _ivf_centroids,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, label, embedding FROM '{SF001}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchall()
+    cents = _ivf_centroids(spark, SF001)
+
+    qv = [float(x) for x in next(v for vid, _l, v in rows if vid == 0)]
+    qi = _micro_py(qv)
+    probes = sorted(
+        range(len(cents)), key=lambda k: (_d2(qi, cents[k]), k)
+    )[:FILTER_NPROBE]
+
+    qacc = 0.0
+    for x in qv:
+        qacc += x * x
+    qn = math.sqrt(qacc)
+
+    cand: dict[int, tuple[int, float]] = {}
+    filtered_exact: dict[int, float] = {}
+    for vid, lab, v in rows:
+        if vid == 0:
+            continue
+        vi = _micro_py(v)
+        dists = [_d2(vi, c) for c in cents]
+        cell = dists.index(min(dists))
+        dot = 0.0
+        nn = 0.0
+        for a, b in zip(v, qv):
+            dot += float(a) * float(b)
+            nn += float(a) * float(a)
+        cs = _d6(dot / (math.sqrt(nn) * qn))
+        if lab in FILTER_LABELS:
+            filtered_exact[vid] = cs
+            if cell in probes:
+                cand[vid] = (cell, cs)
+
+    expect = sorted(cand, key=lambda d: (-cand[d][1], d))[:10]
+    got = REGISTRY["knn_filter"].fn(spark, SF001).collect()
+    assert [r["vec_id"] for r in got] == expect
+    for r in got:
+        assert r["label"] in FILTER_LABELS
+        assert (r["cluster"], r["cos_sim"]) == cand[r["vec_id"]]
+
+    truth = sorted(
+        filtered_exact, key=lambda d: (-filtered_exact[d], d)
+    )[:10]
+    recall = len(set(expect) & set(truth)) / 10
+    assert recall >= 0.6
