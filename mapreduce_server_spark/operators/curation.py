@@ -627,13 +627,16 @@ f AS (
   SELECT doc_id, lang, {h} % {DSIR_B} AS b, count(*)::BIGINT AS cnt
   FROM bg GROUP BY 1, 2, 3
 ),
-ct AS (SELECT b, sum(cnt)::BIGINT AS ct FROM f
-       WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
-cr AS (SELECT b, sum(cnt)::BIGINT AS cr FROM f GROUP BY 1),
+bc AS (
+  SELECT b, sum(cnt)::BIGINT AS cr,
+         sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN cnt ELSE 0 END)::BIGINT
+           AS ct
+  FROM f GROUP BY 1
+),
 bk AS (
-  SELECT g.b, coalesce(ct.ct, 0)::BIGINT AS ct, coalesce(cr.cr, 0)::BIGINT AS cr
+  SELECT g.b, coalesce(bc.ct, 0)::BIGINT AS ct, coalesce(bc.cr, 0)::BIGINT AS cr
   FROM (SELECT unnest(generate_series(0, {DSIR_B - 1})) AS b) g
-  LEFT JOIN ct USING (b) LEFT JOIN cr USING (b)
+  LEFT JOIN bc USING (b)
 ),
 tot AS (SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM bk),
 lam AS (
@@ -698,17 +701,19 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", (_md5_int("dsir:", F.col("bg")) % DSIR_B).alias("b")
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
-    ct = (
-        f.where(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.sum("cnt").alias("ct"))
+    # ONE aggregate pass carries both distributions (conditional sum for
+    # the target slice) — halves the feature-count shuffles vs separate
+    # target/raw groupBys
+    bc = f.groupBy("b").agg(
+        F.sum("cnt").alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("cnt")).otherwise(0)
+        ).alias("ct"),
     )
-    cr = f.groupBy("b").agg(F.sum("cnt").alias("cr"))
     bk = (
         spark.range(DSIR_B)
         .select(F.col("id").alias("b"))
-        .join(ct, "b", "left")
-        .join(cr, "b", "left")
+        .join(F.broadcast(bc), "b", "left")
         .select(
             "b",
             F.coalesce(F.col("ct"), F.lit(0)).cast("long").alias("ct"),

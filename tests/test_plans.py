@@ -338,3 +338,30 @@ def test_triangles_ordered_caches_shared_subtrees(spark):
     cache (InMemoryTableScan), not re-derived lineage."""
     p = _plan(spark, "graph_triangles_ordered")
     assert "InMemoryTableScan" in p
+
+
+def test_rank_rrf_semantic_list_never_window_sorts_the_corpus(spark):
+    """rank_rrf's semantic top-20 is `row_number() <= 20` over the
+    whole embeddings corpus — load-bearing on Catalyst capping the
+    window's INPUT, exactly like the sort_global fence. Here the
+    rewrite that fires is LimitPushDownThroughWindow: a distributed
+    TakeOrderedAndProject(limit=20) sits BELOW the rank window, so the
+    unpartitioned window only ever sees 20 rows (WindowGroupLimit is
+    the other acceptable spelling). Without either, the full corpus
+    moves to one partition for the rank sort."""
+    p = _plan(spark, "rank_rrf", mode="simple")
+    assert (
+        "TakeOrderedAndProject(limit=20" in p or "WindowGroupLimit" in p
+    ), p
+
+
+def test_knn_filter_is_shuffle_free_scan(spark):
+    """Filtered IVF probe: per-row centroid assignment + fused
+    cluster/label filter + TakeOrderedAndProject — ZERO exchanges, and
+    the label predicate must reach the parquet scan (at real scale
+    this is the row-group pruning that makes pre-filtering win over
+    post-filtering)."""
+    p = _plan(spark, "knn_filter")
+    assert "Exchange" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "PushedFilters: [" in p and "label" in p.split("PushedFilters")[1][:200], p

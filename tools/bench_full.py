@@ -41,6 +41,10 @@ COMPUTE_NOTES = {
         "(demo threshold; production near-dup t=0.9 keeps ~10% of postings)"
     ),
     "agg_sample": "the 10% hash-sample IS the output (60k rows by design)",
+    "knn_filter": (
+        "IVF-family quantizer assignment (K=16 literal-tree integer "
+        "folds run interpreted) — same band as knn_ivf by construction"
+    ),
 }
 
 
