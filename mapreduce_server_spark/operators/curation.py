@@ -470,7 +470,13 @@ def _kcenter_centers(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[i
     K passes total, the textbook Gonzalez cost. At 100 TB the
     escalation path is k-center oversampling (pick a capped md5-sampled
     candidate pool per round, the IVF_TRAIN_CAP discipline) — the
-    2-approximation guarantee degrades gracefully with sample rate."""
+    2-approximation guarantee degrades gracefully with sample rate.
+
+    Precondition: corpus > K_CENTERS vectors (every fixture and the
+    25-vector shrunken-sweep truncation satisfy it; the property test
+    pins min_size = K_CENTERS + 1). A sub-K corpus would exhaust the
+    candidate set mid-traversal — both engines would need the same
+    early-stop rule, which nothing at this scale needs yet."""
     from .similarity import _l2sq_int, _micro
 
     if sf_dir in _KCENTER_CACHE:
