@@ -644,8 +644,13 @@ def stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.col("ns").alias("n_s"),
             u.alias("u_stat"),
+            # try_divide: a single-source corpus makes n_rest = 0 —
+            # ANSI `/` throws, DuckDB yields NULL (property-test find)
             F.round(
-                u / (F.col("ns").cast("double") * (F.col("nt") - F.col("ns"))),
+                F.try_divide(
+                    u,
+                    F.col("ns").cast("double") * (F.col("nt") - F.col("ns")),
+                ),
                 6,
             ).alias("auc"),
         )
@@ -2294,8 +2299,13 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n * F.col("sxx") - F.col("sx") * F.col("sx"))
         * (n * F.col("syy") - F.col("sy") * F.col("sy"))
     )
+    # try_divide: a constant column within a flag drives den to 0.0 —
+    # ANSI `/` THROWS there while DuckDB x/0 yields NULL (the round-8
+    # shrunken-fixture class; this site surfaced via the tie-heavy
+    # hypothesis corpora in tests/test_property_stats.py). Bit-identical
+    # on every nonzero path.
     return m.select(
-        flag, n.alias("n"), F.round(num / den, 6).alias("rho")
+        flag, n.alias("n"), F.round(F.try_divide(num, den), 6).alias("rho")
     )
 
 
@@ -3595,8 +3605,13 @@ def stat_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n0.cast("long").alias("n_pairs"),
         c_.cast("long").alias("concordant"),
         d_.cast("long").alias("discordant"),
+        # try_divide: all-tied x (or y) pairs drive the root to 0.0 —
+        # ANSI `/` throws, DuckDB yields NULL (property-test find)
         F.round(
-            (c_ - d_) / F.sqrt((n0 - tx) * F.lit(1.0) * (n0 - ty)), 6
+            F.try_divide(
+                c_ - d_, F.sqrt((n0 - tx) * F.lit(1.0) * (n0 - ty))
+            ),
+            6,
         ).alias("tau_b"),
     )
 
