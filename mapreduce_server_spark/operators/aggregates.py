@@ -381,8 +381,18 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate statistics (corr / covariance): streaming-merge
     algorithms differ per engine → rounded like stddev (SURVEY §5.2)."""
     li = Tables(spark, sf_dir).lineitem
+    # corr spelled as covar_pop/(stddev_pop*stddev_pop) — same streaming
+    # built-ins, but try_divide returns NULL on a zero-variance group
+    # where ANSI F.corr THROWS and DuckDB's corr yields NULL
+    # (constant-fixture audit); equal to F.corr wherever it is defined.
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(
+            F.try_divide(
+                F.covar_pop("l_quantity", "l_extendedprice"),
+                F.stddev_pop("l_quantity") * F.stddev_pop("l_extendedprice"),
+            ),
+            6,
+        ).alias("qty_price_corr"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
             "qty_price_covar"
         ),
@@ -662,9 +672,14 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(py * py).cast("double").alias("syy"),
         F.sum(qx * py).cast("double").alias("sxy"),
     )
-    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+    # try_divide: a zero-variance group (constant column) zeroes the
+    # denominator — ANSI `/` throws where the oracle's `/` yields NULL
+    # (constant-fixture audit, tests/test_flat_fixture.py); identical
+    # on every nonzero path.
+    corr = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
         F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
     )
     return m.select(
         "l_returnflag",

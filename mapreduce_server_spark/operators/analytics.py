@@ -909,9 +909,13 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dy * dy).cast("double").alias("syy"),
         F.sum(dx * dy).cast("double").alias("sxy"),
     )
-    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+    # try_divide: a constant-value user zeroes both variances — ANSI
+    # `/` throws where DuckDB yields NULL (constant-fixture audit);
+    # identical on every nonzero path.
+    r = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
         F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
     )
     return m.select(
         "user_id",

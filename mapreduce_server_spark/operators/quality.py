@@ -434,10 +434,17 @@ def quality_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     cumall = per_val.select("v", F.sum("cv").over(wall).alias("ca"))
+    # try_divide: a single-source corpus makes the rest-of-corpus side
+    # empty (n_total = ns) — ANSI `/` throws where DuckDB's x/0 yields
+    # NULL (constant-fixture audit); NULL then propagates through
+    # abs/max to a NULL ks on both engines. cs/ns needs no guard
+    # (a source present in the group-by has ns ≥ 1).
     dist = F.abs(
         F.col("cs").cast("double") / F.col("ns")
-        - (F.col("ca") - F.col("cs")).cast("double")
-        / (F.lit(n_total) - F.col("ns"))
+        - F.try_divide(
+            (F.col("ca") - F.col("cs")).cast("double"),
+            F.lit(n_total) - F.col("ns"),
+        )
     )
     return (
         cum.join(F.broadcast(cumall), "v")

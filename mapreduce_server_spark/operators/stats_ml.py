@@ -78,13 +78,18 @@ def stat_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")  # n²·cov
     var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")  # n²·var(x)
     var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = cov_n / var_x
+    # try_divide: a constant regressor (or response, for r2) zeroes the
+    # variance denominators — ANSI `/` throws where DuckDB yields NULL
+    # (constant-fixture audit); a NULL slope propagates to a NULL
+    # intercept on both engines. The /n division needs no guard (every
+    # group has n >= 1).
+    slope = F.try_divide(cov_n, var_x)
     return m.select(
         "l_returnflag",
         n.alias("n"),
         F.round(slope, 6).alias("slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
-        F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
+        F.round(F.try_divide(cov_n * cov_n, var_x * var_y), 6).alias("r2"),
     )
 
 
@@ -2178,7 +2183,12 @@ def stat_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         nt.alias("n"),
         F.round(ssb, 6).alias("ss_between"),
         F.round(ssw, 6).alias("ss_within"),
-        F.round((ssb * (nt - k)) / (ssw * (k - 1)), 6).alias("f_stat"),
+        # try_divide: constant values (SSW = 0) or a single group
+        # (k = 1) zero the denominator — ANSI `/` throws, DuckDB
+        # yields NULL (constant-fixture audit)
+        F.round(F.try_divide(ssb * (nt - k), ssw * (k - 1)), 6).alias(
+            "f_stat"
+        ),
     )
 
 
@@ -3117,10 +3127,15 @@ def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "nr",
         "nc",
+        # try_divide: a single-category margin (nr = 1 or nc = 1)
+        # zeroes min(r-1, c-1) — ANSI `/` throws, DuckDB yields NULL
+        # (constant-fixture audit); sqrt(NULL) is NULL on both.
         F.round(
             F.sqrt(
-                F.col("chi2")
-                / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+                F.try_divide(
+                    F.col("chi2"),
+                    F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1),
+                )
             ),
             6,
         ).alias("v"),
@@ -5706,9 +5721,15 @@ def stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(
         kk.cast("long").alias("k"),
         nn.cast("long").alias("n"),
+        # try_divide at every zero-able step: constant values (SSW = 0),
+        # a single group (k = 1), or all-singleton groups (n = k) —
+        # ANSI `/` throws at each, DuckDB yields NULL and propagates it
+        # (constant-fixture audit). /nn is safe (n >= 1).
         F.round(
-            ((gb - F.col("st") * F.col("st") / nn) / (kk - 1))
-            / ((F.col("stt") - gb) / (nn - kk)),
+            F.try_divide(
+                F.try_divide(gb - F.col("st") * F.col("st") / nn, kk - 1),
+                F.try_divide(F.col("stt") - gb, nn - kk),
+            ),
             6,
         ).alias("f_stat"),
     )
