@@ -703,9 +703,20 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("t") >= 2)
         .select("doc_id", "lang", F.explode(bigrams).alias("bg"))
     )
-    f = base.groupBy(
-        "doc_id", "lang", (_md5_int("dsir:", F.col("bg")) % DSIR_B).alias("b")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # cache: the (doc, lang, bucket) cell table feeds bc, lam's bk
+    # expansion AND the per-doc fold — without it the tokenize/explode
+    # subtree plans THREE times (no ReuseExchange across the branches;
+    # three corpus scans at 100 TB). The duplicated-subtree trap — see
+    # stat_mannwhitney / stat_entropy.
+    f = (
+        base.groupBy(
+            "doc_id",
+            "lang",
+            (_md5_int("dsir:", F.col("bg")) % DSIR_B).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
+    )
 
     # ONE aggregate pass carries both distributions (conditional sum for
     # the target slice) — halves the feature-count shuffles vs separate
