@@ -712,7 +712,13 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines or partitionings. At 100 TB swap the exact medians for
     approx_percentile sketches; the flagging join is unchanged."""
     ev = Tables(spark, sf_dir).events
-    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    # cache: the 5-row median frame feeds the MAD branch AND the stats
+    # join — uncached, the median's corpus pass plans twice (the
+    # duplicated-subtree trap); 4 scans drop to the algorithmic
+    # minimum of 3 (median, MAD, flag)
+    med = (
+        ev.groupBy("event_type").agg(F.median("value").alias("med")).cache()
+    )
     mad = (
         ev.join(F.broadcast(med), "event_type")
         .groupBy("event_type")

@@ -157,7 +157,13 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     final |langs|-row agg. The policy math is constant-size; the corpus
     is touched by exactly two scans and zero wide shuffles."""
     d = Tables(spark, sf_dir).documents
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    # cache: the ≤|langs|-row counts frame feeds the tempered-weight,
+    # normalizer AND policy branches — uncached, each branch re-plans
+    # the corpus count scan (5 scans total; the duplicated-subtree
+    # trap, see sample_dsir / stat_mannwhitney)
+    counts = (
+        d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total")).cache()
+    )
     w_all = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

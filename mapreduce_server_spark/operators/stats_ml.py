@@ -4475,6 +4475,10 @@ def ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s.getField("n"),
             ).alias("v")
         )
+        # cache: the ≤5-row profile-array frame is BOTH sides of the
+        # DTW pair join — uncached, the corpus profile pass plans twice
+        # (the duplicated-subtree trap)
+        .cache()
     )
     a = arr.select(
         F.col("event_type").alias("ta"), F.col("v").alias("va")
@@ -6203,6 +6207,10 @@ def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.join(c, "d", "left")
         .select("d", F.coalesce(F.col("x"), F.lit(0)).alias("x"))
         .withColumn("t", F.row_number().over(wt))
+        # cache: the ≤|days|-row daily series feeds the prefix-sum AND
+        # total branches — uncached, the corpus day-count pass plans
+        # twice (the duplicated-subtree trap)
+        .cache()
     )
     pre = series.select(
         "t",
