@@ -107,3 +107,74 @@ def test_no_cartesian_or_unaudited_bnlj_plans(spark):
                       "broadcast side is bounded, then add to _BNLJ_ALLOWED")
             )
     assert not bad, bad
+
+
+#: audited base-table scan multiplicity: keys whose physical plans
+#: legitimately contain >= 3 REAL FileScan nodes of one big table
+#: (counted on the FORMATTED plan — simple-mode counts are inflated by
+#: InMemoryRelation description reprints). Every entry is inherent:
+#: self-join candidate generation (dedup/knn/graph pair builders),
+#: base+delta stored-state emulation (matview_incremental), train/test
+#: block splits (ml_naive_bayes, text_perplexity/bigram_lm), composed
+#: audit pipelines that own their inputs' scans (knn_recall), or an
+#: algorithmic k-pass minimum (ts_mad_outliers' median/MAD/flag).
+#: Round-9 audit FIXED five keys in this class by caching small derived
+#: frames (sample_dsir 3 tokenizations -> 1, sample_temperature 5
+#: scans -> 2, ts_dtw / ts_changepoint_binseg 4 -> 2, ts_mad_outliers
+#: 4 -> 3) — re-audit before raising any ceiling here.
+_BIG_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")
+_SCAN_CEILING: dict[str, dict[str, int]] = {
+    "dedup_embedding": {"embeddings": 3},
+    "dedup_jaccard_prefix": {"documents": 3},
+    "dedup_levenshtein": {"documents": 3},
+    "dq_constraints": {"orders": 3},
+    "funnel_stages": {"events": 3},
+    "graph_triangles": {"lineitem": 6},  # kept naive 2nd strategy (r5)
+    "heavy_hitters": {"documents": 3},
+    "knn_join": {"embeddings": 3},
+    "knn_join_lsh": {"embeddings": 4},
+    "knn_recall": {"embeddings": 7},  # composes knn_join + knn_join_lsh
+    "matview_incremental": {"events": 6},
+    "ml_eval_confusion": {"embeddings": 3},
+    "ml_eval_prf": {"embeddings": 3},
+    "ml_naive_bayes": {"documents": 4},
+    "stat_permtest": {"lineitem": 3},
+    "stat_spearman": {"lineitem": 3},
+    "text_bigram_lm": {"documents": 3},
+    "text_collocations": {"documents": 3},
+    "text_perplexity": {"documents": 3},
+    "ts_cross_corr": {"events": 3},
+    "ts_granger": {"events": 3},
+    "ts_holt_seasonal": {"events": 3},
+    "ts_mad_outliers": {"events": 3},
+}
+
+
+def test_base_table_scan_multiplicity_is_pinned(spark):
+    """Every registered key's FORMATTED plan must not scan any big base
+    table more times than the audited ceiling (default 2: one pass +
+    one legitimate second reference). A new 3+-scan key means a small
+    derived frame is feeding multiple branches uncached — cache it
+    (the duplicated-subtree trap, ARCHITECTURE §20 addendum) or audit
+    the key into _SCAN_CEILING with its reason."""
+    import re
+    from collections import Counter
+
+    from mapreduce_server_spark.plans import plan_string
+
+    bad = []
+    for key, spec in sorted(REGISTRY.items()):
+        try:
+            p = plan_string(spec.raw_fn(spark, SF0001), "formatted")
+        except Exception as e:  # noqa: BLE001 - plan build issues surface elsewhere
+            bad.append((key, f"plan build failed: {e}"))
+            continue
+        scans = Counter(
+            re.findall(r"Location: InMemoryFileIndex.*?/(\w+)\.parquet", p)
+        )
+        ceiling = _SCAN_CEILING.get(key, {})
+        for t, n in scans.items():
+            if t in _BIG_TABLES and n > max(2, ceiling.get(t, 0)):
+                bad.append((key, f"{n} real scans of {t} (ceiling "
+                                 f"{max(2, ceiling.get(t, 0))})"))
+    assert not bad, bad
