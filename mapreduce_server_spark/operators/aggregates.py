@@ -209,11 +209,20 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS n, sum(l_quantity)::DOUBLE AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+HAVING count(*) > 0
 """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (MR re-runs one job per level; Spark's
-    Expand operator computes all levels in one pass)."""
+    Expand operator computes all levels in one pass).
+
+    Empty-input semantics (round-10 sweep): Spark's Expand-based
+    grouping-set execution emits ZERO rows over an empty relation,
+    while standard SQL (DuckDB/Postgres) emits the grand-total ()
+    grouping set as one all-NULL/0 row. The engine's semantics are
+    Spark's; the oracle mirrors them with HAVING count(*) > 0, which
+    removes EXACTLY the empty-input grand-total row (every group over
+    non-empty input has count ≥ 1, so it is a no-op otherwise)."""
     li = Tables(spark, sf_dir).lineitem
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty")
@@ -228,10 +237,12 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS n, sum(l_quantity)::DOUBLE AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+HAVING count(*) > 0
 """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over both dimensions."""
+    """CUBE over both dimensions. Oracle carries HAVING count(*) > 0 to
+    mirror Spark's empty-input grouping-set semantics (see agg_rollup)."""
     li = Tables(spark, sf_dir).lineitem
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty")
@@ -245,11 +256,14 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag, l_linestatus, count(*) AS n
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+HAVING count(*) > 0
 """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via the SQL front end (demonstrates the
-    spark.sql path over the same loaded tables)."""
+    spark.sql path over the same loaded tables). Oracle carries
+    HAVING count(*) > 0 to mirror Spark's empty-input grouping-set
+    semantics (see agg_rollup)."""
     li = Tables(spark, sf_dir).lineitem
     li.createOrReplaceTempView("mrss_lineitem")
     return spark.sql(

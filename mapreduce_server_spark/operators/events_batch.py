@@ -255,6 +255,7 @@ SELECT day_s, hour_s,
        sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
 FROM b
 GROUP BY ROLLUP (day_s, hour_s)
+HAVING count(*) > 0
 """,
 )
 def ts_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,7 +267,9 @@ def ts_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes each level separately). Sums are exact decimal so every
     level is order-independent; buckets cross engines as integer epochs.
     At scale this IS the rollup pattern to feed `matview_daily_rollup`'s
-    serving store: coarse grains come for free with the fine grain."""
+    serving store: coarse grains come for free with the fine grain.
+    Oracle carries HAVING count(*) > 0 to mirror Spark's empty-input
+    grouping-set semantics (see agg_rollup)."""
     ev = Tables(spark, sf_dir).events
     b = ev.select(
         F.unix_seconds(F.date_trunc("day", "ts")).alias("day_s"),

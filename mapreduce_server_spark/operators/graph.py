@@ -148,6 +148,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("node")
     )
     n = nations.count()
+    if n == 0:
+        # empty-input grain (round-10 sweep): no nodes → no ranks,
+        # matching the oracle's empty r2 CTE; the early return keeps
+        # the constant 1.0/n out of the plan (ANSI throws on the
+        # folded literal even over zero rows)
+        return nations.select(
+            "node", F.lit(None).cast("double").alias("rank")
+        )
     edges = trade_edges(spark, sf_dir)
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout")).cache()
     # transition probability src→dst, pinned to 6 dp once (kmeans rule)

@@ -1711,10 +1711,16 @@ def ml_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda p: p.getField("w"),
         ).alias("wv")
     ).select(
+        # try_divide: a single-vector corpus deflates to the zero vector
+        # (nrm = 0) where DuckDB's x/0 yields NULL and every downstream
+        # loading goes NULL on both engines (round-10 sweep)
         F.transform(
             "wv",
             lambda x: F.round(
-                x / F.sqrt(fsum(F.transform("wv", lambda y: y * y))), 6
+                F.try_divide(
+                    x, F.sqrt(fsum(F.transform("wv", lambda y: y * y)))
+                ),
+                6,
             ),
         ).alias("vv")
     )
@@ -1735,7 +1741,7 @@ def ml_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return b2.crossJoin(F.broadcast(m2)).select(
         F.col("dim").cast("long").alias("dim"),
-        F.round(F.col("w") / F.col("nrm"), 6).alias("loading"),
+        F.round(F.try_divide(F.col("w"), F.col("nrm")), 6).alias("loading"),
     )
 
 
@@ -3788,10 +3794,14 @@ h AS (
   FROM lineitem CROSS JOIN reps
 ),
 g AS (
+  -- HAVING drops replicates whose TOTAL weight is 0 (possible on tiny
+  -- groups: one row drawing Poisson weight 0) — the replicate mean is
+  -- undefined there, and both engines skip it identically
   SELECT flag, rep,
          round(sum(w * price)::DOUBLE / sum(w), 6) AS m
   FROM (SELECT flag, rep, price, {_BOOT_W_SQL} AS w FROM h)
   GROUP BY 1, 2
+  HAVING sum(w) > 0
 ),
 l AS (
   SELECT flag, count(*) AS b,
@@ -3805,6 +3815,8 @@ SELECT flag AS l_returnflag, b::BIGINT AS n_reps,
                            / (b - 1), 0.0)), 6) AS boot_se
 FROM l
 """
+# b - 1 = 0 (a single surviving replicate) yields NULL on both engines
+# (duck x/0 / Spark try_divide), then greatest(NULL, 0.0) = 0.0 on both.
 
 
 @query("stat_bootstrap", category="D.agg", oracle=_BOOT_ORACLE)
@@ -3873,11 +3885,17 @@ def stat_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w", w)
         .groupBy("flag", "rep")
         .agg(
-            F.round(
-                F.sum(F.col("w") * F.col("price")).cast("double")
-                / F.sum("w"),
-                6,
-            ).alias("m")
+            F.sum(F.col("w") * F.col("price")).alias("swp"),
+            F.sum("w").alias("sw"),
+        )
+        # drop zero-total-weight replicates BEFORE dividing (mirrors the
+        # oracle's HAVING sum(w) > 0; ANSI / would throw on them —
+        # reachable on tiny groups, the single-row fixture sweep)
+        .filter(F.col("sw") > 0)
+        .select(
+            "flag",
+            "rep",
+            F.round(F.col("swp").cast("double") / F.col("sw"), 6).alias("m"),
         )
     )
     l = g.groupBy("flag").agg(
@@ -3897,10 +3915,12 @@ def stat_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("flag").alias("l_returnflag"),
         b.cast("long").alias("n_reps"),
         F.round(sm / b, 6).alias("boot_mean"),
+        # try_divide: b = 1 (one surviving replicate) → NULL on both
+        # engines, then greatest(NULL, 0) = 0.0 on both; /b is safe
         F.round(
             F.sqrt(
                 F.greatest(
-                    (sm2 - sm * sm / b) / (b - 1), F.lit(0.0)
+                    F.try_divide(sm2 - sm * sm / b, b - 1), F.lit(0.0)
                 )
             ),
             6,
@@ -4244,9 +4264,17 @@ def stat_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
         "st",
         "nt",
         "b",
+        # try_divide: nt − n = 0 only when ONE block holds the whole
+        # flag (b = 1, the single-row fixture) — then EVERY mb of the
+        # flag is NULL on both engines (duck x/0), the folds go NULL,
+        # and greatest(NULL, 0) = 0.0 on both → jack_se 0.0. With
+        # b ≥ 2 no block can cover all rows, so no partial-NULL mix
+        # (where duck's list_sum skips NULLs but Spark's fold wouldn't).
         F.round(
-            (F.col("st") - F.col("s")).cast("double")
-            / (F.col("nt") - F.col("n")),
+            F.try_divide(
+                (F.col("st") - F.col("s")).cast("double"),
+                F.col("nt") - F.col("n"),
+            ),
             6,
         )
         .cast("decimal(18,6)")
@@ -4282,7 +4310,7 @@ def stat_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("jack_se"),
-    )
+    )  # /b is safe: b >= 1 wherever a flag row exists
 
 
 @query(
@@ -5089,6 +5117,15 @@ def ml_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     types = c.select(F.col("f").alias("ty")).distinct()
     k = types.count()  # tiny driver scalar (|event types|)
+    if k == 0:
+        # empty-input grain (round-10 sweep): no observed transitions →
+        # no chain → no rows, matching the oracle's empty p2 CTE. The
+        # early return also keeps the constant 1.0/k out of the plan —
+        # ANSI would throw on the folded literal even over zero rows.
+        return types.select(
+            F.col("ty").alias("event_type"),
+            F.lit(None).cast("double").alias("p_stationary"),
+        )
     p0 = types.select(
         "ty", (F.lit(1.0) / F.lit(k)).cast("decimal(8,7)").alias("p")
     )
@@ -5722,6 +5759,11 @@ def stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gb = fsum(F.transform(F.col("arr"), term))
     kk, nn = F.col("k"), F.col("n")
+    # empty-input grain (round-10 sweep): zero groups → no test row,
+    # matching the oracle's GROUP BY parts CTE (which emits nothing
+    # over an empty g); k >= 1 on any non-empty input so this filter
+    # is a no-op otherwise
+    one = one.filter(F.col("k") > 0)
     return one.select(
         kk.cast("long").alias("k"),
         nn.cast("long").alias("n"),
@@ -5775,9 +5817,11 @@ terms AS (
   SELECT k, r * r / (tot.nn - k) AS term FROM rho, tot
 ),
 q AS (
+  -- HAVING mirrors Spark's GROUP BY nn: when the lag join is empty
+  -- (0-row / too-short series) neither engine emits a test row
   SELECT list_reduce(list_prepend(0.0, list(term ORDER BY k)),
                      (s, x) -> s + x) AS acc
-  FROM terms
+  FROM terms HAVING count(*) > 0
 )
 SELECT tot.nn::BIGINT AS n, 12::BIGINT AS h,
        round(tot.nn * (tot.nn + 2) * q.acc, 6) AS q_stat,

@@ -908,12 +908,14 @@ def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
     num = n * sxy - sx * sy
     den = n * sxx - sx * sx
+    # try_divide: den = 0 on an empty or single-word vocabulary (the
+    # empty/one-row fixture sweep) where DuckDB's x/0 yields NULL
     return l.select(
         n.cast("long").alias("n_words"),
-        F.round(num / den, 6).alias("zipf_slope"),
-        F.round((num * num) / (den * (n * syy - sy * sy)), 6).alias(
-            "zipf_r2"
-        ),
+        F.round(F.try_divide(num, den), 6).alias("zipf_slope"),
+        F.round(
+            F.try_divide(num * num, den * (n * syy - sy * sy)), 6
+        ).alias("zipf_r2"),
     )
 
 

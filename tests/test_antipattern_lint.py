@@ -38,20 +38,40 @@ COLLECT_ALLOWLIST = {
 }
 
 
-def test_collect_sites_are_pinned():
+#: audited bounded `.toPandas()` sites, path → occurrence count. Both are
+#: the documented BLAS escape hatch: the FULL embeddings corpus (bounded:
+#: 500 vecs × 64 dims at test SFs; docstrings at each site spell out the
+#: bucketed/IVF escalation that replaces the driver materialization at
+#: 100 TB). Any NEW `.toPandas()` in the package is an unbounded driver
+#: materialization until audited here (round-9 verdict item 2).
+TOPANDAS_ALLOWLIST = {
+    "operators/dedup.py": 1,  # dedup_embedding: corpus → numpy for one BLAS gram pass
+    "operators/similarity.py": 1,  # knn_bruteforce: corpus → numpy BLAS top-k baseline
+}
+
+
+def _pinned_sites(needle: str, allowlist: dict[str, int], label: str) -> None:
     found: dict[str, int] = {}
     for root, _dirs, files in os.walk(PKG):
         for f in files:
             if not f.endswith(".py"):
                 continue
             path = os.path.join(root, f)
-            n = open(path, encoding="utf-8").read().count(".collect()")
+            n = open(path, encoding="utf-8").read().count(needle)
             if n:
                 found[os.path.relpath(path, PKG)] = n
-    assert found == COLLECT_ALLOWLIST, (
-        "new/changed driver-side .collect() site(s) — audit that each is "
+    assert found == allowlist, (
+        f"new/changed driver-side {label} site(s) — audit that each is "
         f"bounded, then re-pin: {found}"
     )
+
+
+def test_collect_sites_are_pinned():
+    _pinned_sites(".collect()", COLLECT_ALLOWLIST, ".collect()")
+
+
+def test_topandas_sites_are_pinned():
+    _pinned_sites(".toPandas()", TOPANDAS_ALLOWLIST, ".toPandas()")
 
 
 #: keys whose plans legitimately contain BroadcastNestedLoopJoin —

@@ -1,0 +1,113 @@
+"""Empty (0-row) and single-row fixture sweeps: EVERY oracle key must
+stay Spark≡DuckDB when tables are emptied or reduced to one row.
+
+Fourth and fifth axes of the degenerate-input gate (after the 12-hour /
+truncated-rows sweeps in test_shrunken_fixture.py and the
+constant-column sweep in test_flat_fixture.py): truncations shrink
+GROUPS and flattening zeroes VARIANCES, but only 0-row/1-row tables
+exercise empty-input folds (``list_sum`` on empty lists vs ``fsum`` on
+empty arrays), global aggregates over zero rows (both engines emit one
+all-NULL row — but only if the Spark side doesn't crash first), window
+ops over single rows, driver-side bounded collects that assume a seed
+row exists (k-center's Gonzalez argmax, IVF quantizer training), and
+``head``-style admission logic. At 100 TB these are not edge cases:
+a predicate or a partition filter can empty ANY intermediate frame.
+
+Fixture construction (pure projections of the committed sf0.001
+fixture — deterministic, no synthesis, schema preserved exactly by
+``WHERE false`` / keyed ``ORDER BY … LIMIT 1``):
+  * empty:      every table ``WHERE false``           (0 rows, same schema)
+  * single-row: every table ``ORDER BY <pk> LIMIT 1`` (lowest-key row)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import duckdb
+import pytest
+
+from mapreduce_server_spark import REGISTRY
+from mapreduce_server_spark.sources.loader import TABLE_NAMES
+
+from .conftest import SF0001, make_duck
+from .parity import assert_parity
+
+# Deterministic per-table primary key for the single-row selection.
+_PK = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey, l_linenumber",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def build_fixture(dest: str, mode: str, src_dir: str = SF0001) -> None:
+    """Materialize the degenerate fixture into ``dest``. mode ∈ {empty, one}."""
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        src = os.path.join(src_dir, f"{t}.parquet")
+        if mode == "empty":
+            q = f"SELECT * FROM read_parquet('{src}') WHERE false"
+        elif mode == "one":
+            q = f"SELECT * FROM read_parquet('{src}') ORDER BY {_PK[t]} LIMIT 1"
+        else:  # pragma: no cover
+            raise ValueError(mode)
+        con.execute(
+            f"COPY ({q}) TO '{os.path.join(dest, t + '.parquet')}' (FORMAT PARQUET)"
+        )
+    con.close()
+
+
+def _sweep(spark, fix_dir: str) -> list[tuple[str, str]]:
+    duck = make_duck(fix_dir)
+    keys = sorted(k for k, s in REGISTRY.items() if s.oracle)
+    assert len(keys) >= 300  # the sweep must cover the whole registry
+    bad: list[tuple[str, str]] = []
+    for k in keys:
+        try:
+            assert_parity(
+                REGISTRY[k].raw_fn(spark, fix_dir),
+                duck,
+                REGISTRY[k].oracle,
+                k,
+            )
+        except AssertionError as e:
+            bad.append((k, f"MISMATCH {str(e)[:160]}"))
+        except Exception as e:  # engine error = worst divergence class
+            bad.append((k, f"{type(e).__name__} {str(e)[:160]}"))
+    return bad
+
+
+@pytest.fixture(scope="module")
+def empty_dir():
+    d = tempfile.mkdtemp(prefix="emptyfix_")
+    build_fixture(d, "empty")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def one_dir():
+    d = tempfile.mkdtemp(prefix="onefix_")
+    build_fixture(d, "one")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_every_oracle_survives_empty_tables(spark, empty_dir):
+    bad = _sweep(spark, empty_dir)
+    assert not bad, bad
+
+
+def test_every_oracle_survives_single_row_tables(spark, one_dir):
+    bad = _sweep(spark, one_dir)
+    assert not bad, bad
