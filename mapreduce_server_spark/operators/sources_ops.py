@@ -67,7 +67,12 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("l_returnflag")
         .parquet(out)
     )
-    back = spark.read.parquet(out)
+    # explicit schema: a 0-row partitionBy write leaves no data files to
+    # infer from (round-10 sweep) — and at scale the reader should never
+    # pay listing-driven inference for a layout it owns anyway
+    back = spark.read.schema(
+        "l_orderkey bigint, l_quantity double, l_returnflag string"
+    ).parquet(out)
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty")
     )

@@ -151,8 +151,16 @@ class MaterializedView:
 
     def read(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         """The materialized relation; the partition column comes back as
-        string (its on-disk directory form) regardless of type inference."""
-        df = spark.read.parquet(self.path(sf_dir))
+        string (its on-disk directory form) regardless of type inference.
+
+        An EMPTY source never materializes anything (rebuild([]) writes
+        no directory), so a missing path reads as the empty relation in
+        the view's own schema — build() over an empty key list is that
+        frame analysis-time for free (round-10 empty-input sweep)."""
+        if not os.path.isdir(self.path(sf_dir)):
+            df = self.build(spark, sf_dir, [])
+        else:
+            df = spark.read.parquet(self.path(sf_dir))
         return df.withColumn(
             self.partition_col, F.col(self.partition_col).cast("string")
         )

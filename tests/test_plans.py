@@ -356,12 +356,18 @@ def test_rank_rrf_semantic_list_never_window_sorts_the_corpus(spark):
 
 
 def test_knn_filter_is_shuffle_free_scan(spark):
-    """Filtered IVF probe: per-row centroid assignment + fused
-    cluster/label filter + TakeOrderedAndProject — ZERO exchanges, and
-    the label predicate must reach the parquet scan (at real scale
-    this is the row-group pruning that makes pre-filtering win over
-    post-filtering)."""
+    """Filtered IVF probe over the MATERIALIZED cell-partitioned index
+    (round-10: _ivf_index, written once per session): ZERO exchanges,
+    TakeOrderedAndProject, the probed cells as a PARTITION filter (the
+    8 non-probed cell directories are never opened — file-listing-level
+    pruning, the real 100 TB win), and the label predicate pushed to
+    parquet row groups. Losing any of these silently reverts filtered
+    ANN to a full-corpus scan."""
     p = _plan(spark, "knn_filter")
     assert "Exchange" not in p, p
     assert "TakeOrderedAndProject" in p, p
     assert "PushedFilters: [" in p and "label" in p.split("PushedFilters")[1][:200], p
+    assert (
+        "PartitionFilters" in p
+        and "cluster" in p.split("PartitionFilters")[1][:120]
+    ), p
