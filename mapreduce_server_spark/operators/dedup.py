@@ -170,11 +170,35 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*sigs)
 
 
-@query(
-    "dedup_minhash",
-    category="J.dedup",
-    oracle="""
-WITH sh AS (
+def _band_buckets(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) — the LSH banding of a signature frame:
+    bucket = the comma-joined signature slice of N_HASHES/N_BANDS rows.
+    ONE spelling shared by dedup_minhash and quality_source_overlap
+    (the SQL twin is _MH_BANDS_CTE)."""
+    rows_per_band = N_HASHES // N_BANDS
+    return sig.select(
+        "doc_id",
+        F.array(
+            *[
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"sig{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+                for b in range(N_BANDS)
+            ]
+        ).alias("band_buckets"),
+    ).select("doc_id", F.posexplode("band_buckets").alias("band", "bucket"))
+
+
+#: shared oracle prefix — shingles → minhash signatures → band buckets.
+#: Reused verbatim by dedup_minhash AND quality_source_overlap (the
+#: _IVF_CELLS_CTE / _md5_int_sql one-spelling discipline), so the band
+#: definition can never drift between the dedup pipeline and the
+#: mixture audit built on it.
+_MH_BANDS_CTE = """sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
            generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
            i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS shingle
@@ -191,7 +215,14 @@ bands AS (
   SELECT doc_id, s // 4 AS band,
          string_agg(sig::VARCHAR, ',' ORDER BY s) AS bucket
   FROM mins GROUP BY doc_id, s // 4
-),
+)"""
+
+
+@query(
+    "dedup_minhash",
+    category="J.dedup",
+    oracle=f"""
+WITH {_MH_BANDS_CTE},
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
@@ -226,23 +257,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup.py asserts the 8 planted sf0.1 duplicate pairs are
     found with jaccard == 1.0."""
     d = Tables(spark, sf_dir).documents
-    sig = minhash_signatures(d)
-    rows_per_band = N_HASHES // N_BANDS
-    bands = sig.select(
-        "doc_id",
-        F.array(
-            *[
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"sig{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-                for b in range(N_BANDS)
-            ]
-        ).alias("band_buckets"),
-    ).select("doc_id", F.posexplode("band_buckets").alias("band", "bucket"))
+    bands = _band_buckets(minhash_signatures(d))
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bucket"])
@@ -654,4 +669,95 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .where(jac >= t)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "quality_source_overlap",
+    category="J.dedup",
+    oracle=f"""
+WITH {_MH_BANDS_CTE},
+sb AS (
+  SELECT DISTINCT d.source, b.band, b.bucket
+  FROM bands b JOIN documents d USING (doc_id)
+),
+per AS (SELECT source, count(*)::BIGINT AS nb FROM sb GROUP BY 1),
+x AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*)::BIGINT AS n_shared
+  FROM sb a
+  JOIN sb b ON a.band = b.band AND a.bucket = b.bucket
+           AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT x.source_a, x.source_b, x.n_shared,
+       pa.nb AS n_a, pb.nb AS n_b,
+       round(x.n_shared::DOUBLE / (pa.nb + pb.nb - x.n_shared), 6)
+         AS bucket_jaccard
+FROM x
+JOIN per pa ON pa.source = x.source_a
+JOIN per pb ON pb.source = x.source_b
+""",
+)
+def quality_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate OVERLAP MATRIX: for every source
+    pair, the Jaccard of their minhash band-bucket sets — the
+    mixture-design evidence the per-pair dedup_* keys don't provide.
+    A pretraining pipeline weighting 20 crawls needs to know which
+    sources are near-copies of each other (mirrors, scrapes of the same
+    upstream, syndication) BEFORE setting mixture weights: two sources
+    with high bucket overlap contribute near-identical n-gram mass, so
+    their combined weight should be discounted — and cross-source
+    overlap is invisible to within-corpus dedup reporting (a pair list
+    says which DOCS collide, not which SOURCES are redundant).
+
+    Sparse by construction: only pairs sharing ≥ 1 bucket are emitted
+    (the join produces nothing else), so the output is the nonzero
+    entries of the S×S matrix, never S² rows. Scale shape: the banding
+    is the REGISTERED dedup_minhash banding (shared _band_buckets /
+    _MH_BANDS_CTE spelling — one definition on each engine), collapsed
+    to DISTINCT (source, band, bucket) BEFORE the self-join, so the
+    join input is bucket-level (≪ doc-level) and the shuffle keys on
+    (band, bucket) exactly like the dedup candidate join; per-source
+    set sizes ride one tiny aggregate. Counts are exact integers; the
+    Jaccard is one identical double division, rounded 6 dp.
+
+    Degenerate inputs (round-10 sweeps): an empty corpus or a
+    single-source corpus yields zero pairs on both engines; the
+    denominator n_a + n_b − n_shared ≥ 1 whenever a pair exists."""
+    d = Tables(spark, sf_dir).documents
+    bands = _band_buckets(minhash_signatures(d))
+    sb = (
+        bands.join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "band", "bucket")
+        .distinct()
+        .cache()  # feeds the pair join (both sides) + per-source sizes
+    )
+    per = sb.groupBy("source").agg(F.count(F.lit(1)).alias("nb"))
+    x = (
+        sb.alias("a")
+        .join(sb.alias("b"), ["band", "bucket"])
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    pa = per.select(F.col("source").alias("source_a"), F.col("nb").alias("n_a"))
+    pb = per.select(F.col("source").alias("source_b"), F.col("nb").alias("n_b"))
+    denom = F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    return (
+        x.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_shared").cast("double") / denom, 6).alias(
+                "bucket_jaccard"
+            ),
+        )
     )
