@@ -24,14 +24,18 @@ SELECT doc_id AS id,
             ELSE 'video' END AS media_type,
        length(text) AS byte_len,
        md5(text) AS digest,
-       ascii(substring(text, 1, 1)) AS first_byte
+       CASE WHEN length(text) = 0 THEN -1
+            ELSE ascii(substring(text, 1, 1)) END AS first_byte
 FROM documents
 """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload featurization via Arrow-batched mapInPandas; the
     oracle recomputes the features from the source text (payload = UTF-8
-    bytes of an ASCII corpus, so byte-level == char-level)."""
+    bytes of an ASCII corpus, so byte-level == char-level). An EMPTY
+    payload features as first_byte = -1 — the featurizer's documented
+    sentinel, mirrored in the oracle's CASE (DuckDB's bare ascii('')
+    would say 0, a real byte value — round-10 blank-text sweep)."""
     d = Tables(spark, sf_dir).documents
     feats = extract_features(media_frame(d))
     return feats.select(

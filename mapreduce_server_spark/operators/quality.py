@@ -826,3 +826,96 @@ def quality_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gen_level", "nationkey", "segment")
     )
+
+
+# --- eval-set decontamination: cross-split n-gram containment
+
+DECON_N = 8  # the GPT-3 decontamination n-gram length (Brown et al. 2020, App. C)
+
+
+@query(
+    "quality_decontaminate",
+    category="J.pipeline",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+ng AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - {DECON_N - 1}, 1)),
+           i -> array_to_string(t[i:i+{DECON_N - 1}], ' ')))) AS g
+  FROM docs
+),
+ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 10 = 7),
+tr AS (SELECT doc_id, source, g FROM ng WHERE doc_id % 10 <> 7),
+hits AS (
+  SELECT doc_id, source, count(*)::BIGINT AS n_hits
+  FROM tr JOIN ev USING (g) GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_ngrams FROM tr GROUP BY 1)
+SELECT h.doc_id, h.source, h.n_hits, s.n_ngrams,
+       round(h.n_hits::DOUBLE / s.n_ngrams, 6) AS hit_frac
+FROM hits h JOIN sizes s USING (doc_id)
+""",
+)
+def quality_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination against a held-out eval set — the
+    eval-hygiene step every serious pretraining pipeline runs (Brown et
+    al. 2020 App. C introduced the 8-gram rule; The Pile and successors
+    kept it): a TRAIN document is contaminated when it shares ANY
+    8-gram with ANY benchmark document, because even partial leakage
+    inflates downstream eval scores. The doc_id % 10 = 7 slice stands
+    in for the benchmark (the pipeline_incremental_dedup split
+    discipline). Reports ONLY contaminated docs (sparse — a clean
+    corpus emits nothing): per doc its distinct contaminated-8-gram
+    count, its distinct-8-gram total, and the hit fraction that decides
+    flag-vs-drop.
+
+    Distinct from the neighboring keys by decision and grain:
+    pipeline_incremental_dedup admits by WHOLE-DOC hash (ingest dedup),
+    text_substring_dup finds WITHIN-corpus repeated substrings, the
+    dedup_* family pairs near-identical docs — decontamination is
+    cross-SPLIT sub-document containment, where one shared window
+    anywhere taints the doc regardless of overall similarity.
+
+    Scale shape: ONE tokenize pass feeds both splits (cached exploded
+    n-gram frame — the sample_dsir one-pass rule); the eval side
+    reduces to DISTINCT n-grams and is BROADCAST (benchmarks are MBs
+    against a 100 TB corpus — the join ships no corpus bytes); per-doc
+    hit and size counts are two partial-agg shuffles over doc_id. The
+    8-gram join key rides as the raw string here (exact, like GPT-3);
+    at petabyte scale hash it to 8 bytes first (_md5_int discipline) —
+    same plan, smaller shuffle rows, bloom-style false positives only
+    ever over-flag. Counts are exact integers; hit_frac is one
+    identical double division (denominator ≥ 1 by the greatest()
+    window guard, which also keeps sub-8-token docs well-defined:
+    their single clamped window IS the doc)."""
+    d = Tables(spark, sf_dir).documents
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - (DECON_N - 1), F.lit(1))
+    )
+    ngrams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, DECON_N)))
+    )
+    ng = d.select(
+        "doc_id", "source", F.explode(ngrams).alias("g")
+    ).cache()  # ONE corpus tokenization feeds eval + train + sizes
+    ev = ng.filter(F.col("doc_id") % 10 == 7).select("g").distinct()
+    tr = ng.filter(F.col("doc_id") % 10 != 7)
+    hits = (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "source",
+        "n_hits",
+        "n_ngrams",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_ngrams"), 6
+        ).alias("hit_frac"),
+    )

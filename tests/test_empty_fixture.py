@@ -13,11 +13,19 @@ row exists (k-center's Gonzalez argmax, IVF quantizer training), and
 ``head``-style admission logic. At 100 TB these are not edge cases:
 a predicate or a partition filter can empty ANY intermediate frame.
 
+A third axis rides along: BLANK document text (every row kept, text =
+''), the degenerate tokenization input — ``string_split('')`` yields
+[''], shingle/n-gram windows clamp to a single empty window, and
+byte-level featurizers see zero-length payloads (found the
+multimodal_features first_byte sentinel divergence: the featurizer's
+documented -1 vs DuckDB's bare ascii('') = 0).
+
 Fixture construction (pure projections of the committed sf0.001
 fixture — deterministic, no synthesis, schema preserved exactly by
-``WHERE false`` / keyed ``ORDER BY … LIMIT 1``):
+``WHERE false`` / keyed ``ORDER BY … LIMIT 1`` / REPLACE-projection):
   * empty:      every table ``WHERE false``           (0 rows, same schema)
   * single-row: every table ``ORDER BY <pk> LIMIT 1`` (lowest-key row)
+  * blank-text: documents text = '' / n_chars = 0, other tables verbatim
 """
 
 from __future__ import annotations
@@ -51,7 +59,8 @@ _PK = {
 
 
 def build_fixture(dest: str, mode: str, src_dir: str = SF0001) -> None:
-    """Materialize the degenerate fixture into ``dest``. mode ∈ {empty, one}."""
+    """Materialize the degenerate fixture into ``dest``.
+    mode ∈ {empty, one, blank}."""
     con = duckdb.connect()
     for t in TABLE_NAMES:
         src = os.path.join(src_dir, f"{t}.parquet")
@@ -59,6 +68,14 @@ def build_fixture(dest: str, mode: str, src_dir: str = SF0001) -> None:
             q = f"SELECT * FROM read_parquet('{src}') WHERE false"
         elif mode == "one":
             q = f"SELECT * FROM read_parquet('{src}') ORDER BY {_PK[t]} LIMIT 1"
+        elif mode == "blank":
+            if t == "documents":
+                q = (
+                    "SELECT doc_id, '' AS text, lang, source, "
+                    f"0::BIGINT AS n_chars FROM read_parquet('{src}')"
+                )
+            else:
+                q = f"SELECT * FROM read_parquet('{src}')"
         else:  # pragma: no cover
             raise ValueError(mode)
         con.execute(
@@ -110,4 +127,17 @@ def test_every_oracle_survives_empty_tables(spark, empty_dir):
 
 def test_every_oracle_survives_single_row_tables(spark, one_dir):
     bad = _sweep(spark, one_dir)
+    assert not bad, bad
+
+
+@pytest.fixture(scope="module")
+def blank_dir():
+    d = tempfile.mkdtemp(prefix="blankfix_")
+    build_fixture(d, "blank")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_every_oracle_survives_blank_text(spark, blank_dir):
+    bad = _sweep(spark, blank_dir)
     assert not bad, bad

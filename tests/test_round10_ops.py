@@ -67,6 +67,43 @@ def test_source_overlap_matches_pure_python_replay(spark):
     assert len(got) >= 1  # the fixture has real cross-source collisions
 
 
+def _decon_replay(sf_dir: str) -> dict[int, tuple[str, int, int, float]]:
+    rows = duckdb.sql(
+        f"SELECT doc_id, source, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    N = 8
+    grams: dict[int, tuple[str, set]] = {}
+    for doc_id, source, text in rows:
+        t = text.split(" ")
+        g = {
+            " ".join(t[i : i + N])
+            for i in range(max(len(t) - (N - 1), 1))
+        }
+        grams[doc_id] = (source, g)
+    ev: set = set()
+    for doc_id, (_s, g) in grams.items():
+        if doc_id % 10 == 7:
+            ev |= g
+    out = {}
+    for doc_id, (source, g) in grams.items():
+        if doc_id % 10 == 7:
+            continue
+        hits = len(g & ev)
+        if hits:
+            out[doc_id] = (source, hits, len(g), round(hits / len(g), 6))
+    return out
+
+
+def test_decontaminate_matches_pure_python_replay(spark):
+    expect = _decon_replay(SF0001)
+    got = {
+        r["doc_id"]: (r["source"], r["n_hits"], r["n_ngrams"], r["hit_frac"])
+        for r in REGISTRY["quality_decontaminate"].raw_fn(spark, SF0001).collect()
+    }
+    assert got == expect
+    assert len(got) >= 1  # the fixture's planted dups straddle the split
+
+
 def test_source_overlap_is_sparse_and_symmetric_free(spark):
     """Only source_a < source_b rows (no diagonal, no mirrored pairs),
     and every Jaccard is in (0, 1]."""
