@@ -578,7 +578,15 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     space: the block bounds it to near-dup candidates, the same
     block-then-verify shape as dedup_minhash. At 100 TB swap the exact
     Jaccard block for minhash bands and keep this verify stage; the
-    verify is JVM-side `F.levenshtein` (whole-stage codegen, no UDF)."""
+    verify is JVM-side `F.levenshtein` (whole-stage codegen, no UDF).
+
+    Unicode semantics (round-10 unicode sweep): the engine's distance
+    is CHARACTER-level (Spark's levenshtein counts codepoint edits —
+    'café x' → 'cafe x' is 1). DuckDB's builtin is BYTE-based (the
+    same pair scores 2), so the oracle is exact on ASCII corpora
+    (every committed fixture) while non-ASCII parity is pinned by the
+    provable relationship char_dist ≤ byte_dist in
+    tests/test_empty_fixture.py::test_unicode_levenshtein_relationship."""
     d = Tables(spark, sf_dir).documents
     cand = _jaccard_pairs(d, threshold=0.3).select("doc_a", "doc_b")
     ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))

@@ -22,20 +22,25 @@ SELECT doc_id AS id,
        CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio'
             ELSE 'video' END AS media_type,
-       length(text) AS byte_len,
+       octet_length(encode(text)) AS byte_len,
        md5(text) AS digest,
        CASE WHEN length(text) = 0 THEN -1
-            ELSE ascii(substring(text, 1, 1)) END AS first_byte
+            ELSE ('0x' || substr(hex(encode(text)), 1, 2))::INT
+       END AS first_byte
 FROM documents
 """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload featurization via Arrow-batched mapInPandas; the
-    oracle recomputes the features from the source text (payload = UTF-8
-    bytes of an ASCII corpus, so byte-level == char-level). An EMPTY
-    payload features as first_byte = -1 — the featurizer's documented
-    sentinel, mirrored in the oracle's CASE (DuckDB's bare ascii('')
-    would say 0, a real byte value — round-10 blank-text sweep)."""
+    oracle recomputes the features from the source text. The contract
+    is BYTE-level (the featurizer sees an opaque UTF-8 payload), so the
+    oracle spells bytes explicitly: octet_length(encode(text)) — NOT
+    length(text), which counts codepoints and diverges on any
+    non-ASCII corpus (round-10 unicode sweep) — and first_byte is the
+    first UTF-8 byte via hex(encode(text)) (é features as 0xC3, not
+    codepoint 233). An EMPTY payload features as first_byte = -1 — the
+    featurizer's documented sentinel, mirrored in the oracle's CASE
+    (round-10 blank-text sweep)."""
     d = Tables(spark, sf_dir).documents
     feats = extract_features(media_frame(d))
     return feats.select(
@@ -70,7 +75,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_dedup",
     category="J.multimodal",
     oracle="""
-WITH f AS (SELECT doc_id AS id, md5(text) AS digest, length(text) AS byte_len
+WITH f AS (SELECT doc_id AS id, md5(text) AS digest,
+                  octet_length(encode(text)) AS byte_len
            FROM documents)
 SELECT digest, count(*) AS n_copies, min(id) AS survivor_id,
        min(byte_len) AS byte_len

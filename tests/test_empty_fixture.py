@@ -20,6 +20,20 @@ byte-level featurizers see zero-length payloads (found the
 multimodal_features first_byte sentinel divergence: the featurizer's
 documented -1 vs DuckDB's bare ascii('') = 0).
 
+And a fourth: NON-ASCII text (accents, CJK, an astral-plane emoji
+prefixed deterministically per doc) — the normal case at 100 TB, and
+the byte-vs-codepoint fault line. It found the multimodal byte
+features spelled char-level in their oracles (length(text) vs
+octet_length(encode(text)); ascii() vs the first UTF-8 byte), and one
+genuine ENGINE-BUILTIN difference: DuckDB's levenshtein() is
+BYTE-based while Spark's is CHARACTER-based (levenshtein('café x',
+'cafe x') = 2 vs 1). The engine's semantics are Spark's char-level
+(the right metric for text); dedup_levenshtein is therefore excluded
+from exact parity on THIS fixture only and pinned by the provable
+relationship instead (char dist ≤ byte dist ⇒ duck's result set ⊆
+spark's, equal dists on ASCII pairs — see
+test_unicode_levenshtein_relationship).
+
 Fixture construction (pure projections of the committed sf0.001
 fixture — deterministic, no synthesis, schema preserved exactly by
 ``WHERE false`` / keyed ``ORDER BY … LIMIT 1`` / REPLACE-projection):
@@ -76,6 +90,18 @@ def build_fixture(dest: str, mode: str, src_dir: str = SF0001) -> None:
                 )
             else:
                 q = f"SELECT * FROM read_parquet('{src}')"
+        elif mode == "unicode":
+            if t == "documents":
+                q = (
+                    "SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'café ' "
+                    "WHEN 1 THEN '数据处理 ' ELSE '🚀préfix ' END || text "
+                    "AS text, lang, source, "
+                    "length(CASE doc_id % 3 WHEN 0 THEN 'café ' "
+                    "WHEN 1 THEN '数据处理 ' ELSE '🚀préfix ' END || text)"
+                    f"::BIGINT AS n_chars FROM read_parquet('{src}')"
+                )
+            else:
+                q = f"SELECT * FROM read_parquet('{src}')"
         else:  # pragma: no cover
             raise ValueError(mode)
         con.execute(
@@ -84,9 +110,13 @@ def build_fixture(dest: str, mode: str, src_dir: str = SF0001) -> None:
     con.close()
 
 
-def _sweep(spark, fix_dir: str) -> list[tuple[str, str]]:
+def _sweep(
+    spark, fix_dir: str, exclude: frozenset[str] = frozenset()
+) -> list[tuple[str, str]]:
     duck = make_duck(fix_dir)
-    keys = sorted(k for k, s in REGISTRY.items() if s.oracle)
+    keys = sorted(
+        k for k, s in REGISTRY.items() if s.oracle and k not in exclude
+    )
     assert len(keys) >= 300  # the sweep must cover the whole registry
     bad: list[tuple[str, str]] = []
     for k in keys:
@@ -141,3 +171,41 @@ def blank_dir():
 def test_every_oracle_survives_blank_text(spark, blank_dir):
     bad = _sweep(spark, blank_dir)
     assert not bad, bad
+
+
+@pytest.fixture(scope="module")
+def unicode_dir():
+    d = tempfile.mkdtemp(prefix="unifix_")
+    build_fixture(d, "unicode")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_every_oracle_survives_non_ascii_text(spark, unicode_dir):
+    # dedup_levenshtein excluded: DuckDB's levenshtein builtin is
+    # byte-based, Spark's char-based — a genuine engine-builtin
+    # difference pinned by the relationship test below instead.
+    bad = _sweep(spark, unicode_dir, exclude=frozenset({"dedup_levenshtein"}))
+    assert not bad, bad
+
+
+def test_unicode_levenshtein_relationship(spark, unicode_dir):
+    """Char-level edit distance never exceeds byte-level (every char
+    edit costs >= 1 byte edit), and both engines share the char-counted
+    length cutoff — so DuckDB's byte-based result set is a SUBSET of
+    Spark's on non-ASCII text, with spark_dist <= duck_dist on shared
+    pairs and equality wherever both texts are pure ASCII."""
+    duck = make_duck(unicode_dir)
+    srows = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in REGISTRY["dedup_levenshtein"].raw_fn(spark, unicode_dir).collect()
+    }
+    drows = {
+        (a, b): dist
+        for a, b, dist in duck.execute(
+            REGISTRY["dedup_levenshtein"].oracle
+        ).fetchall()
+    }
+    assert set(drows) <= set(srows), (set(drows) - set(srows))
+    for pair, ddist in drows.items():
+        assert srows[pair] <= ddist, (pair, srows[pair], ddist)

@@ -104,6 +104,21 @@ def test_decontaminate_matches_pure_python_replay(spark):
     assert len(got) >= 1  # the fixture's planted dups straddle the split
 
 
+def test_spark_levenshtein_is_character_level(spark):
+    """Pin the engine's edit-distance unit: CODEPOINTS, not bytes (the
+    byte-based spelling is DuckDB's builtin — see dedup_levenshtein's
+    docstring). An astral-plane emoji (a UTF-16 surrogate pair, 4 UTF-8
+    bytes) must still count as ONE edit."""
+    from pyspark.sql import functions as F
+
+    row = spark.range(1).select(
+        F.levenshtein(F.lit("café x"), F.lit("cafe x")).alias("accent"),
+        F.levenshtein(F.lit("🚀a"), F.lit("a")).alias("emoji"),
+        F.levenshtein(F.lit("数据"), F.lit("数报")).alias("cjk"),
+    ).collect()[0]
+    assert (row["accent"], row["emoji"], row["cjk"]) == (1, 1, 1)
+
+
 def test_source_overlap_is_sparse_and_symmetric_free(spark):
     """Only source_a < source_b rows (no diagonal, no mirrored pairs),
     and every Jaccard is in (0, 1]."""
