@@ -90,6 +90,19 @@ def build_fixture(dest: str, mode: str, src_dir: str = SF0001) -> None:
                 )
             else:
                 q = f"SELECT * FROM read_parquet('{src}')"
+        elif mode == "x10":
+            x10 = {
+                "lineitem": "(l_quantity * 10.0)::DOUBLE AS l_quantity, "
+                            "(l_extendedprice * 10.0)::DOUBLE AS l_extendedprice",
+                "events": "(value * 10.0)::DOUBLE AS value",
+                "customer": "(c_acctbal * 10.0)::DOUBLE AS c_acctbal",
+                "orders": "(o_totalprice * 10.0)::DOUBLE AS o_totalprice",
+                "part": "(p_retailprice * 10.0)::DOUBLE AS p_retailprice",
+            }
+            if t in x10:
+                q = f"SELECT * REPLACE ({x10[t]}) FROM read_parquet('{src}')"
+            else:
+                q = f"SELECT * FROM read_parquet('{src}')"
         elif mode == "unicode":
             if t == "documents":
                 q = (
@@ -187,6 +200,41 @@ def test_every_oracle_survives_non_ascii_text(spark, unicode_dir):
     # difference pinned by the relationship test below instead.
     bad = _sweep(spark, unicode_dir, exclude=frozenset({"dedup_levenshtein"}))
     assert not bad, bad
+
+
+@pytest.fixture(scope="module")
+def x10_dir():
+    d = tempfile.mkdtemp(prefix="x10fix_")
+    build_fixture(d, "x10")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_every_oracle_survives_10x_magnitudes(spark, x10_dir):
+    """Value-domain envelope margin: every monetary/measure column at
+    10× the fixture's magnitudes (prices to ~1e6). Magnitude is a DATA
+    DOMAIN property, not a scale property — 100 TB grows row counts
+    (absorbed by the DECIMAL(38) sum discipline and the documented
+    doubles-combine rules), not individual prices — but a full
+    order-of-magnitude margin over the domain must hold cleanly.
+    Measured saturation edges beyond this margin (the ×1e5 probe,
+    round 10): agg_corr / ts_autocorr / ts_sax / q9_product_profit
+    overflow DuckDB-side DECIMAL(18) product casts and stat_levene's
+    Spark-side DECIMAL(13,6) residual between ×10 and ×1e5 — widen
+    those casts first if the domain contract ever grows."""
+    bad = _sweep(spark, x10_dir)
+    assert not bad, bad
+
+
+def test_rows_only_keys_survive_degenerate_inputs(spark, empty_dir, one_dir):
+    """The 4 rows-only keys have no oracle, so the parity sweeps skip
+    them — execute them directly: they must build and run (not crash)
+    on 0-row and 1-row fixtures."""
+    keys = sorted(k for k, s in REGISTRY.items() if not s.oracle)
+    assert len(keys) == 4, keys
+    for k in keys:
+        for d in (empty_dir, one_dir):
+            REGISTRY[k].raw_fn(spark, d).collect()
 
 
 def test_unicode_levenshtein_relationship(spark, unicode_dir):
