@@ -491,6 +491,15 @@ def _probe_cells(
 _IVF_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
 _IVF_INDEX_CACHE: dict[tuple[str, str], str] = {}
 
+#: single-writer guard for the session-scoped builds: two serving
+#: threads cold-hitting the same corpus must not race the same
+#: overwrite-mode index write (Spark's _temporary staging collides) —
+#: one builds, the other waits and reuses (pinned in
+#: tests/test_concurrent.py).
+import threading as _threading
+
+_IVF_BUILD_LOCK = _threading.Lock()
+
 _IVF_INDEX_SCHEMA = (
     "vec_id bigint, embedding array<float>, label int, d bigint, cluster int"
 )
@@ -506,17 +515,17 @@ def _ivf_assigned(
     the 16×64 interpreted distance fold per query."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_ASSIGN_CACHE:
-        e = Tables(spark, sf_dir).embeddings
-        cluster, dmin = _cell_assign_cols(F.col("embedding"), cents)
-        _IVF_ASSIGN_CACHE[key] = (
-            e.select(
-                "vec_id",
-                "embedding",
-                "label",
-                dmin.alias("d"),
-                cluster.alias("cluster"),
-            ).cache()
-        )
+        with _IVF_BUILD_LOCK:
+            if key not in _IVF_ASSIGN_CACHE:  # re-check under the lock
+                e = Tables(spark, sf_dir).embeddings
+                cluster, dmin = _cell_assign_cols(F.col("embedding"), cents)
+                _IVF_ASSIGN_CACHE[key] = e.select(
+                    "vec_id",
+                    "embedding",
+                    "label",
+                    dmin.alias("d"),
+                    cluster.alias("cluster"),
+                ).cache()
     return _IVF_ASSIGN_CACHE[key]
 
 
@@ -535,19 +544,21 @@ def _ivf_index(
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_INDEX_CACHE:
-        tag = (
-            _os.path.basename(_os.path.normpath(sf_dir))
-            + "_"
-            + _hl.md5(sf_dir.encode()).hexdigest()[:6]
-        )
-        out = _os.path.join(SCRATCH, f"ivf_index_{tag}")
-        (
-            _ivf_assigned(spark, sf_dir, cents)
-            .write.mode("overwrite")
-            .partitionBy("cluster")
-            .parquet(out)
-        )
-        _IVF_INDEX_CACHE[key] = out
+        assigned = _ivf_assigned(spark, sf_dir, cents)  # own lock scope
+        with _IVF_BUILD_LOCK:
+            if key not in _IVF_INDEX_CACHE:  # re-check under the lock
+                tag = (
+                    _os.path.basename(_os.path.normpath(sf_dir))
+                    + "_"
+                    + _hl.md5(sf_dir.encode()).hexdigest()[:6]
+                )
+                out = _os.path.join(SCRATCH, f"ivf_index_{tag}")
+                (
+                    assigned.write.mode("overwrite")
+                    .partitionBy("cluster")
+                    .parquet(out)
+                )
+                _IVF_INDEX_CACHE[key] = out
     return _IVF_INDEX_CACHE[key]
 
 

@@ -47,6 +47,30 @@ def test_concurrent_collects_match_sequential(spark):
         assert len(concurrent[k]) > 0, k
 
 
+def test_concurrent_ivf_family_cold_build_is_single_writer(spark):
+    """The IVF session artifacts (_ivf_assigned cache + the on-disk
+    cluster-partitioned _ivf_index) are built lazily on first use —
+    four threads cold-hitting the same corpus must serialize the build
+    (one writes, the rest wait and reuse; an unguarded race collides in
+    Spark's _temporary staging) and all return correct results. Caches
+    are evicted first so the build is genuinely cold."""
+    from mapreduce_server_spark.operators import similarity as sim
+
+    key = (spark.sparkContext.applicationId, SF001)
+    sim._IVF_ASSIGN_CACHE.pop(key, None)
+    sim._IVF_INDEX_CACHE.pop(key, None)
+    family = ["knn_filter", "knn_ivf_pruned", "knn_ivf", "knn_cell_stats"]
+    sequential = {k: _run(spark, k) for k in family}
+    sim._IVF_ASSIGN_CACHE.pop(key, None)
+    sim._IVF_INDEX_CACHE.pop(key, None)
+    with ThreadPoolExecutor(max_workers=len(family)) as ex:
+        futures = {k: ex.submit(_run, spark, k) for k in family}
+        concurrent = {k: f.result(timeout=300) for k, f in futures.items()}
+    for k in family:
+        assert concurrent[k] == sequential[k], k
+        assert len(concurrent[k]) > 0, k
+
+
 def test_repeated_collect_is_stable(spark):
     """The memoized plan re-executes against the files each time — two
     collects of the same cached plan must be identical (no stale state,
