@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..functions.vector import DUCK_DOT, DUCK_NORM, cosine
 from ..registry import REGISTRY, query
 from ..sources.loader import Tables
+from ._memo import session_cache
 
 N_HASHES = 16  # minhash permutations
 N_BANDS = 4  # → 4 rows per band; P(candidate | J=0.9) ≈ 1-(1-0.9^4)^4 ≈ 0.986
@@ -632,7 +633,13 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangles_from_edges precedent."""
     t = 0.5
     d = Tables(spark, sf_dir).documents
-    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle")).cache()
+    # both caches session-memoized (round-10 ADVICE: no per-call leak)
+    sh = session_cache(
+        spark,
+        sf_dir,
+        "prefix_shingles",
+        lambda: d.select("doc_id", F.explode(_shingles()).alias("shingle")),
+    )
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         sh.join(df_counts, "shingle")
@@ -646,9 +653,14 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
         )
     )
-    prefix = ranked.where(
-        F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
-    ).select("doc_id", "shingle", "n_sh").cache()
+    prefix = session_cache(
+        spark,
+        sf_dir,
+        "prefix_index",
+        lambda: ranked.where(
+            F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+        ).select("doc_id", "shingle", "n_sh"),
+    )
     # AllPairs LENGTH filter (applied inside the candidate join, before
     # any verification): J >= t forces t*|a| <= |b| <= |a|/t, so
     # mismatched-size pairs never leave the bucket
@@ -735,11 +747,15 @@ def quality_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator n_a + n_b − n_shared ≥ 1 whenever a pair exists."""
     d = Tables(spark, sf_dir).documents
     bands = _band_buckets(minhash_signatures(d))
-    sb = (
-        bands.join(d.select("doc_id", "source"), "doc_id")
+    # feeds the pair join (both sides) + per-source sizes;
+    # session-memoized (round-10 ADVICE: no per-invocation leak)
+    sb = session_cache(
+        spark,
+        sf_dir,
+        "overlap_src_buckets",
+        lambda: bands.join(d.select("doc_id", "source"), "doc_id")
         .select("source", "band", "bucket")
-        .distinct()
-        .cache()  # feeds the pair join (both sides) + per-source sizes
+        .distinct(),
     )
     per = sb.groupBy("source").agg(F.count(F.lit(1)).alias("nb"))
     x = (

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.loader import Tables
+from ._memo import session_cache
 from .text import tokens
 
 #: heavy-hitter parameter: report tokens with freq > n/K (strict, exact
@@ -326,14 +327,16 @@ def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_reduce), so partition fold order can't move the 6-dp value."""
     d = Tables(spark, sf_dir).documents
     # cache: b feeds tot/ns/na/terms — four duplicated logical subtrees
-    # would each rescan documents otherwise (STATUS trap)
-    b = (
-        d.groupBy(
+    # would each rescan documents otherwise (STATUS trap); memoized per
+    # session so repeated serving runs reuse ONE InMemoryRelation
+    b = session_cache(
+        spark,
+        sf_dir,
+        "psi_cells",
+        lambda: d.groupBy(
             "source",
             F.floor(F.col("n_chars") / 100).cast("long").alias("bucket"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .cache()
+        ).agg(F.count(F.lit(1)).alias("c")),
     )
     tot = b.groupBy("bucket").agg(F.sum("c").cast("double").alias("tc"))
     ns = b.groupBy("source").agg(F.sum("c").cast("double").alias("ns"))
@@ -404,11 +407,15 @@ def quality_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     take max over identical doubles; 6-dp rounded."""
     d = Tables(spark, sf_dir).documents
     # cache: the cell table feeds vals/srcs/grid/per_val — without it the
-    # duplicated logical subtrees each rescan documents (STATUS trap)
-    counts = (
-        d.groupBy("source", F.col("n_chars").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .cache()
+    # duplicated logical subtrees each rescan documents (STATUS trap);
+    # session-memoized (round-10 ADVICE: no per-invocation leak)
+    counts = session_cache(
+        spark,
+        sf_dir,
+        "ks_cells",
+        lambda: d.groupBy("source", F.col("n_chars").alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        ),
     )
     vals = counts.select("v").distinct()
     srcs = counts.groupBy("source").agg(F.sum("c").alias("ns"))
@@ -830,7 +837,13 @@ def quality_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- eval-set decontamination: cross-split n-gram containment
 
-DECON_N = 8  # the GPT-3 decontamination n-gram length (Brown et al. 2020, App. C)
+# Overlap window: 8-grams, the GPT-2/WebText overlap-analysis length
+# (Radford et al. 2019 §4). GPT-3's decontamination lengthened the
+# window to 13-grams (Brown et al. 2020, App. C) — a shorter window
+# flags MORE aggressively (every 13-gram hit contains 8-gram hits), so
+# 8 is the conservative choice for a release gate. Swap to 13 for
+# GPT-3-parity; engine and oracle share this constant either way.
+DECON_N = 8
 
 
 @query(
@@ -861,9 +874,11 @@ FROM hits h JOIN sizes s USING (doc_id)
 )
 def quality_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set decontamination against a held-out eval set — the
-    eval-hygiene step every serious pretraining pipeline runs (Brown et
-    al. 2020 App. C introduced the 8-gram rule; The Pile and successors
-    kept it): a TRAIN document is contaminated when it shares ANY
+    eval-hygiene step every serious pretraining pipeline runs (the
+    8-gram overlap window is GPT-2's WebText overlap analysis, Radford
+    et al. 2019 §4; GPT-3's App. C decontamination widened it to
+    13-grams — see the DECON_N note above for why 8 is kept here): a
+    TRAIN document is contaminated when it shares ANY
     8-gram with ANY benchmark document, because even partial leakage
     inflates downstream eval scores. The doc_id % 10 = 7 slice stands
     in for the benchmark (the pipeline_incremental_dedup split
@@ -899,9 +914,14 @@ def quality_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngrams = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, DECON_N)))
     )
-    ng = d.select(
-        "doc_id", "source", F.explode(ngrams).alias("g")
-    ).cache()  # ONE corpus tokenization feeds eval + train + sizes
+    # ONE corpus tokenization feeds eval + train + sizes;
+    # session-memoized (round-10 ADVICE: no per-invocation leak)
+    ng = session_cache(
+        spark,
+        sf_dir,
+        "decon_ngrams",
+        lambda: d.select("doc_id", "source", F.explode(ngrams).alias("g")),
+    )
     ev = ng.filter(F.col("doc_id") % 10 == 7).select("g").distinct()
     tr = ng.filter(F.col("doc_id") % 10 != 7)
     hits = (

@@ -156,8 +156,20 @@ class MaterializedView:
         An EMPTY source never materializes anything (rebuild([]) writes
         no directory), so a missing path reads as the empty relation in
         the view's own schema — build() over an empty key list is that
-        frame analysis-time for free (round-10 empty-input sweep)."""
+        frame analysis-time for free (round-10 empty-input sweep).
+
+        The empty-frame substitution applies ONLY to the genuinely-empty
+        source: a missing directory when the source HAS keys means the
+        caller skipped refresh() (or a refresh failed mid-flight), and
+        silently serving zero rows there would be a correctness bug —
+        raise instead (round-10 ADVICE)."""
         if not os.path.isdir(self.path(sf_dir)):
+            if self.keys(spark, sf_dir).limit(1).count() > 0:
+                raise FileNotFoundError(
+                    f"materialized view '{self.name}' has no materialization "
+                    f"at {self.path(sf_dir)} but its source has partition "
+                    "keys — call refresh() before read()"
+                )
             df = self.build(spark, sf_dir, [])
         else:
             df = spark.read.parquet(self.path(sf_dir))
