@@ -29,7 +29,10 @@ from mapreduce_server_spark.session import get_spark  # noqa: E402
 #: the comparable total so the breadth number reflects the recommended
 #: plans, not the pedagogical anti-patterns.
 PEDAGOGICAL_DEMOS = {
-    "udf_cogroup_asof": "per-key pandas cogroup; fast twin = join_asof (~65x)",
+    "udf_cogroup_asof": (
+        "per-key pandas cogroup on a deterministic 10% user slice; "
+        "fast twin = join_asof (~65x at equal input)"
+    ),
     "udf_python": "row-at-a-time Python UDF demo; built-in twin in-module",
 }
 
