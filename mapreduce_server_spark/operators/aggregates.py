@@ -399,11 +399,22 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # built-ins, but try_divide returns NULL on a zero-variance group
     # where ANSI F.corr THROWS and DuckDB's corr yields NULL
     # (constant-fixture audit); equal to F.corr wherever it is defined.
+    # The stddev operands are PAIRWISE-COMPLETE (null the price where
+    # the quantity is null): corr/covar built-ins use pairwise deletion
+    # on both engines, so a plain stddev_pop over a different row set
+    # breaks the decomposition the moment either input has NULLs
+    # (round-11 NULL axis).
+    qty_if_pair = F.when(
+        F.col("l_extendedprice").isNotNull(), F.col("l_quantity")
+    )
+    price_if_pair = F.when(
+        F.col("l_quantity").isNotNull(), F.col("l_extendedprice")
+    )
     return li.groupBy("l_returnflag").agg(
         F.round(
             F.try_divide(
                 F.covar_pop("l_quantity", "l_extendedprice"),
-                F.stddev_pop("l_quantity") * F.stddev_pop("l_extendedprice"),
+                F.stddev_pop(qty_if_pair) * F.stddev_pop(price_if_pair),
             ),
             6,
         ).alias("qty_price_corr"),
@@ -643,14 +654,14 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH m AS (
   SELECT l_returnflag,
          count(*)::DOUBLE AS n,
-         sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sx,
-         sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sy,
-         sum((l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)))::DOUBLE
+         sum(l_quantity::DECIMAL(19,2))::DOUBLE AS sx,
+         sum(l_extendedprice::DECIMAL(19,2))::DOUBLE AS sy,
+         sum((l_quantity::DECIMAL(19,2) * l_quantity::DECIMAL(19,2)))::DOUBLE
            AS sxx,
-         sum((l_extendedprice::DECIMAL(18,2)
-              * l_extendedprice::DECIMAL(18,2)))::DOUBLE AS syy,
-         sum((l_quantity::DECIMAL(18,2)
-              * l_extendedprice::DECIMAL(18,2)))::DOUBLE AS sxy
+         sum((l_extendedprice::DECIMAL(19,2)
+              * l_extendedprice::DECIMAL(19,2)))::DOUBLE AS syy,
+         sum((l_quantity::DECIMAL(19,2)
+              * l_extendedprice::DECIMAL(19,2)))::DOUBLE AS sxy
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag,
@@ -676,8 +687,13 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, same doubles. One map-side-combined aggregation — moments
     are the textbook distributive aggregate, O(groups) shuffle."""
     li = Tables(spark, sf_dir).lineitem
-    qx = F.col("l_quantity").cast("decimal(18,2)")
-    py = F.col("l_extendedprice").cast("decimal(18,2)")
+    # 19,2 (not 18,2): DuckDB multiplies width-18 decimals in their
+    # int64 storage type and overflows at products ≥ 1e14 actual, while
+    # width 19 forces the int128 path → DECIMAL(38,4), mirroring
+    # Spark's capped DECIMAL(38,4) product — measured at the ×1e5
+    # magnitude envelope (tests/test_empty_fixture.py x1e5 axis).
+    qx = F.col("l_quantity").cast("decimal(19,2)")
+    py = F.col("l_extendedprice").cast("decimal(19,2)")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(qx).cast("double").alias("sx"),
@@ -1104,7 +1120,7 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH h AS (
   SELECT event_type, value AS v, count(*) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ),
 c AS (
   SELECT event_type, v, cnt,
@@ -1138,8 +1154,11 @@ def sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest v with cum ≥ ⌈p·n⌉, the ceil done in INTEGER arithmetic
     ((n·p + 99) div 100), so every output is an actual data value,
     bit-exact. Plan: one partial-agg shuffle to the histogram, one
-    type-keyed window over ≤|domain| rows, one final 5-row aggregate."""
-    ev = Tables(spark, sf_dir).events
+    type-keyed window over ≤|domain| rows, one final 5-row aggregate.
+    NULL contract: a quantile ranks OBSERVED values — NULL measures are
+    excluded on both engines (ARCHITECTURE §22); n is the non-null
+    count, the denominator the ranks are read against."""
+    ev = Tables(spark, sf_dir).events.where(F.col("value").isNotNull())
     h = ev.groupBy("event_type", F.col("value").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt")
     ).cache()  # feeds the cumulative window AND the per-type totals

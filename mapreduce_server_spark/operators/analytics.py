@@ -745,6 +745,7 @@ WITH RECURSIVE series AS (
   SELECT user_id, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
   FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
 ),
 holt AS (
   SELECT user_id, 1::BIGINT AS i, value::DOUBLE AS l, 0.0::DOUBLE AS b
@@ -785,8 +786,11 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle keyed by user_id; per-group state is the user's
     ordered value list (bounded by per-user activity). The streaming
     twin carries {l, b} in applyInPandasWithState exactly like
-    first_seen_users carries its seen-set."""
-    ev = Tables(spark, sf_dir).events
+    first_seen_users carries its seen-set. NULL contract: series =
+    non-null observations of a non-null entity (ts_cusum note)."""
+    ev = Tables(spark, sf_dir).events.where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
     vals = F.transform(
         F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
         lambda e: e.getField("value"),
@@ -872,11 +876,11 @@ WITH pairs AS (
 m AS (
   SELECT user_id,
          count(*)::DOUBLE AS n,
-         sum(x::DECIMAL(18,2))::DOUBLE AS sx,
-         sum(y::DECIMAL(18,2))::DOUBLE AS sy,
-         sum((x::DECIMAL(18,2) * x::DECIMAL(18,2)))::DOUBLE AS sxx,
-         sum((y::DECIMAL(18,2) * y::DECIMAL(18,2)))::DOUBLE AS syy,
-         sum((x::DECIMAL(18,2) * y::DECIMAL(18,2)))::DOUBLE AS sxy
+         sum(x::DECIMAL(19,2))::DOUBLE AS sx,
+         sum(y::DECIMAL(19,2))::DOUBLE AS sy,
+         sum((x::DECIMAL(19,2) * x::DECIMAL(19,2)))::DOUBLE AS sxx,
+         sum((y::DECIMAL(19,2) * y::DECIMAL(19,2)))::DOUBLE AS syy,
+         sum((x::DECIMAL(19,2) * y::DECIMAL(19,2)))::DOUBLE AS sxy
   FROM pairs WHERE y IS NOT NULL
   GROUP BY user_id
 )
@@ -905,8 +909,11 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("x"),
         F.lead("value").over(w).alias("y"),
     ).where(F.col("y").isNotNull())
-    dx = F.col("x").cast("decimal(18,2)")
-    dy = F.col("y").cast("decimal(18,2)")
+    # 19,2 forces DuckDB's int128 multiply path (width-18 products
+    # overflow int64 storage at the ×1e5 magnitude envelope) — see
+    # agg_corr's cast note.
+    dx = F.col("x").cast("decimal(19,2)")
+    dy = F.col("y").cast("decimal(19,2)")
     m = pairs.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(dx).cast("double").alias("sx"),
@@ -935,17 +942,21 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="E.window",
     oracle="""
 WITH RECURSIVE
-gm AS (SELECT sum(value::DECIMAL(18,2))::DOUBLE / count(*) AS m FROM events),
+obs AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+),
+gm AS (SELECT sum(value::DECIMAL(18,2))::DOUBLE / count(*) AS m FROM obs),
 sz AS (
   SELECT hour(ts) AS h,
          sum(value::DECIMAL(18,2))::DOUBLE / count(*) - gm.m AS s
-  FROM events CROSS JOIN gm GROUP BY hour(ts), gm.m
+  FROM obs CROSS JOIN gm GROUP BY hour(ts), gm.m
 ),
 series AS (
   SELECT e.user_id, e.value - sz.s AS x, hour(e.ts) AS h,
          row_number() OVER (PARTITION BY e.user_id
                             ORDER BY e.ts, e.event_id) AS i
-  FROM events e JOIN sz ON sz.h = hour(e.ts)
+  FROM obs e JOIN sz ON sz.h = hour(e.ts)
 ),
 holt AS (
   SELECT user_id, 1::BIGINT AS i, x AS l, 0.0::DOUBLE AS b
@@ -990,8 +1001,13 @@ def ts_holt_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one events scan for the 24-row index (partial agg), one for
     the fold (user_id shuffle); the index rides a broadcast cross-join.
+    NULL contract: the whole operator (seasonal index AND per-entity
+    fold) consumes the non-null observation stream of non-null
+    entities, mirrored by the oracle's obs CTE (ts_cusum note).
     """
-    ev = Tables(spark, sf_dir).events
+    ev = Tables(spark, sf_dir).events.where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
     gm = ev.agg(
         (
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")

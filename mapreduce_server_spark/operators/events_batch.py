@@ -448,13 +448,30 @@ def matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_value").alias("max_value"),
         )
     )
-    # distinct users: merge per-side key sets (union is the partial)
-    keys = tagged.select("day_s", "event_type", "user_id").distinct()
+    # distinct users: merge per-side key sets (union is the partial).
+    # count(DISTINCT user_id) IGNORES NULLs (SQL count-of-column
+    # semantics) — the distinct-key-set spelling must filter them or it
+    # counts the NULL key as a user (round-11 NULL axis).
+    keys = (
+        tagged.where(F.col("user_id").isNotNull())
+        .select("day_s", "event_type", "user_id")
+        .distinct()
+    )
     users = keys.groupBy("day_s", "event_type").agg(
         F.count(F.lit(1)).alias("n_users_exact")
     )
-    return merged.join(users, ["day_s", "event_type"]).select(
-        "day_s", "event_type", "n", "sum_value", "max_value", "n_users_exact"
+    # LEFT join + 0: a group whose users are ALL NULL still exists in
+    # the rollup with a 0 distinct count (count(DISTINCT col) = 0, the
+    # group row itself comes from count(*))
+    return merged.join(users, ["day_s", "event_type"], "left").select(
+        "day_s",
+        "event_type",
+        "n",
+        "sum_value",
+        "max_value",
+        F.coalesce(F.col("n_users_exact"), F.lit(0).cast("long")).alias(
+            "n_users_exact"
+        ),
     )
 
 
@@ -467,7 +484,7 @@ WITH agg AS (
          user_id,
          count(*) AS n,
          sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
-  FROM events GROUP BY 1, 2
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
 )
 SELECT ws_s, user_id, n, sum_value, rk
 FROM (SELECT *, row_number() OVER (PARTITION BY ws_s
@@ -487,8 +504,12 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per trigger (rank over update-mode output) — the batch plan here
     IS that per-trigger computation, the events_batch twin discipline.
     At 100 TB the window agg is the only full-data shuffle; the top-k
-    window runs on |windows|×|active users| aggregated rows."""
-    ev = Tables(spark, sf_dir).events
+    window runs on |windows|×|active users| aggregated rows.
+
+    NULL contract (round-11 axis): a NULL user_id is not an entity and
+    cannot trend — dropped on both engines (it would otherwise rank
+    with engine-dependent NULL tiebreak ordering)."""
+    ev = Tables(spark, sf_dir).events.where(F.col("user_id").isNotNull())
     agg = ev.groupBy(
         F.window("ts", "1 hour").alias("w"), "user_id"
     ).agg(

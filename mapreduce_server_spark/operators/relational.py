@@ -809,10 +809,18 @@ def join_asof_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly; purchases with no prior click drop (inner-asof semantics),
     matching DuckDB's native ASOF JOIN oracle — the same oracle
     join_asof verifies against, so the two physical strategies are
-    pinned equal."""
+    pinned equal.
+
+    NULL contract (round-11 axis): a JOIN never matches NULL keys, but
+    a window PARTITION BY groups them together — so the union form
+    must explicitly drop NULL-keyed rows to stay equal to the join
+    form (a NULL-user purchase would otherwise inherit a NULL-user
+    click). The filter is the semantic mirror of the oracle's equality
+    predicate, not an extra predicate."""
     ev = Tables(spark, sf_dir).events
     both = ev.filter(
         F.col("event_type").isin("click", "purchase")
+        & F.col("user_id").isNotNull()
     ).select(
         "event_id",
         "user_id",

@@ -346,13 +346,17 @@ def scalar_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        md5(text) AS h_md5,
        sha256(text) AS h_sha256,
-       substring(md5(concat(lang, ':', text)), 1, 16) AS h_salted
+       substring(md5(lang || ':' || text), 1, 16) AS h_salted
 FROM documents
 """,
 )
 def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cryptographic hash bundle (content addressing / fingerprint
-    plumbing; both engines emit lowercase hex)."""
+    plumbing; both engines emit lowercase hex). The oracle's salt
+    concat is spelled `||` (NULL-propagating, matching Spark's
+    F.concat) — DuckDB's concat() SKIPS NULL arguments, so a NULL lang
+    would silently hash an unsalted string there (round-11 NULL
+    axis)."""
     d = Tables(spark, sf_dir).documents
     txt = F.col("text").cast("binary")
     return d.select(
@@ -447,12 +451,14 @@ def scalar_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
        'https://' || source || '.example.org/docs/' || doc_id
-           || '?lang=' || lang || '&v=2'           AS url,
-       source || '.example.org'                    AS host,
-       '/docs/' || doc_id                          AS path,
-       'lang=' || lang || '&v=2'                   AS query,
-       lang                                        AS lang_param,
-       'https'                                     AS protocol
+           || '?lang=' || lang || '&v=2'                   AS url,
+       CASE WHEN lang IS NOT NULL
+            THEN source || '.example.org' END               AS host,
+       CASE WHEN lang IS NOT NULL THEN '/docs/' || doc_id END AS path,
+       CASE WHEN lang IS NOT NULL
+            THEN 'lang=' || lang || '&v=2' END              AS query,
+       lang                                                 AS lang_param,
+       CASE WHEN lang IS NOT NULL THEN 'https' END          AS protocol
 FROM documents
 """,
 )
@@ -461,7 +467,11 @@ def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no URL column), then decomposed with Spark's ``parse_url``
     (HOST/PATH/QUERY/param/PROTOCOL). The oracle states the ground-truth
     components directly from the same source columns, so the check is
-    that parse_url inverts the construction exactly."""
+    that parse_url inverts the construction exactly. When any input
+    column is NULL the whole url is NULL (`||`/F.concat both propagate)
+    and every parsed component is NULL — the oracle spells that with
+    CASE guards because its components never see the url string
+    (round-11 NULL axis)."""
     d = Tables(spark, sf_dir).documents
     url = F.concat(
         F.lit("https://"), F.col("source"), F.lit(".example.org/docs/"),
@@ -498,9 +508,8 @@ WITH ips AS (
 SELECT event_id, ip,
        o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_num,
        o1 || '.' || o2 || '.' || o3 || '.0/24'    AS subnet24,
-       CASE WHEN o1 = 10 OR (o1 = 172 AND o2 >= 16 AND o2 <= 31)
-                 OR (o1 = 192 AND o2 = 168)
-            THEN TRUE ELSE FALSE END               AS is_private
+       (o1 = 10 OR (o1 = 172 AND o2 >= 16 AND o2 <= 31)
+                OR (o1 = 192 AND o2 = 168))        AS is_private
 FROM oct
 """,
 )
@@ -511,17 +520,29 @@ def scalar_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     subnet key is the canonical group-by for network-level aggregation at
     scale (clickstream rollups shuffle on subnet24, not raw IP). Demo
     rows capped by a deterministic modulo filter pushed to the scan
-    (VERDICT r6 §next #2)."""
+    (VERDICT r6 §next #2).
+
+    NULL contract (round-11 axis): a NULL input octet means NO ip —
+    the string is built with NULL-PROPAGATING F.concat (mirroring the
+    oracle's `||`), never concat_ws: concat_ws SKIPS NULL parts and
+    would emit a malformed 3-octet string whose 4th-octet element_at
+    then THROWS under ANSI. All derived fields (octets, ip_num,
+    subnet24, is_private) are NULL for a NULL ip on both engines; the
+    oracle's is_private is a bare boolean expression, not a CASE, so
+    the NULL propagates instead of collapsing to FALSE."""
     ev = Tables(spark, sf_dir).events.filter(F.col("event_id") % 10 == 0)
-    ip = F.concat_ws(
-        ".",
-        (F.col("user_id") % 223 + 1),
-        (F.floor("value").cast("long") % 256),
-        (F.col("event_id") % 256),
-        (F.expr("event_id div 256") % 256),
+    dot = F.lit(".")
+    ip = F.concat(
+        (F.col("user_id") % 223 + 1).cast("string"),
+        dot,
+        (F.floor("value").cast("long") % 256).cast("string"),
+        dot,
+        (F.col("event_id") % 256).cast("string"),
+        dot,
+        (F.expr("event_id div 256") % 256).cast("string"),
     )
     oct_ = F.split(ip, "\\.")
-    o = [F.element_at(oct_, i).cast("long") for i in (1, 2, 3, 4)]
+    o = [F.try_element_at(oct_, F.lit(i)).cast("long") for i in (1, 2, 3, 4)]
     is_priv = (
         (o[0] == 10)
         | ((o[0] == 172) & (o[1] >= 16) & (o[1] <= 31))
@@ -531,7 +552,10 @@ def scalar_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         ip.alias("ip"),
         (o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]).alias("ip_num"),
-        F.concat_ws(".", o[0], o[1], o[2], F.lit("0/24")).alias("subnet24"),
+        F.concat(
+            o[0].cast("string"), dot, o[1].cast("string"), dot,
+            o[2].cast("string"), F.lit(".0/24"),
+        ).alias("subnet24"),
         is_priv.alias("is_private"),
     )
 
@@ -573,8 +597,14 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.col("value"), F.col("value") * 2),
     )
     merged = F.map_concat(m, F.create_map(F.lit("id"), F.col("event_id").cast("string")))
+    # render a NULL map value as 'key=' (empty), NOT concat_ws (which
+    # SKIPS null parts and would drop the '='): mirrors the oracle's
+    # DuckDB concat(), which treats NULL args as '' (round-11 NULL axis)
     entries = F.transform(
-        F.map_entries(m), lambda e: F.concat_ws("=", e["key"], e["value"])
+        F.map_entries(m),
+        lambda e: F.concat(
+            e["key"], F.lit("="), F.coalesce(e["value"], F.lit(""))
+        ),
     )
     return ev.select(
         "event_id",

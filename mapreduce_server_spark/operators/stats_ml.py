@@ -337,11 +337,15 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_cusum",
     category="E.window",
     oracle="""
-WITH RECURSIVE agg AS (
+WITH RECURSIVE obs AS (
+  SELECT user_id, value, ts, event_id FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+),
+agg AS (
   SELECT user_id, count(*) AS n,
          sum(value::DECIMAL(18,2))::DOUBLE AS s,
          sum((value * value)::DECIMAL(24,4))::DOUBLE AS ssq
-  FROM events GROUP BY 1
+  FROM obs GROUP BY 1
 ),
 m AS (SELECT user_id, n, s / n AS mean, ssq / n AS msq FROM agg),
 p AS (SELECT user_id, n, mean,
@@ -350,7 +354,7 @@ p AS (SELECT user_id, n, mean,
 series AS (
   SELECT user_id, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
-  FROM events
+  FROM obs
 ),
 cusum AS (
   SELECT s.user_id, s.i,
@@ -385,8 +389,16 @@ def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE shuffle on user_id computing moments AND the ordered
     value list in the same aggregate; per-group state is bounded by
     per-user activity (≤ ~100 rows here). The alarm count and running
-    max live in the accumulator, so nothing is materialized per step."""
-    ev = Tables(spark, sf_dir).events
+    max live in the accumulator, so nothing is materialized per step.
+
+    NULL contract (round-11 axis): the per-entity series is the
+    NON-NULL observation stream of a NON-NULL entity — NULL user_id
+    has no partition to route to at scale, and a NULL measure is a
+    missing observation, not a data point; both filters are mirrored
+    in the oracle's obs CTE (ARCHITECTURE §22)."""
+    ev = Tables(spark, sf_dir).events.where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
     g = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
@@ -514,6 +526,7 @@ WITH ranked AS (
          row_number() OVER (PARTITION BY event_type
                             ORDER BY value, event_id) AS i
   FROM events
+  WHERE value IS NOT NULL
 ),
 g AS (
   SELECT event_type, count(*) AS n,
@@ -535,8 +548,10 @@ def stat_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes ranks — and therefore the statistic — a total order, stable
     across engines and partitionings). One window sort + one aggregate,
     both on the same event_type shuffle (sort-within-partition after ONE
-    exchange — the secondary-sort shape)."""
-    ev = Tables(spark, sf_dir).events
+    exchange — the secondary-sort shape). NULL contract: a NULL measure
+    has no rank in a concentration statistic — non-null observations
+    only, mirrored in the oracle (ARCHITECTURE §22)."""
+    ev = Tables(spark, sf_dir).events.where(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     ranked = ev.select(
         "event_type", "value", F.row_number().over(w).alias("i")
@@ -674,6 +689,7 @@ WITH RECURSIVE series AS (
                      OVER (PARTITION BY user_id ORDER BY ts, event_id))
                   // 3600, 0) AS dh
   FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
 ),
 fold AS (
   SELECT user_id, i, value::DOUBLE AS s FROM series WHERE i = 1
@@ -704,8 +720,11 @@ def ts_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag window BEFORE the collect fold, so the whole op is one
     user-keyed shuffle; the oracle is a recursive CTE (scalar state, but
     kept consistent with the ts_holt template). Output is unrounded —
-    the folds are bit-identical by construction."""
-    ev = Tables(spark, sf_dir).events
+    the folds are bit-identical by construction. NULL contract: series
+    = non-null observations of a non-null entity (ts_cusum note)."""
+    ev = Tables(spark, sf_dir).events.where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     es = F.unix_seconds(F.col("ts"))
     base = ev.select(
@@ -841,7 +860,7 @@ WITH e AS (SELECT vec_id, label,
                   list_transform(embedding, x -> x::DOUBLE) AS emb
            FROM embeddings),
 test AS (SELECT * FROM e WHERE vec_id % 2 = 1),
-train AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+train AS (SELECT * FROM e WHERE vec_id % 2 = 0 AND label IS NOT NULL),
 d AS (
   SELECT t.vec_id, tr.vec_id AS nbr, tr.label,
          list_reduce(list_prepend(0.0, list_transform(
@@ -874,7 +893,11 @@ def ml_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set comes from the bucketed `knn_join_lsh` path and the
     vote logic is unchanged. One crossJoin (broadcast train side) + one
     window + one count — the train side is the small labeled pool by
-    construction, exactly the broadcast-friendly side."""
+    construction, exactly the broadcast-friendly side. NULL contract
+    (round-11 axis): an UNLABELED vector cannot vote — the train pool
+    filters label IS NOT NULL on both engines (it also removes the
+    NULL-label vote group whose tiebreak ordering the engines' NULL
+    sort defaults would disagree on)."""
     e = Tables(spark, sf_dir).embeddings.select(
         "vec_id",
         "label",
@@ -883,7 +906,9 @@ def ml_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = e.filter(F.col("vec_id") % 2 == 1).select(
         "vec_id", F.col("emb").alias("t_emb")
     )
-    train = e.filter(F.col("vec_id") % 2 == 0).select(
+    train = e.filter(
+        (F.col("vec_id") % 2 == 0) & F.col("label").isNotNull()
+    ).select(
         F.col("vec_id").alias("nbr"),
         F.col("label").alias("n_label"),
         F.col("emb").alias("r_emb"),
@@ -2212,6 +2237,7 @@ WITH r AS (
            + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1
            AS ry
   FROM lineitem
+  WHERE l_quantity IS NOT NULL
 ),
 m AS (
   SELECT l_returnflag, count(*) AS n,
@@ -2258,8 +2284,15 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank() + tie-inclusive RANGE-frame count (one Window operator —
     both functions share the spec) compose with 2·offset into the
     exact global doubled midrank: ry = rank_in + cnt_lte_in +
-    2·offset."""
-    li = Tables(spark, sf_dir).lineitem
+    2·offset.
+
+    NULL contract (round-11 axis): rank correlation uses
+    PAIRWISE-COMPLETE rows — a NULL measure has no rank; the
+    l_quantity IS NOT NULL filter is mirrored in the oracle
+    (ARCHITECTURE §22)."""
+    li = Tables(spark, sf_dir).lineitem.where(
+        F.col("l_quantity").isNotNull()
+    )
     flag = "l_returnflag"
     # x: tiny (flag, quantity) histogram → doubled midrank per value
     wq = Window.partitionBy(flag).orderBy("l_quantity")
@@ -2539,7 +2572,7 @@ def ml_ridge_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="I.stream",
     oracle="""
 WITH base AS (
-  SELECT user_id, value::DECIMAL(18,2) AS v,
+  SELECT user_id, value::DECIMAL(19,2) AS v,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY ts, event_id) AS rn,
          count(*) OVER (PARTITION BY user_id) AS n
@@ -2596,7 +2629,10 @@ def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     wn = Window.partitionBy("user_id")
     base = ev.select(
         "user_id",
-        F.col("value").cast("decimal(18,2)").alias("v"),
+        # 19,2 forces DuckDB's int128 multiply path for v*v (width-18
+        # products overflow int64 storage at the ×1e5 magnitude
+        # envelope) — see agg_corr's cast note.
+        F.col("value").cast("decimal(19,2)").alias("v"),
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(wn).alias("n"),
     ).filter(F.col("n") >= 8)
@@ -2792,7 +2828,7 @@ def ml_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH g AS (
   SELECT l_quantity AS v, count(*) AS cnt,
          sum(l_extendedprice::DECIMAL(18,2)) AS sy
-  FROM lineitem GROUP BY 1
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
 ),
 tot AS (SELECT sum(cnt)::BIGINT AS n, sum(sy) AS s FROM g),
 c AS (
@@ -2829,8 +2865,12 @@ def ml_regression_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     double op sequence both engines, 6-dp-rounded before the argmax,
     ties to the smaller threshold. Same histogram-then-running-window
     shape as the classifier stump: the feature has 50 distinct values,
-    so everything after the first aggregate is ~50 rows."""
-    li = Tables(spark, sf_dir).lineitem
+    so everything after the first aggregate is ~50 rows. NULL contract
+    (round-11 axis): a threshold split cannot route a NULL feature —
+    training rows require a non-null feature, mirrored in the oracle."""
+    li = Tables(spark, sf_dir).lineitem.where(
+        F.col("l_quantity").isNotNull()
+    )
     g = li.groupBy(F.col("l_quantity").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sy"),
@@ -3221,7 +3261,7 @@ _GBDT2_ORACLE = """
 WITH g AS (
   SELECT l_quantity AS v, count(*) AS cnt,
          sum(l_extendedprice::DECIMAL(18,2)) AS sy
-  FROM lineitem GROUP BY 1
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
 ),
 tot AS (SELECT sum(cnt)::BIGINT AS n, sum(sy) AS s FROM g),
 c AS (
@@ -3291,8 +3331,11 @@ def ml_gbdt_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual bucket sums, and therefore their running window sums,
     EXACT decimals — no float fold anywhere between the two argmaxes;
     both scores round at 6 dp. Plan: ONE scan total; both rounds are
-    windows over the cached ~50-row histogram."""
-    li = Tables(spark, sf_dir).lineitem
+    windows over the cached ~50-row histogram. NULL contract: non-null
+    feature rows only (ml_regression_stump note)."""
+    li = Tables(spark, sf_dir).lineitem.where(
+        F.col("l_quantity").isNotNull()
+    )
     g = li.groupBy(F.col("l_quantity").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sy"),
@@ -5156,7 +5199,7 @@ def ml_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH b AS (
   SELECT l_quantity::BIGINT AS q, count(*) AS n,
          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
-  FROM lineitem GROUP BY 1
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
 ),
 one AS (
   SELECT count(*) AS k,
@@ -5210,8 +5253,13 @@ def ml_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max lattice (both engines compare identical doubles, so pool
     selection cannot diverge); output rounds to 6 dp. Monotonicity of
     the result is a theorem, and the pytest asserts it plus agreement
-    with an independent pure-Python PAV."""
-    li = Tables(spark, sf_dir).lineitem
+    with an independent pure-Python PAV. NULL contract: a calibrator
+    over a score domain has no bucket for a NULL score — non-null
+    feature rows only, mirrored in the oracle (ml_regression_stump
+    note)."""
+    li = Tables(spark, sf_dir).lineitem.where(
+        F.col("l_quantity").isNotNull()
+    )
     b = li.groupBy(F.col("l_quantity").cast("long").alias("q")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
@@ -5659,7 +5707,7 @@ med AS (
 z AS (
   SELECT l.l_returnflag AS flag,
          abs(l.l_extendedprice::DECIMAL(18,2)
-             - med.m::DECIMAL(18,6))::DECIMAL(13,6) AS z
+             - med.m::DECIMAL(18,6))::DECIMAL(18,6) AS z
   FROM lineitem l JOIN med ON l.l_returnflag = med.flag
 ),
 g AS (
@@ -5729,11 +5777,15 @@ def stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = li.join(F.broadcast(med), li["l_returnflag"] == med["flag"]).select(
         "flag",
+        # 18,6 (was 13,6): |x − med| reaches ~1e9 at the ×1e5 magnitude
+        # envelope, past 13,6's 1e7 cap; 18,6 keeps z*z at p1+p2+1 =
+        # 37 ≤ 38 so the 12-dp product scale survives Spark's precision
+        # cap un-truncated.
         F.abs(
             F.col("l_extendedprice").cast("decimal(18,2)")
             - F.col("m").cast("decimal(18,6)")
         )
-        .cast("decimal(13,6)")
+        .cast("decimal(18,6)")
         .alias("z"),
     )
     g = z.groupBy("flag").agg(
@@ -6117,6 +6169,7 @@ WITH RECURSIVE series AS (
   SELECT user_id, value::DOUBLE AS x,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
   FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
 ),
 kf AS (
   SELECT user_id, 1::BIGINT AS i, x AS m, 1.0::DOUBLE AS p
@@ -6146,8 +6199,12 @@ def ts_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
     textually identical op sequence — including the division, whose
     operands are identical doubles (ARCHITECTURE §4). Oracle: recursive
     CTE (multi-field list_reduce corruption trap). One user_id shuffle;
-    streaming form carries (m, p) in applyInPandasWithState."""
-    ev = Tables(spark, sf_dir).events
+    streaming form carries (m, p) in applyInPandasWithState. NULL
+    contract: series = non-null observations of a non-null entity
+    (ts_cusum note)."""
+    ev = Tables(spark, sf_dir).events.where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
     vals = F.transform(
         F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
         lambda e: e.getField("value").cast("double"),

@@ -264,8 +264,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="D.agg",
     oracle=f"""
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       sum({_REV} - p_retailprice::DECIMAL(18,2) * l_quantity::DECIMAL(9,0)
-           )::DOUBLE AS profit
+       sum(l_extendedprice::DECIMAL(19,2) * (1 - l_discount)::DECIMAL(8,2)
+           - p_retailprice::DECIMAL(19,2) * l_quantity::DECIMAL(12,0)
+           )::VARCHAR::DOUBLE AS profit
 FROM lineitem
 JOIN part     ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey
@@ -280,11 +281,22 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier nation and order year; p_retailprice × quantity stands in
     for ps_supplycost. All arithmetic stays on the exact decimal grid
     until the final cast; part/supplier broadcast, lineitem↔orders is the
-    one big shuffle."""
+    one big shuffle. The 19,2/12,0 casts (vs the shared _rev's 18,2):
+    Q9's revenue-minus-cost SUBTRACTION promotes DuckDB's width-18
+    products to a common DECIMAL(18,4), which saturates at ~1e14 actual
+    — inside the ×1e5 magnitude envelope; width 19 forces the int128
+    path on both terms (the agg_corr cast note). The oracle's final
+    cast goes ::VARCHAR::DOUBLE: DuckDB's direct decimal→double divides
+    the unscaled int128 by 10^scale in doubles (two roundings — 1 ulp
+    off once the unscaled sum passes 2^53) while Spark's BigDecimal
+    cast and DuckDB's string→double are correctly rounded; measured at
+    ×1e5 (12 of 175 groups 1 ulp apart, 0 via the VARCHAR route)."""
     t = Tables(spark, sf_dir)
-    amount = _rev() - F.col("p_retailprice").cast("decimal(18,2)") * F.col(
+    ep = F.col("l_extendedprice").cast("decimal(19,2)")
+    disc = (1 - F.col("l_discount")).cast("decimal(8,2)")
+    amount = ep * disc - F.col("p_retailprice").cast("decimal(19,2)") * F.col(
         "l_quantity"
-    ).cast("decimal(9,0)")
+    ).cast("decimal(12,0)")
     return (
         t.lineitem.join(
             F.broadcast(t.part.filter(F.col("p_type") != "PROMO")),

@@ -338,7 +338,7 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
   SELECT event_type, value,
          ntile(4) OVER (PARTITION BY event_type
-                        ORDER BY value, event_id) AS tile
+                        ORDER BY value NULLS LAST, event_id) AS tile
   FROM events
 )
 SELECT event_type, tile, count(*) AS n,
@@ -358,9 +358,17 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-dp value discipline) so the averages are fold-order-free.
 
     Plan: ONE hash exchange on event_type feeds both the in-partition
-    sort window and the downstream (type, tile) partial agg."""
+    sort window and the downstream (type, tile) partial agg.
+
+    NULL ordering contract (round-11 axis): rank windows order NULL
+    measures LAST, spelled EXPLICITLY on both engines — Spark's ASC
+    default is NULLS FIRST while DuckDB's is NULLS LAST, the one
+    window divergence class the engines' defaults hide on non-null
+    fixtures (ARCHITECTURE §22)."""
     ev = Tables(spark, sf_dir).events
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_last("value"), "event_id"
+    )
     t = ev.select(
         "event_type", "value", F.ntile(4).over(w).alias("tile")
     )
@@ -382,9 +390,10 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
   SELECT event_id, event_type, value,
-         percent_rank() OVER (PARTITION BY event_type ORDER BY value)
-           AS pr,
-         cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+         percent_rank() OVER (PARTITION BY event_type
+                              ORDER BY value NULLS LAST) AS pr,
+         cume_dist() OVER (PARTITION BY event_type
+                           ORDER BY value NULLS LAST) AS cd
   FROM events
 )
 SELECT event_id, event_type, value,
@@ -404,9 +413,11 @@ def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The output sample (event_id % 100) filters AFTER the window so
     ranks reflect the full distribution — predicate stays above the
-    window in the plan, but the scan prunes to 3 columns."""
+    window in the plan, but the scan prunes to 3 columns. NULL
+    measures rank LAST, spelled explicitly on both engines (win_ntile
+    note)."""
     ev = Tables(spark, sf_dir).events
-    w = Window.partitionBy("event_type").orderBy("value")
+    w = Window.partitionBy("event_type").orderBy(F.asc_nulls_last("value"))
     t = ev.select(
         "event_id",
         "event_type",

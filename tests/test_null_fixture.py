@@ -1,0 +1,102 @@
+"""NULL-injection and skewed-key fixture sweeps — the eighth and ninth
+degenerate-input axes (round 11; verdict items 2 and 4).
+
+NULL axis
+=========
+The shipped fixtures are non-null by design, so until this sweep the
+entire Spark↔DuckDB 3-valued-logic surface was untested. The contract
+adjudication (ARCHITECTURE §22): NULL-tolerance IS in the engine
+contract for measure and attribute columns — real corpora are full of
+missing values — including the FK-shaped ``events.user_id``; it is OUT
+of contract for primary keys (ingest enforces key non-nullness;
+``dq_constraints`` is the gate), for event-time ``ts`` (watermark
+semantics are undefined on null event time), and for the embedding
+payload (a vector store requires the vector at ingest).
+
+The fixture plants deterministic NULLs (CASE on the row's key, ~4–9%
+per column) into l_quantity, events.value, events.user_id,
+o_totalprice, c_acctbal, p_retailprice, documents.lang, and
+embeddings.label. The first run found 24 divergent keys in five
+classes, all fixed and re-verified oracle-exact on the real fixture:
+
+* NULL ordering in rank windows (Spark ASC default = NULLS FIRST,
+  DuckDB = NULLS LAST): win_ntile / win_percent_rank now spell NULLS
+  LAST explicitly on both engines.
+* Pairwise-complete statistics: agg_stats' manual corr decomposition
+  nulled each stddev operand where the partner is null (corr/covar
+  built-ins use pairwise deletion); stat_spearman / stat_gini /
+  sketch_hist_quantile / ml_regression_stump / ml_gbdt_round2 /
+  ml_isotonic filter null measures (a NULL has no rank / bucket /
+  threshold side), mirrored in their oracles.
+* NULL entity keys: the recursive-fold ts_* family (cusum, decay_sum,
+  holt, kalman, holt_seasonal) defines the series as the NON-NULL
+  observations of a NON-NULL entity; join_asof_union drops NULL-keyed
+  rows because a window PARTITION BY groups NULLs where the oracle's
+  join predicate never matches them; stream_topk and ml_knn_label drop
+  NULL entities/votes; matview_incremental's distinct-key-set spelling
+  now matches count(DISTINCT col)'s null-ignoring semantics.
+* Engine-builtin NULL handling in string constructors: DuckDB's
+  concat() SKIPS null arguments while Spark's F.concat propagates —
+  scalar_hash/scalar_url oracles now use ``||`` (propagating) or CASE
+  guards; scalar_ip/scalar_map stopped using concat_ws (which skips
+  null parts, malforming the string and tripping ANSI element_at).
+* CASE WHEN <null> THEN .. ELSE FALSE collapses NULL to FALSE where a
+  bare boolean expression propagates it (scalar_ip's is_private).
+
+Skew axis
+=========
+90% of rows concentrated onto ONE key per skewable column (user 0,
+src0, partkey 0, custkey 0) — the hot-key shape AQE skew handling
+exists for. Parity must be invariant to the distribution because every
+operator's result is a pure function of the data; the sweep's real
+target is tiebreak discipline (a top-k with a nondeterministic
+tiebreak passes uniform fixtures by luck and diverges the moment one
+key dominates). First run: 0 divergent of 307 — the repo-wide
+"deterministic total order at every rank/limit" rule held.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from .test_empty_fixture import _sweep, build_fixture
+
+
+@pytest.fixture(scope="module")
+def null_dir():
+    d = tempfile.mkdtemp(prefix="nullfix_")
+    build_fixture(d, "nulls")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def skew_dir():
+    d = tempfile.mkdtemp(prefix="skewfix_")
+    build_fixture(d, "skew")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_every_oracle_survives_null_injection(spark, null_dir):
+    bad = _sweep(spark, null_dir)
+    assert not bad, bad
+
+
+def test_every_oracle_survives_skewed_keys(spark, skew_dir):
+    bad = _sweep(spark, skew_dir)
+    assert not bad, bad
+
+
+def test_rows_only_keys_survive_null_injection(spark, null_dir):
+    """The rows-only quartet is invisible to the parity sweep — pin it
+    executable on the NULL fixture directly."""
+    from mapreduce_server_spark import REGISTRY
+
+    keys = sorted(k for k, s in REGISTRY.items() if not s.oracle)
+    assert len(keys) == 4, keys
+    for k in keys:
+        REGISTRY[k].raw_fn(spark, null_dir).collect()
