@@ -76,18 +76,30 @@ def extract_features(media: DataFrame) -> DataFrame:
     """
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # A NULL payload (missing media) features as all-NULL — the
+        # SQL null-propagation a JVM-side expression would give; a
+        # Python UDF sees None and must spell the guard itself
+        # (round-11 NULL-text axis). Distinct from the EMPTY payload,
+        # whose sentinel is first_byte = -1.
+        def m(s: pd.Series, fn):
+            return s.map(lambda b: None if b is None else fn(b))
+
         for pdf in batches:
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "media_type": pdf["media_type"],
-                    "byte_len": payloads.map(len),
-                    "digest": payloads.map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    "byte_len": m(payloads, len),
+                    "digest": m(
+                        payloads, lambda b: hashlib.md5(bytes(b)).hexdigest()
                     ),
-                    "first_byte": payloads.map(lambda b: b[0] if len(b) else -1),
-                    "byte_sum_mod": payloads.map(lambda b: sum(bytes(b)) % 997),
+                    "first_byte": m(
+                        payloads, lambda b: b[0] if len(b) else -1
+                    ),
+                    "byte_sum_mod": m(
+                        payloads, lambda b: sum(bytes(b)) % 997
+                    ),
                 }
             )
 

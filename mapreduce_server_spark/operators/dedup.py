@@ -103,6 +103,7 @@ WITH sh AS (
              i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
            ))) AS shingle
   FROM documents
+  WHERE text IS NOT NULL
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
 common AS (
@@ -130,7 +131,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_pairs(d: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """(doc_a < doc_b, jac) pairs with exact 3-gram Jaccard ≥ threshold."""
+    """(doc_a < doc_b, jac) pairs with exact 3-gram Jaccard ≥ threshold.
+
+    NULL contract (round-11 NULL-text axis): the dedup tier consumes
+    the NON-NULL document stream — a NULL text has no shingles.
+    Without the filter, Spark's concat_ws-built shingle collapses NULL
+    to '' and every NULL-text doc becomes a spurious near-dup of every
+    other, while the oracle's NULL shingle joins nothing (SQL
+    semantics). Mirrored by WHERE text IS NOT NULL in the oracles."""
+    d = d.where(F.col("text").isNotNull())
     sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -162,7 +171,10 @@ def _mh_hash(s: int, shingle: F.Column) -> F.Column:
 
 
 def minhash_signatures(d: DataFrame) -> DataFrame:
-    """doc_id → N_HASHES minhash values (md5-derived salts, no RNG)."""
+    """doc_id → N_HASHES minhash values (md5-derived salts, no RNG).
+    Consumes the NON-NULL document stream (the _jaccard_pairs NULL
+    note; mirrored in _MH_BANDS_CTE)."""
+    d = d.where(F.col("text").isNotNull())
     sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
     sigs = [
         F.min(_mh_hash(s, F.col("shingle"))).alias(f"sig{s}")
@@ -204,6 +216,7 @@ _MH_BANDS_CTE = """sh AS (
            generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
            i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS shingle
   FROM documents
+  WHERE text IS NOT NULL
 ),
 mins AS (
   SELECT doc_id, s,
@@ -441,6 +454,7 @@ sh AS (
              i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
            ))) AS shingle
   FROM documents
+  WHERE text IS NOT NULL
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
 common AS (
@@ -547,6 +561,7 @@ WITH sh AS (
              i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
            ))) AS shingle
   FROM documents
+  WHERE text IS NOT NULL
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
 common AS (
@@ -630,9 +645,12 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both sides of the candidate self-join) are each referenced twice;
     ReuseExchange doesn't collapse the duplicated subtrees, so both are
     cache()d — measured 1.9× at sf0.1 (3.5s → 1.9s), the
-    triangles_from_edges precedent."""
+    triangles_from_edges precedent.
+
+    NULL contract: non-null document stream (the _jaccard_pairs NULL
+    note); shares dedup_ngram_jaccard's filtered oracle verbatim."""
     t = 0.5
-    d = Tables(spark, sf_dir).documents
+    d = Tables(spark, sf_dir).documents.where(F.col("text").isNotNull())
     # both caches session-memoized (round-10 ADVICE: no per-call leak)
     sh = session_cache(
         spark,

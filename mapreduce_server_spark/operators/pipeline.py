@@ -141,6 +141,7 @@ _FFD_ORACLE = """
 WITH RECURSIVE toks AS (
   SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
   FROM documents
+  WHERE text IS NOT NULL
 ),
 ordered AS (
   SELECT source, doc_id, n_tokens,
@@ -203,8 +204,10 @@ def pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays the whole fold as a recursive CTE carrying the
     per-bin state lists (see _FFD_ORACLE) — converted from rows-only in
     round 8. The pytest replay in tests/test_stats_ml.py stays as the
-    engine-independent third opinion."""
-    d = Tables(spark, sf_dir).documents
+    engine-independent third opinion. NULL contract (round-11 axis): a
+    NULL-text doc has no token count and cannot be packed — the packer
+    consumes the non-null document stream, mirrored in the oracle."""
+    d = Tables(spark, sf_dir).documents.where(F.col("text").isNotNull())
     t = d.select(
         "source",
         "doc_id",
@@ -294,14 +297,14 @@ WITH bench AS (
            generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
            i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')
          ))) AS sh
-  FROM documents WHERE doc_id < 10
+  FROM documents WHERE doc_id < 10 AND text IS NOT NULL
 ),
 train AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
            generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
            i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')
          ))) AS sh
-  FROM documents WHERE doc_id >= 10
+  FROM documents WHERE doc_id >= 10 AND text IS NOT NULL
 )
 SELECT t.doc_id, count(*) AS n_hits
 FROM train t JOIN bench b USING (sh)
@@ -315,10 +318,12 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle set is tiny → broadcast to the training shingle stream, so
     the scan of the 100 TB side never shuffles; training docs explode to
     distinct shingles once (same inverted-index shape as
-    dedup_ngram_jaccard, but one side is small by construction)."""
+    dedup_ngram_jaccard, but one side is small by construction).
+    NULL contract: non-null document stream on BOTH sides (the
+    _jaccard_pairs NULL note), mirrored in the oracle."""
     from .dedup import _shingles
 
-    d = Tables(spark, sf_dir).documents
+    d = Tables(spark, sf_dir).documents.where(F.col("text").isNotNull())
     bench = (
         d.filter(F.col("doc_id") < 10)
         .select(F.explode(_shingles(k=8)).alias("sh"))

@@ -366,9 +366,10 @@ def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="L.quality",
     oracle="""
 WITH counts AS (
-  SELECT source, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2
+  SELECT source, n_chars AS v, count(*) AS c FROM documents
+  WHERE n_chars IS NOT NULL GROUP BY 1, 2
 ),
-vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+vals AS (SELECT DISTINCT v FROM counts),
 srcs AS (SELECT source, sum(c) AS ns FROM counts GROUP BY 1),
 tot AS (SELECT sum(c) AS n FROM counts),
 grid AS (SELECT s.source, s.ns, v.v FROM srcs s CROSS JOIN vals v),
@@ -404,8 +405,10 @@ def quality_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     two running-frame cumsums (O(n) incremental, never a following
     frame), the max — runs on that tiny aggregate. Float discipline:
     CDF values divide exact integer cumulative counts; both engines
-    take max over identical doubles; 6-dp rounded."""
-    d = Tables(spark, sf_dir).documents
+    take max over identical doubles; 6-dp rounded. NULL contract: a
+    CDF ranks OBSERVED lengths — NULL n_chars rows are excluded on
+    both engines (round-11 NULL-text axis)."""
+    d = Tables(spark, sf_dir).documents.where(F.col("n_chars").isNotNull())
     # cache: the cell table feeds vals/srcs/grid/per_val — without it the
     # duplicated logical subtrees each rescan documents (STATUS trap);
     # session-memoized (round-10 ADVICE: no per-invocation leak)
@@ -852,6 +855,7 @@ DECON_N = 8
     oracle=f"""
 WITH docs AS (
   SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+  WHERE text IS NOT NULL
 ),
 ng AS (
   SELECT doc_id, source,
@@ -905,8 +909,10 @@ def quality_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever over-flag. Counts are exact integers; hit_frac is one
     identical double division (denominator ≥ 1 by the greatest()
     window guard, which also keeps sub-8-token docs well-defined:
-    their single clamped window IS the doc)."""
-    d = Tables(spark, sf_dir).documents
+    their single clamped window IS the doc). NULL contract: non-null
+    document stream on both splits (the _jaccard_pairs NULL note),
+    mirrored by the oracle's docs CTE."""
+    d = Tables(spark, sf_dir).documents.where(F.col("text").isNotNull())
     toks = F.split(F.col("text"), " ")
     idx = F.sequence(
         F.lit(1), F.greatest(F.size(toks) - (DECON_N - 1), F.lit(1))

@@ -382,18 +382,24 @@ WITH t AS (SELECT doc_id,
 SELECT doc_id,
        array_to_string(list_sort(list_distinct(list_concat(a, b))), ',')
            AS union_ab,
-       coalesce(array_to_string(list_sort(list_distinct(
-           list_filter(a, x -> list_contains(b, x)))), ','), '')
-           AS intersect_ab,
-       coalesce(array_to_string(list_sort(list_distinct(
-           list_filter(a, x -> NOT list_contains(b, x)))), ','), '')
-           AS except_ab
+       CASE WHEN a IS NOT NULL THEN
+         coalesce(array_to_string(list_sort(list_distinct(
+             list_filter(a, x -> list_contains(b, x)))), ','), '')
+       END AS intersect_ab,
+       CASE WHEN a IS NOT NULL THEN
+         coalesce(array_to_string(list_sort(list_distinct(
+             list_filter(a, x -> NOT list_contains(b, x)))), ','), '')
+       END AS except_ab
 FROM t
 """,
 )
 def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set operations (union/intersect/except over token slices),
-    canonicalized by sort+distinct and emitted as joined strings."""
+    canonicalized by sort+distinct and emitted as joined strings. NULL
+    text → NULL arrays → ALL outputs NULL (Spark's array fns and
+    array_join propagate); the oracle's empty-list coalesce is CASE-
+    guarded so it only fires on real (non-NULL) inputs (round-11
+    NULL-text axis)."""
     d = Tables(spark, sf_dir).documents
     toks = F.split("text", " ")
     a = F.slice(toks, 1, 6)

@@ -604,14 +604,16 @@ def cusum_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stat_mannwhitney",
     category="D.agg",
     oracle="""
-WITH v AS (SELECT n_chars AS val, count(*) AS cnt FROM documents GROUP BY 1),
+WITH obs AS (SELECT source, n_chars FROM documents
+             WHERE n_chars IS NOT NULL),
+v AS (SELECT n_chars AS val, count(*) AS cnt FROM obs GROUP BY 1),
 cum AS (SELECT val, cnt,
                (sum(cnt) OVER (ORDER BY val) - cnt)::BIGINT AS bef
         FROM v),
 sv AS (SELECT source, n_chars AS val, count(*) AS c
-       FROM documents GROUP BY 1, 2),
-n AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
-tot AS (SELECT count(*) AS nt FROM documents),
+       FROM obs GROUP BY 1, 2),
+n AS (SELECT source, count(*) AS ns FROM obs GROUP BY 1),
+tot AS (SELECT count(*) AS nt FROM obs),
 r AS (SELECT sv.source,
              sum(sv.c * (2 * cum.bef + cum.cnt + 1))::BIGINT AS r2
       FROM sv JOIN cum USING (val) GROUP BY 1)
@@ -633,8 +635,11 @@ def stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     reading. The global rank window runs over the VALUE-LEVEL aggregate
     (|distinct lengths| rows, not |docs|), so the single-partition sort
     window is bounded regardless of corpus size — the same
-    aggregate-first trick as quality_drift_ks."""
-    d = Tables(spark, sf_dir).documents
+    aggregate-first trick as quality_drift_ks. NULL contract: a rank
+    sum ranks OBSERVED lengths — NULL n_chars rows are excluded on
+    both engines, so n_s counts ranked observations (round-11
+    NULL-text axis)."""
+    d = Tables(spark, sf_dir).documents.where(F.col("n_chars").isNotNull())
     # ONE corpus scan: every other relation re-aggregates the cached
     # (source, val) cell table (duplicated-subtree trap — see stat_entropy)
     sv = (
@@ -2365,7 +2370,7 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH g AS (
   SELECT n_chars AS v, count(*) AS cnt,
          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
-  FROM documents GROUP BY 1
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
 ),
 tot AS (SELECT sum(cnt)::BIGINT AS n, sum(pos)::BIGINT AS p FROM g),
 cum AS (
@@ -2412,7 +2417,10 @@ def ml_dtree_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition running window (the bounded-aggregate-then-window
     shape); a 100 TB trainer would pre-bin features to ~256 quantile
     buckets first (the LightGBM move), same plan otherwise."""
-    d = Tables(spark, sf_dir).documents
+    # NULL contract (round-11 NULL-text axis): a threshold split cannot
+    # route a NULL feature — non-null feature rows only, mirrored in the
+    # oracle (the ml_regression_stump rule on the n_chars feature)
+    d = Tables(spark, sf_dir).documents.where(F.col("n_chars").isNotNull())
     g = d.groupBy(F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum((F.col("lang") == "en").cast("long")).alias("pos"),
@@ -2681,7 +2689,7 @@ _TREE2_ORACLE = """
 WITH g AS (
   SELECT n_chars AS v, count(*) AS cnt,
          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
-  FROM documents GROUP BY 1
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
 ),
 tot AS (SELECT sum(cnt)::BIGINT AS n, sum(pos)::BIGINT AS p FROM g),
 cum AS (
@@ -2745,7 +2753,10 @@ def ml_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one row_number over a leaf-partitioned window. Output: 2 rows
     (best L and R child splits). Scale: everything after the first
     histogram aggregate operates on |distinct values| rows."""
-    d = Tables(spark, sf_dir).documents
+    # NULL contract (round-11 NULL-text axis): a threshold split cannot
+    # route a NULL feature — non-null feature rows only, mirrored in the
+    # oracle (the ml_regression_stump rule on the n_chars feature)
+    d = Tables(spark, sf_dir).documents.where(F.col("n_chars").isNotNull())
     g = d.groupBy(F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum((F.col("lang") == "en").cast("long")).alias("pos"),
@@ -2980,11 +2991,11 @@ _MFSTUMP_ORACLE = """
 WITH feat AS (
   SELECT 'n_chars' AS feature, n_chars AS v,
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-  FROM documents
+  FROM documents WHERE n_chars IS NOT NULL
   UNION ALL
   SELECT 'n_tokens' AS feature, len(string_split(text, ' ')) AS v,
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 g AS (
   SELECT feature, v, count(*) AS cnt, sum(y) AS pos
@@ -3037,12 +3048,15 @@ def ml_dtree_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism."""
     from ..operators.text import tokens
 
+    # NULL contract: each feature arm keeps only rows where ITS feature
+    # is non-null (ml_regression_stump rule), mirrored per-arm in the
+    # oracle's UNION
     d = Tables(spark, sf_dir).documents
     y = (F.col("lang") == "en").cast("long").alias("y")
-    feat = d.select(
+    feat = d.where(F.col("n_chars").isNotNull()).select(
         F.lit("n_chars").alias("feature"), F.col("n_chars").alias("v"), y
     ).unionAll(
-        d.select(
+        d.where(F.col("text").isNotNull()).select(
             F.lit("n_tokens").alias("feature"),
             F.size(tokens()).cast("long").alias("v"),
             y,

@@ -38,8 +38,10 @@ def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Tables(spark, sf_dir).documents
 
     @F.udf(returnType=LongType())
-    def count_tokens(text: str) -> int:
-        return len(text.split(" "))
+    def count_tokens(text) -> int:
+        # None in, None out: a Python UDF sees NULL as None and must
+        # spell SQL null-propagation itself (round-11 NULL-text axis)
+        return None if text is None else len(text.split(" "))
 
     return d.select("doc_id", count_tokens("text").alias("n_tokens"))
 
@@ -143,7 +145,9 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @udtf(returnType="chunk_idx BIGINT, n_tokens BIGINT, first_token STRING")
     class ChunkDoc:
-        def eval(self, text: str):
+        def eval(self, text):
+            if text is None:
+                return  # no chunks: mirrors generate_series(0, NULL)
             toks = text.split(" ")
             for i in range(0, len(toks), 50):
                 c = toks[i : i + 50]
@@ -320,8 +324,9 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Tables(spark, sf_dir).documents
 
     @F.udf(returnType=LongType(), useArrow=True)
-    def unique_tokens(text: str) -> int:
-        return len(set(text.split(" ")))
+    def unique_tokens(text) -> int:
+        # None in, None out (udf_python note)
+        return None if text is None else len(set(text.split(" ")))
 
     return d.select("doc_id", unique_tokens("text").alias("n_unique"))
 
@@ -361,9 +366,10 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         pat = re.compile(r"[a-z]+")  # once per task, reused per batch
         for texts in it:
             yield texts.map(
-                lambda t: sum(
-                    1 for w in t.split(" ") if pat.fullmatch(w)
-                )
+                # None in, None out (udf_python note)
+                lambda t: None
+                if t is None
+                else sum(1 for w in t.split(" ") if pat.fullmatch(w))
             )
 
     return d.select(

@@ -145,6 +145,23 @@ def build_fixture(dest: str, mode: str, src_dir: str = SF0001) -> None:
                 q = f"SELECT * REPLACE ({nulls[t]}) FROM read_parquet('{src}')"
             else:
                 q = f"SELECT * FROM read_parquet('{src}')"
+        elif mode == "nulltext":
+            # NULL-text axis (round 11, second NULL wave): the document
+            # PAYLOAD itself missing (failed fetch), with the derived
+            # n_chars nulled consistently. Distinct from blank-text
+            # ('' is the tokenization degenerate; NULL is 3VL) and from
+            # the "nulls" mode (which nulls measures/attributes but
+            # keeps text).
+            if t == "documents":
+                q = (
+                    "SELECT doc_id, "
+                    "(CASE WHEN doc_id % 31 = 8 THEN NULL ELSE text END)"
+                    " AS text, lang, source, "
+                    "(CASE WHEN doc_id % 31 = 8 THEN NULL ELSE n_chars END)"
+                    f" AS n_chars FROM read_parquet('{src}')"
+                )
+            else:
+                q = f"SELECT * FROM read_parquet('{src}')"
         elif mode == "skew":
             # Skewed-key axis (round 11): 90% of rows concentrated on
             # ONE key per skewable column — the 100 TB hot-key shape.

@@ -91,6 +91,36 @@ def test_every_oracle_survives_skewed_keys(spark, skew_dir):
     assert not bad, bad
 
 
+@pytest.fixture(scope="module")
+def nulltext_dir():
+    d = tempfile.mkdtemp(prefix="nulltextfix_")
+    build_fixture(d, "nulltext")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_every_oracle_survives_null_text(spark, nulltext_dir):
+    """Second NULL wave: the document PAYLOAD missing (text and the
+    derived n_chars NULL). First run found 20 divergent keys in four
+    classes, all fixed and re-verified oracle-exact on the real
+    fixture: (a) Python UDFs crash on None — a UDF must spell SQL
+    null-propagation itself (udf_python/arrow_scalar/pandas_iter/
+    udtf_python/multimodal featurize/pack_ffd); (b) Spark's
+    concat_ws-built shingles collapse NULL to '' so every NULL-text
+    doc became a spurious near-dup of every other, while the oracle's
+    NULL shingle joins nothing — the dedup/decontamination tier now
+    consumes the NON-NULL document stream on both engines
+    (dedup_minhash/ngram/jaccard_prefix/components, decontaminate,
+    quality_decontaminate, quality_source_overlap, pack_ffd); (c)
+    n_chars-featured learners and rank statistics filter NULL
+    features/observations (ml_dtree_stump/tree_depth2/multifeature,
+    quality_drift_ks, stat_mannwhitney); (d) the oracle's empty-list
+    coalesce('') must be CASE-guarded to NULL on NULL input
+    (scalar_array_setops)."""
+    bad = _sweep(spark, nulltext_dir)
+    assert not bad, bad
+
+
 def test_rows_only_keys_survive_null_injection(spark, null_dir):
     """The rows-only quartet is invisible to the parity sweep — pin it
     executable on the NULL fixture directly."""
