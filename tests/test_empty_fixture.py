@@ -162,6 +162,26 @@ def build_fixture(dest: str, mode: str, src_dir: str = SF0001) -> None:
                 )
             else:
                 q = f"SELECT * FROM read_parquet('{src}')"
+        elif mode == "dupheavy":
+            # Duplicate-heavy axis (round 11): 90% of docs share ONE
+            # text — the all-duplicates boundary of the dedup tier.
+            # Every shingle bucket collides, every LSH band collides,
+            # and the exact-dup group is half the corpus: stresses
+            # candidate bounding (the 450-doc clique is ~100k pairs —
+            # bounded, not n² over the corpus) and survivor tiebreaks.
+            if t == "documents":
+                c = ("the quick brown fox jumps over the lazy dog"
+                     " again and again")
+                q = (
+                    "SELECT doc_id, "
+                    f"(CASE WHEN doc_id % 10 != 0 THEN '{c}' ELSE text END)"
+                    " AS text, lang, source, "
+                    f"(CASE WHEN doc_id % 10 != 0 THEN length('{c}')::BIGINT"
+                    " ELSE n_chars END) AS n_chars"
+                    f" FROM read_parquet('{src}')"
+                )
+            else:
+                q = f"SELECT * FROM read_parquet('{src}')"
         elif mode == "skew":
             # Skewed-key axis (round 11): 90% of rows concentrated on
             # ONE key per skewable column — the 100 TB hot-key shape.

@@ -121,6 +121,25 @@ def test_every_oracle_survives_null_text(spark, nulltext_dir):
     assert not bad, bad
 
 
+@pytest.fixture(scope="module")
+def dupheavy_dir():
+    d = tempfile.mkdtemp(prefix="dupfix_")
+    build_fixture(d, "dupheavy")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_every_oracle_survives_duplicate_heavy_corpus(spark, dupheavy_dir):
+    """90% of docs identical — the all-duplicates boundary. First run:
+    0 divergent of 307 and no key slower than 20 s — the dedup tier's
+    candidate joins stay bounded by the (one) colliding bucket's
+    clique, never corpus-n², and every survivor rule is a total order
+    (min doc_id), so a half-corpus duplicate group resolves
+    deterministically on both engines."""
+    bad = _sweep(spark, dupheavy_dir)
+    assert not bad, bad
+
+
 def test_rows_only_keys_survive_null_injection(spark, null_dir):
     """The rows-only quartet is invisible to the parity sweep — pin it
     executable on the NULL fixture directly."""
