@@ -42,6 +42,14 @@ def _shingles(text_col: str = "text", k: int = 3):
     )
 
 
+def _nonnull_docs(d: DataFrame) -> DataFrame:
+    """The NON-NULL document stream the shingle/minhash tier consumes
+    (round-11 NULL-text axis). Applied exactly once per operator, at
+    the top, so every use of the frame shares one filtered scan
+    subtree (ReuseExchange needs canonical-equal subtrees)."""
+    return d.where(F.col("text").isNotNull())
+
+
 @query(
     "dedup_exact",
     category="J.dedup",
@@ -123,8 +131,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.5): shingle
     inverted-index self-join → common counts → Jaccard. Candidates are
     bounded by shared shingles (an inverted-index join, not a crossJoin);
-    at 100 TB prefilter rare shingles or switch to dedup_minhash."""
-    d = Tables(spark, sf_dir).documents
+    at 100 TB prefilter rare shingles or switch to dedup_minhash.
+    NULL contract: non-null document stream (_jaccard_pairs note),
+    filtered once here."""
+    d = _nonnull_docs(Tables(spark, sf_dir).documents)
     return _jaccard_pairs(d).select(
         "doc_a", "doc_b", F.round(F.col("jac"), 6).alias("jaccard")
     )
@@ -138,8 +148,11 @@ def _jaccard_pairs(d: DataFrame, threshold: float = 0.5) -> DataFrame:
     Without the filter, Spark's concat_ws-built shingle collapses NULL
     to '' and every NULL-text doc becomes a spurious near-dup of every
     other, while the oracle's NULL shingle joins nothing (SQL
-    semantics). Mirrored by WHERE text IS NOT NULL in the oracles."""
-    d = d.where(F.col("text").isNotNull())
+    semantics). Callers pass _nonnull_docs(d) — the filter is applied
+    exactly ONCE at each operator's top (a second .where here would
+    de-canonicalize the scan subtree against sibling uses of the same
+    frame and break ReuseExchange; the scan-multiplicity lint caught
+    it). Mirrored by WHERE text IS NOT NULL in the oracles."""
     sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -172,9 +185,9 @@ def _mh_hash(s: int, shingle: F.Column) -> F.Column:
 
 def minhash_signatures(d: DataFrame) -> DataFrame:
     """doc_id → N_HASHES minhash values (md5-derived salts, no RNG).
-    Consumes the NON-NULL document stream (the _jaccard_pairs NULL
-    note; mirrored in _MH_BANDS_CTE)."""
-    d = d.where(F.col("text").isNotNull())
+    Callers pass _nonnull_docs(d) — one filter application per
+    operator (the _jaccard_pairs NULL note; mirrored in
+    _MH_BANDS_CTE)."""
     sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
     sigs = [
         F.min(_mh_hash(s, F.col("shingle"))).alias(f"sig{s}")
@@ -269,8 +282,15 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact oracle for an LSH operator (upgraded from rows-only; planted
     sf0.1 duplicate pairs still pinned by tests/test_dedup.py).
     tests/test_dedup.py asserts the 8 planted sf0.1 duplicate pairs are
-    found with jaccard == 1.0."""
-    d = Tables(spark, sf_dir).documents
+    found with jaccard == 1.0.
+
+    The NON-NULL document filter (the _jaccard_pairs NULL note) is
+    applied HERE, once, so the banding and the verify stage share one
+    filtered scan subtree — filtering only inside minhash_signatures
+    would leave the verify path on an unfiltered scan and break
+    scan-subtree reuse (the scan-multiplicity lint caught exactly
+    that: 5 real documents scans instead of 2)."""
+    d = _nonnull_docs(Tables(spark, sf_dir).documents)
     bands = _band_buckets(minhash_signatures(d))
     cand = (
         bands.alias("x")
@@ -505,7 +525,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     round k-1's. Oracle: DuckDB recursive CTE computing min reachable id.
     """
     d = Tables(spark, sf_dir).documents
-    pairs = _jaccard_pairs(d).select("doc_a", "doc_b")
+    # edges come from the non-null stream; the walk seeds from ALL docs
+    # (NULL-text docs are singleton components on both engines)
+    pairs = _jaccard_pairs(_nonnull_docs(d)).select("doc_a", "doc_b")
     edges = (
         pairs.union(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -603,7 +625,7 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every committed fixture) while non-ASCII parity is pinned by the
     provable relationship char_dist ≤ byte_dist in
     tests/test_empty_fixture.py::test_unicode_levenshtein_relationship."""
-    d = Tables(spark, sf_dir).documents
+    d = _nonnull_docs(Tables(spark, sf_dir).documents)
     cand = _jaccard_pairs(d, threshold=0.3).select("doc_a", "doc_b")
     ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
@@ -763,7 +785,7 @@ def quality_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degenerate inputs (round-10 sweeps): an empty corpus or a
     single-source corpus yields zero pairs on both engines; the
     denominator n_a + n_b − n_shared ≥ 1 whenever a pair exists."""
-    d = Tables(spark, sf_dir).documents
+    d = _nonnull_docs(Tables(spark, sf_dir).documents)
     bands = _band_buckets(minhash_signatures(d))
     # feeds the pair join (both sides) + per-source sizes;
     # session-memoized (round-10 ADVICE: no per-invocation leak)
