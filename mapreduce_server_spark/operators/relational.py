@@ -533,18 +533,18 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # external tables at an explicit repo-local path: the default managed
     # location is <session cwd>/spark-warehouse, which isn't ours to write
     # when a foreign session (the driver's) runs this query
-    scratch = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-        "bucketed",
-    )
+    from ..scratch import SCRATCH, owned
+
+    scratch = os.path.join(SCRATCH, "bucketed")
 
     def ensure_bucketed(df, name: str, key: str) -> None:
         if spark.catalog.tableExists(name):
             return
         import shutil
 
-        path = os.path.join(scratch, name)
+        # pid-tagged path (catalog names are already per-application;
+        # the FILES must be per-process too) + atexit reclamation
+        path = owned(os.path.join(scratch, f"{name}_p{os.getpid()}"))
         # a previous session's table directory may survive without a
         # catalog entry (in-memory catalog, persistent files) — clear it
         shutil.rmtree(path, ignore_errors=True)

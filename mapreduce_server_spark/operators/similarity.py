@@ -549,7 +549,7 @@ def _ivf_index(
     import hashlib as _hl
     import os as _os
 
-    from .sources_ops import SCRATCH
+    from ..scratch import SCRATCH, owned
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_INDEX_CACHE:
@@ -563,13 +563,19 @@ def _ivf_index(
                         (spark.sparkContext.applicationId + "|" + sf_dir).encode()
                     ).hexdigest()[:10]
                 )
-                out = _os.path.join(SCRATCH, f"ivf_index_{tag}")
+                out = owned(_os.path.join(SCRATCH, f"ivf_index_{tag}"))
                 (
                     assigned.write.mode("overwrite")
                     .partitionBy("cluster")
                     .parquet(out)
                 )
                 _IVF_INDEX_CACHE[key] = out
+    try:
+        # keep a long-lived server's index younger than the stale-GC TTL
+        # for as long as queries keep arriving (scratch.py contract)
+        _os.utime(_IVF_INDEX_CACHE[key])
+    except OSError:
+        pass
     return _IVF_INDEX_CACHE[key]
 
 

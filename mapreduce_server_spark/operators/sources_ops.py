@@ -15,9 +15,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..scratch import SCRATCH, owned
 from ..sources.loader import Tables
 
-SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+def sink_dir(kind: str, sf_dir: str) -> str:
+    """Scratch directory for a sink demo over ``sf_dir``: sf-tagged (the
+    registry plan cache is keyed by (app, sf_dir), so two scale factors
+    in one session must not share one sink directory) AND pid-tagged
+    (two concurrent applications must not share one either — the same
+    isolation rule the IVF index learned in round 11), registered for
+    atexit reclamation (scratch.py)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return owned(os.path.join(SCRATCH, f"{kind}_{tag}_p{os.getpid()}"))
 
 
 @query(
@@ -57,10 +67,7 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     value match proves the sink lost nothing. partitionBy is also the
     100 TB layout primitive that makes future partition pruning free."""
     li = Tables(spark, sf_dir).lineitem
-    # sf-tagged path: the registry plan cache is keyed by (app, sf_dir), so
-    # two scale factors in one session must not share one sink directory.
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(SCRATCH, f"sink_partitioned_{tag}")
+    out = sink_dir("sink_partitioned", sf_dir)
     (
         li.select("l_orderkey", "l_quantity", "l_returnflag")
         .write.mode("overwrite")
@@ -151,9 +158,8 @@ def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     two rewrites lost nothing; file-count mechanics are pinned in
     tests/test_ingest.py."""
     d = Tables(spark, sf_dir).documents
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    frag = os.path.join(SCRATCH, f"compact_frag_{tag}")
-    compact = os.path.join(SCRATCH, f"compact_out_{tag}")
+    frag = sink_dir("compact_frag", sf_dir)
+    compact = sink_dir("compact_out", sf_dir)
     d.repartition(64).write.mode("overwrite").parquet(frag)
 
     back = spark.read.parquet(frag)
@@ -209,8 +215,7 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     the skipping: file-level (partkey, suppkey) bounds overlap a box
     probe ~2-4× less often than the natural layout's."""
     li = Tables(spark, sf_dir).lineitem
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(SCRATCH, f"sink_zorder_{tag}")
+    out = sink_dir("sink_zorder", sf_dir)
     z = zorder_value(F.col("l_partkey"), F.col("l_suppkey"))
     (
         li.withColumn("zval", z)

@@ -35,9 +35,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-SCRATCH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
-)
+from ..scratch import SCRATCH, owned
 
 #: build(spark, sf_dir, keys) → aggregated DataFrame containing ONLY the
 #: given partition-key values (keys=None → all). The build closure owns
@@ -60,8 +58,13 @@ class MaterializedView:
         self.build = build
 
     def path(self, sf_dir: str) -> str:
+        # pid-tagged: the MV is process-private serving state (like the
+        # IVF index) — concurrent applications each refresh their own
+        # copy rather than racing one directory; atexit reclaims it.
         tag = os.path.basename(os.path.normpath(sf_dir))
-        return os.path.join(SCRATCH, "matviews", f"{self.name}_{tag}")
+        return owned(
+            os.path.join(SCRATCH, "matviews", f"{self.name}_{tag}_p{os.getpid()}")
+        )
 
     #: directory name Spark writes for a NULL partition value — never a
     #: source key string, so it must not enter the set difference

@@ -84,15 +84,14 @@ def test_compaction_reduces_file_count(spark):
 
     from mapreduce_server_spark.operators.sources_ops import (
         COMPACT_TARGET_BYTES,
-        SCRATCH,
+        sink_dir,
     )
     from mapreduce_server_spark import REGISTRY
     from .conftest import SF001
 
     REGISTRY["sink_compacted"].fn(spark, SF001).collect()
-    tag = os.path.basename(SF001)
-    frag = os.path.join(SCRATCH, f"compact_frag_{tag}")
-    compact = os.path.join(SCRATCH, f"compact_out_{tag}")
+    frag = sink_dir("compact_frag", SF001)
+    compact = sink_dir("compact_out", SF001)
     n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
     n_compact = len([f for f in os.listdir(compact) if f.endswith(".parquet")])
     frag_bytes = sum(

@@ -10,7 +10,7 @@ import os
 import pyarrow.parquet as pq
 
 from mapreduce_server_spark import REGISTRY
-from mapreduce_server_spark.operators.sources_ops import SCRATCH
+from mapreduce_server_spark.operators.sources_ops import SCRATCH, sink_dir
 
 from .conftest import SF001
 
@@ -44,7 +44,7 @@ def test_zorder_roundtrip_and_file_skipping(spark):
     every file spans the whole key domain (no skipping possible)."""
     # build the clustered copy (also verified value-exact by the oracle gate)
     REGISTRY["sink_zorder"].fn(spark, SF001).collect()
-    zfiles = _file_bounds(os.path.join(SCRATCH, "sink_zorder_sf0.01", "*.parquet"))
+    zfiles = _file_bounds(os.path.join(sink_dir("sink_zorder", SF001), "*.parquet"))
     assert len(zfiles) == 8
 
     # natural layout: one unsorted rewrite with the same file count
