@@ -672,7 +672,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL contract: non-null document stream (the _jaccard_pairs NULL
     note); shares dedup_ngram_jaccard's filtered oracle verbatim."""
     t = 0.5
-    d = Tables(spark, sf_dir).documents.where(F.col("text").isNotNull())
+    d = _nonnull_docs(Tables(spark, sf_dir).documents)
     # both caches session-memoized (round-10 ADVICE: no per-call leak)
     sh = session_cache(
         spark,

@@ -455,17 +455,21 @@ def scalar_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_url",
     category="H.scalar",
     oracle="""
-SELECT doc_id,
-       'https://' || source || '.example.org/docs/' || doc_id
-           || '?lang=' || lang || '&v=2'                   AS url,
-       CASE WHEN lang IS NOT NULL
+WITH u AS (
+  SELECT doc_id, source, lang,
+         'https://' || source || '.example.org/docs/' || doc_id
+             || '?lang=' || lang || '&v=2'                  AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       CASE WHEN url IS NOT NULL
             THEN source || '.example.org' END               AS host,
-       CASE WHEN lang IS NOT NULL THEN '/docs/' || doc_id END AS path,
-       CASE WHEN lang IS NOT NULL
+       CASE WHEN url IS NOT NULL THEN '/docs/' || doc_id END AS path,
+       CASE WHEN url IS NOT NULL
             THEN 'lang=' || lang || '&v=2' END              AS query,
-       lang                                                 AS lang_param,
-       CASE WHEN lang IS NOT NULL THEN 'https' END          AS protocol
-FROM documents
+       CASE WHEN url IS NOT NULL THEN lang END              AS lang_param,
+       CASE WHEN url IS NOT NULL THEN 'https' END           AS protocol
+FROM u
 """,
 )
 def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -475,9 +479,11 @@ def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     components directly from the same source columns, so the check is
     that parse_url inverts the construction exactly. When any input
     column is NULL the whole url is NULL (`||`/F.concat both propagate)
-    and every parsed component is NULL — the oracle spells that with
-    CASE guards because its components never see the url string
-    (round-11 NULL axis)."""
+    and every parsed component is NULL — the oracle guards every
+    component on ``url IS NOT NULL`` (computed by the same `||` chain),
+    so nullability propagates from the identical expression on both
+    engines whichever input was NULL (round-12 ADVICE closure of the
+    lang-only guard)."""
     d = Tables(spark, sf_dir).documents
     url = F.concat(
         F.lit("https://"), F.col("source"), F.lit(".example.org/docs/"),

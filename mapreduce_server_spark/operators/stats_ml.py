@@ -2423,7 +2423,9 @@ def ml_dtree_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Tables(spark, sf_dir).documents.where(F.col("n_chars").isNotNull())
     g = d.groupBy(F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum((F.col("lang") == "en").cast("long")).alias("pos"),
+        F.sum(
+            F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).cast("long")
+        ).alias("pos"),
     ).cache()  # feeds totals AND the cumulative window (§13 dedup rule)
     tot = g.agg(
         F.sum("cnt").alias("n"), F.sum("pos").alias("p")
@@ -2759,7 +2761,9 @@ def ml_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Tables(spark, sf_dir).documents.where(F.col("n_chars").isNotNull())
     g = d.groupBy(F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum((F.col("lang") == "en").cast("long")).alias("pos"),
+        F.sum(
+            F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).cast("long")
+        ).alias("pos"),
     ).cache()  # feeds root search AND leaf re-partition
     tot = g.agg(F.sum("cnt").alias("n"), F.sum("pos").alias("p"))
 
@@ -3052,7 +3056,7 @@ def ml_dtree_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is non-null (ml_regression_stump rule), mirrored per-arm in the
     # oracle's UNION
     d = Tables(spark, sf_dir).documents
-    y = (F.col("lang") == "en").cast("long").alias("y")
+    y = F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).cast("long").alias("y")
     feat = d.where(F.col("n_chars").isNotNull()).select(
         F.lit("n_chars").alias("feature"), F.col("n_chars").alias("v"), y
     ).unionAll(

@@ -16,6 +16,16 @@ SF001 = "/root/testdata/sf0.01"
 SF01 = "/root/testdata/sf0.1"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "sweep: full-registry degenerate-fixture parity sweep "
+        "(slow — each axis runs ~307 Spark+DuckDB oracle compares). "
+        "Inner-loop lane: pytest -m 'not sweep' (~10 min); full lane "
+        "(CI / endgame): plain pytest.",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")

@@ -74,6 +74,36 @@ def test_topandas_sites_are_pinned():
     _pinned_sites(".toPandas()", TOPANDAS_ALLOWLIST, ".toPandas()")
 
 
+#: audited `.cache()` sites, path → occurrence count (substring count,
+#: docstring mentions included — same method as the other pins). Every
+#: operator-internal site caches a SMALL derived frame (histogram,
+#: token/posting counts, signatures, trained model rows) that feeds ≥2
+#: subtrees of the same query — the duplicated-subtree trap ReuseExchange
+#: doesn't collapse (ARCHITECTURE §20). Per-invocation caching is
+#: leak-bounded only because the registry's _PLAN_CACHE memoizes built
+#: plans per (app, sf_dir, key), so serving re-invocations reuse one
+#: InMemoryRelation; the high-churn shared helpers were migrated to
+#: _memo.session_cache in round 11. A NEW site fails here until audited:
+#: confirm the frame is small, feeds multiple subtrees, and either ride
+#: _PLAN_CACHE (registered builders) or use _memo.session_cache (shared
+#: helpers / anything re-invoked per fixture).
+CACHE_ALLOWLIST = {
+    "operators/_memo.py": 3,  # session_cache's own build().cache() + docstring
+    "operators/aggregates.py": 3,  # grouped histogram feeds totals + window
+    "operators/analytics.py": 6,  # per-item/basket count frames, both join sides
+    "operators/curation.py": 2,  # one tokenize pass feeds admission + stats
+    "operators/graph.py": 5,  # edge/degree frames reused across triangle/PR branches
+    "operators/similarity.py": 4,  # signatures/centroids feed probe + verify sides
+    "operators/stats_ml.py": 37,  # feature histograms feed root + leaf split search (ML-tier shape)
+    "operators/text.py": 4,  # token/posting frames feed tf + df branches
+    "serving/scheduler.py": 1,  # serving layer: registered-view materialization
+}
+
+
+def test_cache_sites_are_pinned():
+    _pinned_sites(".cache()", CACHE_ALLOWLIST, ".cache()")
+
+
 #: keys whose plans legitimately contain BroadcastNestedLoopJoin —
 #: audited: every broadcast side is a 1-row aggregate / ≤ few-row
 #: constant frame (re-audit before adding a key here).

@@ -38,6 +38,10 @@ from mapreduce_server_spark.sources.loader import TABLE_NAMES
 from .conftest import SF0001, make_duck
 from .parity import assert_parity
 
+#: full-registry parity sweeps are the FULL lane (`pytest` / CI); the
+#: inner-loop lane skips them: `pytest -m 'not sweep'` (~10 min).
+pytestmark = pytest.mark.sweep
+
 _MUT = {
     "lineitem": (
         "SELECT * REPLACE (1.0::DOUBLE AS l_quantity, "

@@ -64,6 +64,10 @@ import pytest
 
 from .test_empty_fixture import _sweep, build_fixture
 
+#: full-registry parity sweeps are the FULL lane (`pytest` / CI); the
+#: inner-loop lane skips them: `pytest -m 'not sweep'` (~10 min).
+pytestmark = pytest.mark.sweep
+
 
 @pytest.fixture(scope="module")
 def null_dir():
@@ -149,3 +153,110 @@ def test_rows_only_keys_survive_null_injection(spark, null_dir):
     assert len(keys) == 4, keys
     for k in keys:
         REGISTRY[k].raw_fn(spark, null_dir).collect()
+
+
+@pytest.fixture(scope="module")
+def nullskew_dir():
+    d = tempfile.mkdtemp(prefix="nullskewfix_")
+    build_fixture(d, "nullskew")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_every_oracle_survives_null_skew_combined(spark, nullskew_dir):
+    """Thirteenth axis (round 12): NULL × skew in one fixture. The
+    events hot key is NULL itself (90% of user_ids), so every grouped
+    plan carries one giant NULL group while every join/stream-join path
+    must drop it — the two semantics in the SAME plan, plus the
+    round-11 NULL measures riding along on skewed FK tables."""
+    bad = _sweep(spark, nullskew_dir)
+    assert not bad, bad
+
+
+@pytest.fixture(scope="module")
+def nulldup_dir():
+    d = tempfile.mkdtemp(prefix="nulldupfix_")
+    build_fixture(d, "nulldup")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_every_oracle_survives_null_text_duplicate_combined(spark, nulldup_dir):
+    """Fourteenth axis (round 12): NULL-text × duplicate-heavy. NULL
+    payloads land inside and outside the 90% duplicate clique — the
+    _nonnull_docs filter and the clique-bounded candidate generation
+    must hold simultaneously (a NULL row must neither join the clique
+    nor form a spurious NULL-clique, the round-11 shingle-collapse
+    regression shape)."""
+    bad = _sweep(spark, nulldup_dir)
+    assert not bad, bad
+
+
+@pytest.fixture(scope="module")
+def dst_dir():
+    d = tempfile.mkdtemp(prefix="dstfix_")
+    build_fixture(d, "dst")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_every_oracle_survives_dst_boundaries(spark, dst_dir):
+    """Fifteenth axis (round 12): event timestamps straddling the 2024
+    US (03-10) and EU (03-31) spring-forward boundaries. The contract
+    is TIMESTAMP_NTZ under a pinned-UTC session (ARCHITECTURE §23):
+    time bucketing is civil-time arithmetic with no gap/fold, so hourly
+    windows over 02:xx local-nonexistent wall times must bucket
+    identically on both engines — divergence here would mean one side
+    went tz-aware."""
+    bad = _sweep(spark, dst_dir)
+    assert not bad, bad
+
+
+@pytest.fixture(scope="module")
+def jacedge_dir():
+    d = tempfile.mkdtemp(prefix="jacedgefix_")
+    build_fixture(d, "jacedge")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_jaccard_thresholds_do_not_straddle_engines(spark, jacedge_dir):
+    """Adversarial near-threshold fixture: pairs whose exact Jaccard
+    equals the 0.5 / 0.3 thresholds as exact rationals (2/4, 3/6, 3/10).
+    Both engines compute J as one correctly-rounded double division of
+    small integers, so J == the threshold literal's double and `>=`
+    must INCLUDE the boundary pair on both sides — if either engine
+    computed J another way (different association, float shingle
+    counts) the cut would straddle. Oracle parity for every
+    jaccard-consuming key, plus explicit inclusion pins so a both-
+    engines-exclude regression can't pass as vacuous parity."""
+    from mapreduce_server_spark import REGISTRY
+    from mapreduce_server_spark.operators.dedup import _jaccard_pairs, _nonnull_docs
+    from mapreduce_server_spark.sources.loader import Tables
+
+    from .conftest import make_duck
+    from .parity import assert_parity
+
+    duck = make_duck(jacedge_dir)
+    for k in ("dedup_ngram_jaccard", "dedup_jaccard_prefix",
+              "dedup_minhash", "dedup_levenshtein", "dedup_components"):
+        assert_parity(
+            REGISTRY[k].raw_fn(spark, jacedge_dir), duck, REGISTRY[k].oracle, k
+        )
+
+    # boundary inclusion at 0.5: (1,2) J=2/4 and (5,6) J=3/6 are AT the
+    # cut and must be in; (7,8) J=0.4 must be out
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["dedup_ngram_jaccard"].raw_fn(spark, jacedge_dir).collect()
+    }
+    assert got == {(1, 2), (5, 6)}, got
+
+    # boundary inclusion at 0.3 (the levenshtein candidate block):
+    # (3,4) J=3/10 is AT the cut and must be in; (9,10) J=2/7 out
+    d = _nonnull_docs(Tables(spark, jacedge_dir).documents)
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in _jaccard_pairs(d, threshold=0.3).collect()
+    }
+    assert cand == {(1, 2), (3, 4), (5, 6), (7, 8)}, cand

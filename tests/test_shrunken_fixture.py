@@ -39,6 +39,10 @@ from mapreduce_server_spark.sources.loader import TABLE_NAMES
 from .conftest import SF0001, make_duck
 from .parity import assert_parity
 
+#: full-registry parity sweeps are the FULL lane (`pytest` / CI); the
+#: inner-loop lane skips them: `pytest -m 'not sweep'` (~10 min).
+pytestmark = pytest.mark.sweep
+
 
 @pytest.fixture(scope="module")
 def shrunk_dir():
