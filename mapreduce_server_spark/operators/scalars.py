@@ -120,9 +120,12 @@ SELECT
   abs(l_extendedprice - 50000) AS abs_dev,
   floor(l_extendedprice)::BIGINT AS price_floor,
   ceil(l_extendedprice)::BIGINT  AS price_ceil,
-  round(ln(l_extendedprice), 6)    AS ln_price,
-  round(log10(l_extendedprice), 6) AS log10_price,
-  round(sqrt(l_quantity), 6)       AS sqrt_qty,
+  CASE WHEN l_extendedprice > 0
+       THEN round(ln(l_extendedprice), 6) END    AS ln_price,
+  CASE WHEN l_extendedprice > 0
+       THEN round(log10(l_extendedprice), 6) END AS log10_price,
+  CASE WHEN l_quantity >= 0
+       THEN round(sqrt(l_quantity), 6) END       AS sqrt_qty,
   round(pow(1 + l_discount, 2), 6) AS pow_disc,
   l_quantity::BIGINT % 7 AS qty_mod7,
   sign(l_extendedprice - 50000)::DOUBLE AS dev_sign,
@@ -135,20 +138,26 @@ WHERE l_orderkey % 50 = 0
 def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math function bundle over lineitem; transcendentals (ln/log10/sqrt/
     pow) rounded to 6 dp — libm implementations may differ in the last ulp
-    between JVM and C++. Demo rows are capped by a deterministic modulo
-    filter (pushed to the scan) so the breadth bench measures expression
-    cost, not driver transfer (VERDICT r6 §next #2)."""
+    between JVM and C++. Domain contract (round-12 negative-measure
+    axis): ln/log10/sqrt of out-of-domain input is NULL, spelled with
+    explicit guards on BOTH engines — Spark's F.log already returns
+    NULL there but F.sqrt returns NaN and DuckDB THROWS, so a refund
+    row (negative price/quantity) must not crash or NaN-pollute the
+    bundle. Demo rows are capped by a deterministic modulo filter
+    (pushed to the scan) so the breadth bench measures expression cost,
+    not driver transfer (VERDICT r6 §next #2)."""
     li = Tables(spark, sf_dir).lineitem.filter(F.col("l_orderkey") % 50 == 0)
     ep = F.col("l_extendedprice")
+    qty = F.col("l_quantity")
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.abs(ep - 50000).alias("abs_dev"),
         F.floor(ep).alias("price_floor"),
         F.ceil(ep).alias("price_ceil"),
-        F.round(F.log(ep), 6).alias("ln_price"),
-        F.round(F.log10(ep), 6).alias("log10_price"),
-        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.when(ep > 0, F.round(F.log(ep), 6)).alias("ln_price"),
+        F.when(ep > 0, F.round(F.log10(ep), 6)).alias("log10_price"),
+        F.when(qty >= 0, F.round(F.sqrt(qty), 6)).alias("sqrt_qty"),
         F.round(F.pow(1 + F.col("l_discount"), 2), 6).alias("pow_disc"),
         (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
         F.signum(ep - 50000).alias("dev_sign"),

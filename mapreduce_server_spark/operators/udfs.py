@@ -50,7 +50,9 @@ def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_pandas_scalar",
     category="K.udf",
     oracle="""
-SELECT event_id, round(ln(1 + value), 6) AS log1p_value
+SELECT event_id,
+       CASE WHEN value > -1
+            THEN round(ln(1 + value), 6) END AS log1p_value
 FROM events
 WHERE event_id % 10 = 0
 """,
@@ -58,16 +60,25 @@ WHERE event_id % 10 = 0
 def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized scalar pandas UDF (Arrow batch transfer): numpy log1p.
     Rounded to 6 dp — numpy/libm vs DuckDB ln may differ in the last
-    ulp. Demo rows capped by a deterministic modulo filter pushed to
-    the scan (VERDICT r6 §next #2) — Arrow batching is what's
-    demonstrated, not driver transfer."""
+    ulp. Domain contract (round-12 negative-measure axis): log1p is
+    NULL for value <= -1 on both engines — numpy would emit NaN (and a
+    RuntimeWarning) where DuckDB ln THROWS, so the UDF masks the
+    out-of-domain lanes to NaN (Arrow maps NaN → NULL, the same path a
+    NULL input already takes) and the oracle CASE-guards. Demo rows
+    capped by a deterministic modulo filter pushed to the scan
+    (VERDICT r6 §next #2) — Arrow batching is what's demonstrated, not
+    driver transfer."""
     ev = Tables(spark, sf_dir).events.filter(F.col("event_id") % 10 == 0)
 
     @F.pandas_udf(DoubleType())
     def log1p_vec(v: pd.Series) -> pd.Series:
         import numpy as np
 
-        return pd.Series(np.log1p(v.to_numpy()))
+        arr = v.to_numpy(dtype="float64")
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = np.log1p(arr)
+        out[~(arr > -1.0)] = np.nan  # domain guard; NaN input stays NaN
+        return pd.Series(out)
 
     return ev.select("event_id", F.round(log1p_vec("value"), 6).alias("log1p_value"))
 

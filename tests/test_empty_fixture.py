@@ -268,18 +268,23 @@ def build_fixture(dest: str, mode: str, src_dir: str = SF0001) -> None:
                 q = f"SELECT * FROM read_parquet('{src}')"
         elif mode == "dst":
             # DST-boundary axis (round 12 probe): events.ts remapped
-            # onto 48 h windows straddling BOTH 2024 spring-forward
-            # boundaries — US 2024-03-10 (07:00 UTC) for even event_ids,
-            # EU 2024-03-31 (01:00 UTC) for odd (+22 days = 1,900,800 s).
-            # The engine contract is TIMESTAMP_NTZ under a pinned-UTC
-            # session, so date_trunc/window/time_bucket must be pure
-            # civil-time arithmetic with NO gap/fold behavior; this axis
-            # pins that the contract actually holds on timestamps where
-            # a tz-aware implementation would diverge.
+            # onto four 48 h windows, one per 2024 DST transition —
+            # spring-forward gaps (US 03-10 07:00 UTC, EU 03-31 01:00
+            # UTC) AND fall-back folds (EU 10-27 01:00 UTC, US 11-03
+            # 06:00 UTC) — striped by event_id % 4. The engine contract
+            # is TIMESTAMP_NTZ under a pinned-UTC session, so
+            # date_trunc/window/time_bucket must be pure civil-time
+            # arithmetic with NO gap/fold behavior; this axis pins that
+            # the contract actually holds on timestamps where a
+            # tz-aware implementation would diverge.
             if t == "events":
                 q = (
-                    "SELECT * REPLACE ((TIMESTAMP '2024-03-09 12:00:00'"
-                    " + INTERVAL ((event_id % 2) * 1900800) SECOND"
+                    "SELECT * REPLACE (("
+                    "CASE event_id % 4"
+                    " WHEN 0 THEN TIMESTAMP '2024-03-09 12:00:00'"
+                    " WHEN 1 THEN TIMESTAMP '2024-03-30 12:00:00'"
+                    " WHEN 2 THEN TIMESTAMP '2024-10-26 12:00:00'"
+                    " ELSE TIMESTAMP '2024-11-02 12:00:00' END"
                     " + INTERVAL (epoch(ts)::BIGINT % 172800) SECOND)"
                     f" AS ts) FROM read_parquet('{src}')"
                 )
@@ -314,6 +319,37 @@ def build_fixture(dest: str, mode: str, src_dir: str = SF0001) -> None:
                     "(10, 'ec1 ec2 ec3 ec4 ey1 ey2 ey3', 'en', 'src0')"
                     ") AS v(doc_id, text, lang, source)"
                 )
+            else:
+                q = f"SELECT * FROM read_parquet('{src}')"
+        elif mode == "negative":
+            # Negative-measure axis (round 12): sign-flip stripes on
+            # every money/quantity measure — refunds, reversals and
+            # corrections are normal rows in a 100 TB ledger. The sharp
+            # edge is domain-restricted math: DuckDB ln/sqrt THROW on
+            # negative input where Spark's F.log returns NULL and
+            # F.sqrt returns NaN, so any operator feeding a raw measure
+            # into log/sqrt diverges as an oracle ERROR (the worst
+            # class). Stripes are co-prime so single- and mixed-sign
+            # groups both occur.
+            neg = {
+                "lineitem": "(CASE WHEN (l_orderkey * 31 + l_linenumber)"
+                            " % 7 = 1 THEN -l_quantity ELSE l_quantity"
+                            " END) AS l_quantity, "
+                            "(CASE WHEN (l_orderkey * 31 + l_linenumber)"
+                            " % 11 = 2 THEN -l_extendedprice"
+                            " ELSE l_extendedprice END) AS l_extendedprice",
+                "events": "(CASE WHEN event_id % 7 = 1 THEN -value"
+                          " ELSE value END) AS value",
+                "orders": "(CASE WHEN o_orderkey % 7 = 1 THEN"
+                          " -o_totalprice ELSE o_totalprice END)"
+                          " AS o_totalprice",
+                "customer": "(CASE WHEN c_custkey % 7 = 1 THEN -c_acctbal"
+                            " ELSE c_acctbal END) AS c_acctbal",
+                "part": "(CASE WHEN p_partkey % 7 = 1 THEN -p_retailprice"
+                        " ELSE p_retailprice END) AS p_retailprice",
+            }
+            if t in neg:
+                q = f"SELECT * REPLACE ({neg[t]}) FROM read_parquet('{src}')"
             else:
                 q = f"SELECT * FROM read_parquet('{src}')"
         else:  # pragma: no cover

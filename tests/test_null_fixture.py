@@ -201,13 +201,14 @@ def dst_dir():
 
 
 def test_every_oracle_survives_dst_boundaries(spark, dst_dir):
-    """Fifteenth axis (round 12): event timestamps straddling the 2024
-    US (03-10) and EU (03-31) spring-forward boundaries. The contract
-    is TIMESTAMP_NTZ under a pinned-UTC session (ARCHITECTURE §23):
-    time bucketing is civil-time arithmetic with no gap/fold, so hourly
-    windows over 02:xx local-nonexistent wall times must bucket
-    identically on both engines — divergence here would mean one side
-    went tz-aware."""
+    """Fifteenth axis (round 12): event timestamps straddling all FOUR
+    2024 DST transitions — the US/EU spring-forward gaps (03-10, 03-31)
+    and the EU/US fall-back folds (10-27, 11-03). The contract is
+    TIMESTAMP_NTZ under a pinned-UTC session (ARCHITECTURE §23): time
+    bucketing is civil-time arithmetic with no gap/fold, so hourly
+    windows over locally-nonexistent (gap) or locally-ambiguous (fold)
+    wall times must bucket identically on both engines — divergence
+    here would mean one side went tz-aware."""
     bad = _sweep(spark, dst_dir)
     assert not bad, bad
 
@@ -260,3 +261,25 @@ def test_jaccard_thresholds_do_not_straddle_engines(spark, jacedge_dir):
         for r in _jaccard_pairs(d, threshold=0.3).collect()
     }
     assert cand == {(1, 2), (3, 4), (5, 6), (7, 8)}, cand
+
+
+@pytest.fixture(scope="module")
+def negative_dir():
+    d = tempfile.mkdtemp(prefix="negfix_")
+    build_fixture(d, "negative")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_every_oracle_survives_negative_measures(spark, negative_dir):
+    """Sixteenth axis (round 12): sign-flipped measure stripes — a
+    refund/correction row is a normal row in a 100 TB ledger. First run
+    found TWO divergences of the worst class (oracle ERRORS): DuckDB
+    ln/sqrt THROW on negative input where Spark's F.log returns NULL,
+    F.sqrt returns NaN and numpy log1p NaN-pollutes with a warning.
+    Both fixed by spelling the domain contract explicitly on both
+    engines (out-of-domain → NULL: scalar_math's ln/log10/sqrt guards,
+    udf_pandas_scalar's lane mask + oracle CASE), re-verified
+    oracle-exact on the real fixture."""
+    bad = _sweep(spark, negative_dir)
+    assert not bad, bad
