@@ -55,7 +55,7 @@ def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("side_effects",),
     oracle="""
 SELECT l_returnflag, count(*) AS n,
-       sum(l_quantity)::DOUBLE AS sum_qty
+       sum(l_quantity::DECIMAL(18,6))::DOUBLE AS sum_qty
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -81,7 +81,13 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey bigint, l_quantity double, l_returnflag string"
     ).parquet(out)
     return back.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty")
+        F.count(F.lit(1)).alias("n"),
+        # decimal-sum discipline (ARCHITECTURE §4): a raw double sum is
+        # fold-order-dependent once quantities are non-integral
+        # (round-12 ×1e-5 axis caught sink_zorder)
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_qty"),
     )
 
 
@@ -198,7 +204,7 @@ def zorder_value(a, b, bits: int = 16):
     tags=("side_effects",),
     oracle="""
 SELECT l_returnflag, l_linestatus, count(*) AS n,
-       sum(l_quantity)::DOUBLE AS sum_qty
+       sum(l_quantity::DECIMAL(18,6))::DOUBLE AS sum_qty
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """,
@@ -228,7 +234,12 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out)
     return back.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("l_quantity").alias("sum_qty"),
+        # decimal-sum discipline (ARCHITECTURE §4): a raw double sum is
+        # fold-order-dependent once quantities are non-integral
+        # (round-12 ×1e-5 axis caught sink_zorder)
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_qty"),
     )
 
 

@@ -207,7 +207,10 @@ def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hod",
             "n",
             F.round(hour_avg, 6).alias("avg_value"),
-            F.round(hour_avg / type_avg, 6).alias("seasonal_idx"),
+            # try_divide: a zero type mean (all-zero or sign-cancelling
+            # values — reachable with in-contract negative measures) has
+            # no seasonal index; DuckDB x/0 is NULL (round-12 ×1e-5 axis)
+            F.round(F.try_divide(hour_avg, type_avg), 6).alias("seasonal_idx"),
         )
     )
 
@@ -567,8 +570,11 @@ def stat_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "event_type",
         n.alias("n"),
+        # try_divide: Σx = 0 (all-zero or sign-cancelling values) has no
+        # Gini; DuckDB x/0 is NULL (round-12 ×1e-5 axis)
         F.round(
-            2.0 * F.col("ws") / (n * F.col("s")) - (n + 1.0) / n, 6
+            F.try_divide(2.0 * F.col("ws"), n * F.col("s")) - (n + 1.0) / n,
+            6,
         ).alias("gini"),
     )
 
@@ -1163,8 +1169,13 @@ def stat_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.join(F.broadcast(top), "event_type").select(
         "event_type",
         "n_users",
+        # try_divide: a zero total (sign-cancelling values) has no
+        # concentration ratio; DuckDB x/0 is NULL (round-12 ×1e-5 axis)
         F.round(
-            F.col("top10").cast("double") / F.col("tot").cast("double"), 6
+            F.try_divide(
+                F.col("top10").cast("double"), F.col("tot").cast("double")
+            ),
+            6,
         ).alias("cr10"),
     )
 
@@ -4846,14 +4857,15 @@ def stat_permtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH s AS (
   SELECT l_orderkey, l_linenumber, l_quantity::BIGINT AS qty,
-         ln((('0x' || substr(md5('ws:' || l_orderkey || '-' || l_linenumber),
-                             1, 8))::BIGINT + 1) / 4294967297.0)
-           / l_quantity::BIGINT AS score
+         CASE WHEN l_quantity::BIGINT != 0 THEN
+           ln((('0x' || substr(md5('ws:' || l_orderkey || '-' || l_linenumber),
+                               1, 8))::BIGINT + 1) / 4294967297.0)
+             / l_quantity::BIGINT END AS score
   FROM lineitem
 )
 SELECT l_orderkey, l_linenumber, qty, round(score, 9) AS score
 FROM s
-ORDER BY s.score DESC, l_orderkey, l_linenumber
+ORDER BY s.score DESC NULLS LAST, l_orderkey, l_linenumber
 LIMIT 100
 """,
 )
@@ -4890,7 +4902,10 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("long")
     qty = F.col("l_quantity").cast("long")
-    score = F.log((h + 1) / F.lit(4294967297.0)) / qty
+    # try_divide: a zero integer weight (sub-unit quantity truncates to
+    # 0) draws no key — NULL score, ordered after every real key on
+    # both engines (round-12 ×1e-5 axis; DuckDB x/0 is NULL)
+    score = F.try_divide(F.log((h + 1) / F.lit(4294967297.0)), qty)
     s = li.select(
         "l_orderkey",
         "l_linenumber",
@@ -4899,7 +4914,12 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         s.orderBy(
-            F.col("score").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+            # explicit NULLS LAST: score is nullable since the try_divide
+            # guard — spell the placement on a nullable ordering column
+            # (the round-11 rank-window rule)
+            F.col("score").desc_nulls_last(),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
         )
         .limit(100)
         .select(
@@ -5700,7 +5720,7 @@ def ts_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH v AS (
   SELECT l_returnflag AS flag,
-         (l_extendedprice * 100)::BIGINT AS cents, count(*) AS c
+         floor(l_extendedprice * 100 + 0.5)::BIGINT AS cents, count(*) AS c
   FROM lineitem GROUP BY 1, 2
 ),
 r AS (
@@ -5768,7 +5788,14 @@ def stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Tables(spark, sf_dir).lineitem
     v = li.groupBy(
         F.col("l_returnflag").alias("flag"),
-        (F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        # half-up cents: Spark double->long CAST truncates while DuckDB
+        # ::BIGINT rounds half-even, so the bare cast is a latent
+        # divergence for any price whose *100 float rep lands below the
+        # integer; floor(x*100 + 0.5) is the repo's _micro idiom, an
+        # identical pure-double op on both engines (round-12 x1e-5 axis)
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
     ).agg(F.count(F.lit(1)).alias("c"))
     wcum = Window.partitionBy("flag").orderBy("cents").rowsBetween(
         Window.unboundedPreceding, 0

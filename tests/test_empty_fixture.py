@@ -94,8 +94,8 @@ def build_fixture(dest: str, mode: str, src_dir: str = SF0001) -> None:
                 )
             else:
                 q = f"SELECT * FROM read_parquet('{src}')"
-        elif mode in ("x10", "x1e5"):
-            mul = "10.0" if mode == "x10" else "100000.0"
+        elif mode in ("x10", "x1e5", "x1em5"):
+            mul = {"x10": "10.0", "x1e5": "100000.0", "x1em5": "0.00001"}[mode]
             xm = {
                 "lineitem": f"(l_quantity * {mul})::DOUBLE AS l_quantity, "
                             f"(l_extendedprice * {mul})::DOUBLE AS l_extendedprice",
@@ -547,3 +547,98 @@ def test_unicode_levenshtein_relationship(spark, unicode_dir):
     assert set(drows) <= set(srows), (set(drows) - set(srows))
     for pair, ddist in drows.items():
         assert srows[pair] <= ddist, (pair, srows[pair], ddist)
+
+
+def test_case_folding_contract_full_unicode(spark, tmp_path):
+    """Engine-builtin difference, adjudicated (round 12, the
+    dedup_levenshtein precedent): Spark's lower() applies FULL Unicode
+    case mapping (contextual final sigma ΟΔΟΣ→οδος, İ→i+combining dot)
+    while DuckDB's lower() is SIMPLE folding (ΟΔΟΣ→οδοσ, İ→istanbul).
+    The engine's semantics are Spark's full mapping — the
+    linguistically correct normalization for a fingerprint key. The
+    shipped fixtures and the unicode axis are parity-clean because
+    their characters fold identically under both rules; this test pins
+    the contract on the characters where the rules DISAGREE:
+    text_fingerprint must equal md5(full-lowercase) exactly, and the
+    DuckDB oracle must differ on those docs and ONLY those docs."""
+    import hashlib
+
+    import duckdb as _duck
+
+    from mapreduce_server_spark import REGISTRY
+
+    docs = [
+        (1, "ΟΔΟΣ ΕΡΜΟΥ"),          # final-sigma context: full ≠ simple
+        (2, "İstanbul VİEW"),        # dotted capital I: full ≠ simple
+        (3, "PLAIN ASCII Text"),     # agree
+        (4, "café 数据处理 ẞ"),      # agree (ẞ→ß under both)
+    ]
+    d = str(tmp_path / "casefix")
+    import os
+
+    os.makedirs(d)
+    con = _duck.connect()
+    con.execute(
+        "COPY (SELECT doc_id::BIGINT AS doc_id, text, 'en' AS lang,"
+        " 'src0' AS source, length(text)::BIGINT AS n_chars FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in docs)
+        + ") v(doc_id, text)) TO '" + os.path.join(d, "documents.parquet")
+        + "' (FORMAT PARQUET)"
+    )
+    for t in TABLE_NAMES:
+        if t == "documents":
+            continue
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SF0001}/{t}.parquet'))"
+            f" TO '{os.path.join(d, t + '.parquet')}' (FORMAT PARQUET)"
+        )
+
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in REGISTRY["text_fingerprint"].raw_fn(spark, d).collect()
+    }
+    # the semantic pin: Python str.lower() is the same full Unicode
+    # mapping Spark/Java apply
+    want = {i: hashlib.md5(t.lower().encode()).hexdigest() for i, t in docs}
+    assert got == want
+
+    oracle = {
+        i: fp
+        for i, fp, _pre in con.execute(
+            REGISTRY["text_fingerprint"].oracle.replace(
+                "documents", f"read_parquet('{d}/documents.parquet')"
+            )
+        ).fetchall()
+    }
+    # the documented divergence manifests exactly on the full≠simple docs
+    assert {i for i in want if oracle[i] != want[i]} == {1, 2}
+
+
+@pytest.fixture(scope="module")
+def x1em5_dir():
+    d = tempfile.mkdtemp(prefix="x1em5fix_")
+    build_fixture(d, "x1em5")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_every_oracle_survives_x1em5_magnitudes(spark, x1em5_dir):
+    """Seventeenth axis (round 12): measures shrunk ×1e-5 — the
+    sub-quantum end of the magnitude envelope (×1e5 pinned the top).
+    First run found SIX divergences in three classes, all fixed and
+    re-verified oracle-exact on the real fixture: (a) zero-total
+    denominators — decimal sums collapse to 0.00 and Spark ANSI `/`
+    throws where DuckDB x/0 is NULL (ts_seasonality, stat_gini,
+    stat_concentration, sample_weighted's integer weight → F.try_divide,
+    the flat-fixture round-9 rule; these zero totals are reachable at
+    ANY magnitude now that negative measures are in contract — a
+    sign-cancelling group has Σx = 0); (b) a raw double sum is
+    fold-order-dependent once values are non-integral (sink_zorder /
+    sink_partitioned → decimal-sum discipline); (c) double→BIGINT CAST
+    rounding differs between engines — Spark truncates, DuckDB rounds
+    half-even — so stat_levene's cents histogram now uses the explicit
+    floor(x*100 + 0.5) half-up idiom on both sides (also a LATENT
+    normal-magnitude divergence for any price whose *100 float
+    representation lands below the integer)."""
+    bad = _sweep(spark, x1em5_dir)
+    assert not bad, bad
