@@ -127,7 +127,7 @@ SELECT
   CASE WHEN l_quantity >= 0
        THEN round(sqrt(l_quantity), 6) END       AS sqrt_qty,
   round(pow(1 + l_discount, 2), 6) AS pow_disc,
-  l_quantity::BIGINT % 7 AS qty_mod7,
+  floor(l_quantity + 0.5)::BIGINT % 7 AS qty_mod7,
   sign(l_extendedprice - 50000)::DOUBLE AS dev_sign,
   least(l_extendedprice, 50000.0)   AS price_capped,
   greatest(l_quantity, 25.0)        AS qty_floored
@@ -159,7 +159,7 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ep > 0, F.round(F.log10(ep), 6)).alias("log10_price"),
         F.when(qty >= 0, F.round(F.sqrt(qty), 6)).alias("sqrt_qty"),
         F.round(F.pow(1 + F.col("l_discount"), 2), 6).alias("pow_disc"),
-        (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
+        (F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long") % 7).alias("qty_mod7"),
         F.signum(ep - 50000).alias("dev_sign"),
         F.least(ep, F.lit(50000.0)).alias("price_capped"),
         F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_floored"),

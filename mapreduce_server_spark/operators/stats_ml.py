@@ -4005,7 +4005,7 @@ def stat_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="D.agg",
     oracle="""
 WITH train AS (
-  SELECT l_quantity::BIGINT AS q,
+  SELECT floor(l_quantity + 0.5)::BIGINT AS q,
          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
   FROM lineitem WHERE l_orderkey % 4 < 3
 ),
@@ -4014,7 +4014,7 @@ model AS (
   FROM train GROUP BY 1
 ),
 test AS (
-  SELECT l_quantity::BIGINT AS q,
+  SELECT floor(l_quantity + 0.5)::BIGINT AS q,
          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
   FROM lineitem WHERE l_orderkey % 4 = 3
 ),
@@ -4050,7 +4050,7 @@ def ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-shape with q1 — one partial agg for train, one broadcast-join
     pass for test. At 100 TB the model side stays 50 rows."""
     li = Tables(spark, sf_dir).lineitem
-    q = F.col("l_quantity").cast("long").alias("q")
+    q = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("q")
     y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y")
     train = li.where(F.col("l_orderkey") % 4 < 3).select(q, y)
     model = train.groupBy("q").agg(
@@ -4190,7 +4190,7 @@ def ts_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="D.agg",
     oracle="""
 WITH train AS (
-  SELECT l_quantity::BIGINT AS q,
+  SELECT floor(l_quantity + 0.5)::BIGINT AS q,
          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
   FROM lineitem WHERE l_orderkey % 4 < 3
 ),
@@ -4199,7 +4199,7 @@ model AS (
   FROM train GROUP BY 1
 ),
 test AS (
-  SELECT l_quantity::BIGINT AS q,
+  SELECT floor(l_quantity + 0.5)::BIGINT AS q,
          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
   FROM lineitem WHERE l_orderkey % 4 = 3
 ),
@@ -4235,7 +4235,7 @@ def ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-number ranks would hit on a 50-value score column; doubling
     (mid2 = 2·cum − cnt + 1) keeps them integers."""
     li = Tables(spark, sf_dir).lineitem
-    q = F.col("l_quantity").cast("long").alias("q")
+    q = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("q")
     y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y")
     train = li.where(F.col("l_orderkey") % 4 < 3).select(q, y)
     model = train.groupBy("q").agg(
@@ -4640,7 +4640,7 @@ def ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="D.agg",
     oracle="""
 WITH cells AS (
-  SELECT l_quantity::BIGINT AS q, l_orderkey % 4 AS fold,
+  SELECT floor(l_quantity + 0.5)::BIGINT AS q, l_orderkey % 4 AS fold,
          count(*) AS cnt,
          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
   FROM lineitem GROUP BY 1, 2
@@ -4678,7 +4678,7 @@ def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy is one integer ratio."""
     li = Tables(spark, sf_dir).lineitem
     cells = li.groupBy(
-        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("q"),
         (F.col("l_orderkey") % 4).alias("fold"),
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -4856,11 +4856,11 @@ def stat_permtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="D.agg",
     oracle="""
 WITH s AS (
-  SELECT l_orderkey, l_linenumber, l_quantity::BIGINT AS qty,
-         CASE WHEN l_quantity::BIGINT != 0 THEN
+  SELECT l_orderkey, l_linenumber, floor(l_quantity + 0.5)::BIGINT AS qty,
+         CASE WHEN floor(l_quantity + 0.5)::BIGINT != 0 THEN
            ln((('0x' || substr(md5('ws:' || l_orderkey || '-' || l_linenumber),
                                1, 8))::BIGINT + 1) / 4294967297.0)
-             / l_quantity::BIGINT END AS score
+             / floor(l_quantity + 0.5)::BIGINT END AS score
   FROM lineitem
 )
 SELECT l_orderkey, l_linenumber, qty, round(score, 9) AS score
@@ -4901,7 +4901,7 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    qty = F.col("l_quantity").cast("long")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
     # try_divide: a zero integer weight (sub-unit quantity truncates to
     # 0) draws no key — NULL score, ordered after every real key on
     # both engines (round-12 ×1e-5 axis; DuckDB x/0 is NULL)
@@ -5235,7 +5235,7 @@ def ml_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="D.agg",
     oracle="""
 WITH b AS (
-  SELECT l_quantity::BIGINT AS q, count(*) AS n,
+  SELECT floor(l_quantity + 0.5)::BIGINT AS q, count(*) AS n,
          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
   FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
 ),
@@ -5298,7 +5298,7 @@ def ml_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Tables(spark, sf_dir).lineitem.where(
         F.col("l_quantity").isNotNull()
     )
-    b = li.groupBy(F.col("l_quantity").cast("long").alias("q")).agg(
+    b = li.groupBy(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("q")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
             F.when(F.col("l_returnflag") == "R", 1).otherwise(0)

@@ -71,3 +71,25 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     min/max stripe statistics (predicate pushdown works like parquet's
     row groups; no DDL needed, the footer carries the types)."""
     return spark.read.orc(path)
+
+
+def quantize_measures(
+    df: DataFrame, cols: list[str], scale: int = 2
+) -> DataFrame:
+    """Quantize measure doubles to the engine's fixed-point quantum —
+    the ingest-side enforcement of the ARCHITECTURE §23 contract.
+
+    The engine's measure columns are fixed-point values at a documented
+    quantum (default: 2 dp money). Sub-quantum doubles are out of the
+    parity/replay contract: decimal quantization of a finer double is
+    engine-specific (DuckDB's double→DECIMAL cast is not correctly
+    rounded; the round-12 ×0.1 probe diverged on 44 keys before
+    re-quantizing), and a defined quantum is what makes the decimal-sum
+    discipline's aggregates associative, fold-order-free and replayable
+    at 100 TB. Ingest — this function — owns the rounding, ONCE, before
+    any operator sees the column; everything downstream may then treat
+    decimal casts as exact."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.round(F.col(c), scale))
+    return out

@@ -94,15 +94,25 @@ def build_fixture(dest: str, mode: str, src_dir: str = SF0001) -> None:
                 )
             else:
                 q = f"SELECT * FROM read_parquet('{src}')"
-        elif mode in ("x10", "x1e5", "x1em5"):
-            mul = {"x10": "10.0", "x1e5": "100000.0", "x1em5": "0.00001"}[mode]
+        elif mode in ("x10", "x1e5", "x1em5", "xfrac"):
+            mul = {"x10": "10.0", "x1e5": "100000.0", "x1em5": "0.00001",
+                   "xfrac": "0.1"}[mode]
+            # xfrac re-quantizes to the measure quantum (2 dp): the ×0.1
+            # products are 3-dp, and SUB-quantum doubles are out of the
+            # parity contract because DuckDB's double→DECIMAL cast is not
+            # correctly rounded (ARCHITECTURE §23; Spark's is, and
+            # DuckDB's own round()/::VARCHAR routes are) — ingest owns
+            # quantization. The axis probes fractional, sub-unit
+            # magnitudes AT quantum: quantities like 1.7, cent-scale
+            # prices — the integer-weight/bucket cast sites' fault line.
+            rq = "round({c} * %s, 2)::DOUBLE AS {c}" % mul if mode == "xfrac"                 else "({c} * %s)::DOUBLE AS {c}" % mul
             xm = {
-                "lineitem": f"(l_quantity * {mul})::DOUBLE AS l_quantity, "
-                            f"(l_extendedprice * {mul})::DOUBLE AS l_extendedprice",
-                "events": f"(value * {mul})::DOUBLE AS value",
-                "customer": f"(c_acctbal * {mul})::DOUBLE AS c_acctbal",
-                "orders": f"(o_totalprice * {mul})::DOUBLE AS o_totalprice",
-                "part": f"(p_retailprice * {mul})::DOUBLE AS p_retailprice",
+                "lineitem": rq.format(c="l_quantity") + ", "
+                            + rq.format(c="l_extendedprice"),
+                "events": rq.format(c="value"),
+                "customer": rq.format(c="c_acctbal"),
+                "orders": rq.format(c="o_totalprice"),
+                "part": rq.format(c="p_retailprice"),
             }
             if t in xm:
                 q = f"SELECT * REPLACE ({xm[t]}) FROM read_parquet('{src}')"
@@ -641,4 +651,29 @@ def test_every_oracle_survives_x1em5_magnitudes(spark, x1em5_dir):
     normal-magnitude divergence for any price whose *100 float
     representation lands below the integer)."""
     bad = _sweep(spark, x1em5_dir)
+    assert not bad, bad
+
+
+@pytest.fixture(scope="module")
+def xfrac_dir():
+    d = tempfile.mkdtemp(prefix="xfracfix_")
+    build_fixture(d, "xfrac")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_every_oracle_survives_fractional_measures(spark, xfrac_dir):
+    """Eighteenth axis (round 12): measures ×0.1, re-quantized to the
+    2-dp quantum — fractional sub-unit quantities (1.7 kg, 0.25 h) and
+    cent-scale prices, the realistic non-integer middle the power-of-ten
+    axes skip. First run (unquantized) also exposed that DuckDB's
+    double→DECIMAL cast is NOT correctly rounded (4132.8949999999995 →
+    4132.90; its round()/::VARCHAR routes are correct) — adjudicated as
+    the ingest-owns-quantization contract, ARCHITECTURE §23. At-quantum,
+    the axis found the integer-weight cast divergence: Spark double→long
+    CASTS truncate, DuckDB ::BIGINT rounds half-even (quantity 1.7 → 1
+    vs 2), so every quantity→integer site now spells the explicit
+    floor(x + 0.5) half-up idiom on both engines (scalar_math,
+    ml_auc/calibration/kfold_cv/isotonic, sample_weighted)."""
+    bad = _sweep(spark, xfrac_dir)
     assert not bad, bad

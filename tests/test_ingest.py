@@ -5,6 +5,8 @@ from __future__ import annotations
 import os
 import shutil
 
+from pyspark.sql import functions as F
+
 from mapreduce_server_spark.sources import ingest
 from mapreduce_server_spark.sources.loader import load_table
 
@@ -121,3 +123,30 @@ def test_orc_roundtrip_with_pushdown(spark):
     assert sorted(map(tuple, filtered.collect())) == sorted(
         map(tuple, orders.where("o_orderkey = 42").collect())
     )
+
+
+def test_quantize_measures_enforces_quantum(spark):
+    """quantize_measures is the ingest-side enforcement of the measure
+    quantum contract (ARCHITECTURE §23): after it, every value is exact
+    at the quantum — the decimal cast round-trips losslessly — and the
+    rounding is the deterministic HALF_UP of the value's shortest
+    decimal rendering (Spark's F.round), independent of partitioning."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mapreduce_server_spark.sources.ingest import quantize_measures
+
+    vals = [4132.8949999999995, 0.125, 0.045000000000000005, 1.145,
+            -3.675, 17.0, 0.005, 99.994999]
+    df = spark.createDataFrame([(v,) for v in vals], "m double")
+    got = [r.m for r in quantize_measures(df, ["m"]).orderBy("m").collect()]
+    want = sorted(
+        float(Decimal(repr(v)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+        for v in vals
+    )
+    assert got == want
+    # at-quantum: the decimal cast is now exact (round-trips losslessly)
+    q = quantize_measures(df, ["m"])
+    back = q.select(
+        F.col("m"), F.col("m").cast("decimal(18,2)").cast("double").alias("rt")
+    ).collect()
+    assert all(r.m == r.rt for r in back)
