@@ -88,8 +88,18 @@ def quantize_measures(
     discipline's aggregates associative, fold-order-free and replayable
     at 100 TB. Ingest — this function — owns the rounding, ONCE, before
     any operator sees the column; everything downstream may then treat
-    decimal casts as exact."""
+    decimal casts as exact.
+
+    Non-finite values (NaN/±Inf — bad sensors, upstream 0/0) map to
+    NULL, SQL's missing-value representation: NaN at rest is also out
+    of contract, because a decimal cast of NaN THROWS on both engines
+    (DuckDB "can't be cast", Spark ANSI CAST_INVALID_INPUT) — one bad
+    row must not crash every measure aggregate — and NaN's
+    engine-specific ordering/equality semantics would poison ranks and
+    group keys where NULL's are adjudicated (ARCHITECTURE §22)."""
     out = df
     for c in cols:
-        out = out.withColumn(c, F.round(F.col(c), scale))
+        col = F.col(c)
+        finite = ~F.isnan(col) & (F.abs(col) != F.lit(float("inf")))
+        out = out.withColumn(c, F.when(finite, F.round(col, scale)))
     return out

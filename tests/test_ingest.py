@@ -144,6 +144,18 @@ def test_quantize_measures_enforces_quantum(spark):
         for v in vals
     )
     assert got == want
+    # non-finite → NULL (NaN at rest is out of contract: its decimal
+    # cast throws on both engines); NULL passes through as NULL
+    dirty = spark.createDataFrame(
+        [(float("nan"),), (float("inf"),), (float("-inf"),), (None,), (2.5,)],
+        "m double",
+    )
+    cleaned = [r.m for r in quantize_measures(dirty, ["m"]).collect()]
+    assert cleaned.count(None) == 4 and 2.5 in cleaned
+    # and the cleaned frame survives the decimal cast that raw NaN crashes
+    quantize_measures(dirty, ["m"]).select(
+        F.col("m").cast("decimal(18,2)")
+    ).collect()
     # at-quantum: the decimal cast is now exact (round-trips losslessly)
     q = quantize_measures(df, ["m"])
     back = q.select(
