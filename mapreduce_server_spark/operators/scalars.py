@@ -143,7 +143,10 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit guards on BOTH engines — Spark's F.log already returns
     NULL there but F.sqrt returns NaN and DuckDB THROWS, so a refund
     row (negative price/quantity) must not crash or NaN-pollute the
-    bundle. Demo rows are capped by a deterministic modulo filter
+    bundle. The qty_mod7 floor(x+0.5) idiom rounds halves toward +inf
+    (-2.5 -> -2, not half-away-from-zero) — identical spelling on both
+    engines, so ties cannot straddle (ARCHITECTURE §23 tie-direction
+    note). Demo rows are capped by a deterministic modulo filter
     (pushed to the scan) so the breadth bench measures expression cost,
     not driver transfer (VERDICT r6 §next #2)."""
     li = Tables(spark, sf_dir).lineitem.filter(F.col("l_orderkey") % 50 == 0)

@@ -16,7 +16,9 @@ Three frozen invariants:
 
 from __future__ import annotations
 
+import io
 import os
+import tokenize
 
 from mapreduce_server_spark import REGISTRY
 
@@ -25,7 +27,8 @@ from .conftest import SF0001
 PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "mapreduce_server_spark")
 
-#: audited bounded `.collect()` sites, path → occurrence count.
+#: audited bounded `.collect()` sites, path → CODE occurrence count
+#: (tokenize-stripped: docstring/comment mentions don't count).
 COLLECT_ALLOWLIST = {
     "serving/scheduler.py": 1,  # serving layer: materializes registered views
     "serving/matview.py": 2,  # matview refresh: distinct key lists (bounded)
@@ -50,6 +53,23 @@ TOPANDAS_ALLOWLIST = {
 }
 
 
+def _code_occurrences(path: str, needle: str) -> int:
+    """Count ``needle`` in CODE tokens only (round-13 ADVICE): docstring
+    and comment mentions are prose, not call sites — counting them let a
+    new unaudited call site slip in whenever a docstring mention was
+    deleted in the same edit, and made comment edits false-positive.
+    Strings/comments are blanked via tokenize; remaining tokens are
+    joined without whitespace so ``x .cache ()`` still counts and a
+    different attribute (``.cache_hit()``) still doesn't."""
+    src = open(path, encoding="utf-8").read()
+    parts = []
+    for t in tokenize.generate_tokens(io.StringIO(src).readline):
+        parts.append(" " if t.type in (tokenize.STRING, tokenize.COMMENT)
+                     else t.string)
+        parts.append(" ")
+    return "".join(parts).replace(" ", "").count(needle)
+
+
 def _pinned_sites(needle: str, allowlist: dict[str, int], label: str) -> None:
     found: dict[str, int] = {}
     for root, _dirs, files in os.walk(PKG):
@@ -57,7 +77,7 @@ def _pinned_sites(needle: str, allowlist: dict[str, int], label: str) -> None:
             if not f.endswith(".py"):
                 continue
             path = os.path.join(root, f)
-            n = open(path, encoding="utf-8").read().count(needle)
+            n = _code_occurrences(path, needle)
             if n:
                 found[os.path.relpath(path, PKG)] = n
     assert found == allowlist, (
@@ -74,8 +94,9 @@ def test_topandas_sites_are_pinned():
     _pinned_sites(".toPandas()", TOPANDAS_ALLOWLIST, ".toPandas()")
 
 
-#: audited `.cache()` sites, path → occurrence count (substring count,
-#: docstring mentions included — same method as the other pins). Every
+#: audited `.cache()` sites, path → CODE occurrence count (tokenize-
+#: stripped — round-13 ADVICE: the old raw-substring pin conflated
+#: audited call sites with prose mentions). Every
 #: operator-internal site caches a SMALL derived frame (histogram,
 #: token/posting counts, signatures, trained model rows) that feeds ≥2
 #: subtrees of the same query — the duplicated-subtree trap ReuseExchange
@@ -88,7 +109,7 @@ def test_topandas_sites_are_pinned():
 #: _PLAN_CACHE (registered builders) or use _memo.session_cache (shared
 #: helpers / anything re-invoked per fixture).
 CACHE_ALLOWLIST = {
-    "operators/_memo.py": 3,  # session_cache's own build().cache() + docstring
+    "operators/_memo.py": 1,  # session_cache's own build().cache()
     "operators/aggregates.py": 3,  # grouped histogram feeds totals + window
     "operators/analytics.py": 6,  # per-item/basket count frames, both join sides
     "operators/curation.py": 2,  # one tokenize pass feeds admission + stats
@@ -96,7 +117,6 @@ CACHE_ALLOWLIST = {
     "operators/similarity.py": 4,  # signatures/centroids feed probe + verify sides
     "operators/stats_ml.py": 37,  # feature histograms feed root + leaf split search (ML-tier shape)
     "operators/text.py": 4,  # token/posting frames feed tf + df branches
-    "serving/scheduler.py": 1,  # serving layer: registered-view materialization
 }
 
 
