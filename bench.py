@@ -6,6 +6,17 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS
 collect(), cold JVM start excluded) with a noise-robust median of 5 timed
 runs after one warm-up — round-7 showed a ±30% run-to-run band on a busy
 host, and the median of 5 is a fairer estimator of the same quantity.
+
+Environment stamp (round 13 — three consecutive verdicts adjudicated
+round-over-round deltas that were pure host noise): the JSON now carries
+``load1``/``load5`` (at start), ``sibling_spark`` (count of OTHER live
+JVMs with Spark on their command line — a concurrent driver_sim or
+pytest Spark app is the known ±30% interference source), and
+``calibration_sec`` (median of 3 runs of a fixed single-thread
+CPU-bound loop, timed BEFORE the JVM starts). Read rule: compare
+headline totals across rounds only at matched calibration (±10%) and
+sibling_spark == 0; otherwise re-run on a quiet host before treating a
+delta as a regression.
 """
 
 from __future__ import annotations
@@ -15,6 +26,42 @@ import os
 import re
 import sys
 import time
+
+
+def _calibration_sec() -> float:
+    """Fixed-work single-thread loop: ~0.2 s on an idle core. Scales
+    with CPU contention/frequency, so two bench runs are comparable
+    iff their calibrations match (±10%)."""
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i
+        runs.append(time.perf_counter() - t0)
+    assert acc >= 0
+    return round(sorted(runs)[1], 4)
+
+
+def _sibling_spark_count() -> int:
+    """Live JVMs (other than this process tree's) running Spark — the
+    measured interference source on this host. Proc-scan, best-effort."""
+    me = os.getpid()
+    n = 0
+    try:
+        pids = [p for p in os.listdir("/proc") if p.isdigit()]
+    except OSError:
+        return -1
+    for p in pids:
+        if int(p) == me:
+            continue
+        try:
+            cmd = open(f"/proc/{p}/cmdline", "rb").read().replace(b"\0", b" ")
+        except OSError:
+            continue
+        if b"java" in cmd and (b"spark" in cmd or b"Spark" in cmd):
+            n += 1
+    return n
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -36,6 +83,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # environment stamp BEFORE the JVM exists (calibration must not
+    # share the process with executor threads)
+    calibration = _calibration_sec()
+    siblings = _sibling_spark_count()
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:  # pragma: no cover - non-unix
+        load1 = load5 = -1.0
     spark = get_spark(app_name="mrss-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -60,6 +115,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "load1": round(load1, 2),
+                "load5": round(load5, 2),
+                "sibling_spark": siblings,
+                "calibration_sec": calibration,
             }
         )
     )

@@ -533,12 +533,18 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # external tables at an explicit repo-local path: the default managed
     # location is <session cwd>/spark-warehouse, which isn't ours to write
     # when a foreign session (the driver's) runs this query
-    from ..scratch import SCRATCH, owned
+    from ..scratch import SCRATCH, owned, touch
 
     scratch = os.path.join(SCRATCH, "bucketed")
 
     def ensure_bucketed(df, name: str, key: str) -> None:
         if spark.catalog.tableExists(name):
+            # keep-alive (round-13 ADVICE): the catalog hit means we are
+            # about to SCAN files written possibly hours ago — re-touch
+            # them so a freshly started sibling's TTL sweep can never
+            # classify a live application's bucketed table as stale
+            # residue and delete it mid-reference.
+            touch(os.path.join(scratch, f"{name}_p{os.getpid()}"))
             return
         import shutil
 

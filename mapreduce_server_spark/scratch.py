@@ -22,11 +22,15 @@ Concurrency contract (pinned by tests/test_concurrent.py and
 tests/test_scratch_gc.py): **processes never share a writable scratch
 directory** — sink/compact/matview/bucketed paths carry the pid, the
 IVF index carries the applicationId — so removing MY directories at
-exit can never pull files out from under a sibling application's scan,
-and the TTL is the only guard a *crashed* sibling's directories need
-(a live application's dirs are younger than any realistic TTL while it
-is writing them, and the IVF builder re-touches its index on every
-cache hit so a long-lived server keeps its index young).
+exit can never pull files out from under a sibling application's scan.
+The TTL guards *crashed* siblings' residue; live applications stay
+ahead of it via **touch-on-reuse** (round-13 ADVICE): ``owned()``
+re-touches an already-existing path on every registration (matviews
+re-register per access), the bucketed join touches its table files on
+the catalog-hit fast path, and the IVF builder re-touches its index on
+every cache hit — so a directory written once and re-READ hours later
+can never go stale under a long-lived server while a freshly started
+sibling sweeps.
 
 At 100 TB the analogue is object-store lifecycle policy: job-scoped
 temp prefixes deleted on job completion, plus a bucket TTL rule for
@@ -66,10 +70,23 @@ def _atexit_clean() -> None:
         shutil.rmtree(p, ignore_errors=True)
 
 
+def touch(path: str) -> None:
+    """Refresh ``path``'s mtime so a sibling process's TTL sweep sees it
+    as young — the keep-alive for scratch state that is written once and
+    re-read later (bucketed table files, matview partitions, the IVF
+    index). Missing paths are fine (nothing to keep alive yet)."""
+    try:
+        os.utime(path, None)
+    except OSError:
+        pass
+
+
 def owned(path: str) -> str:
     """Register ``path`` as owned by this process (removed at interpreter
     exit) and return it. First call per process also sweeps stale
-    residue from crashed applications. Idempotent and thread-safe."""
+    residue from crashed applications; an already-existing path is
+    re-touched so re-reads keep it younger than any sibling's TTL.
+    Idempotent and thread-safe."""
     global _HOOKED
     p = os.path.abspath(path)
     with _LOCK:
@@ -77,6 +94,7 @@ def owned(path: str) -> str:
             atexit.register(_atexit_clean)
             _HOOKED = True
         _OWNED.add(p)
+    touch(p)
     gc_stale()
     return p
 

@@ -96,7 +96,15 @@ def quantize_measures(
     (DuckDB "can't be cast", Spark ANSI CAST_INVALID_INPUT) — one bad
     row must not crash every measure aggregate — and NaN's
     engine-specific ordering/equality semantics would poison ranks and
-    group keys where NULL's are adjudicated (ARCHITECTURE §22)."""
+    group keys where NULL's are adjudicated (ARCHITECTURE §22).
+
+    Enforcement split (round 13): this function is the NORMALIZER a
+    caller applies when ingesting a foreign corpus; the LOAD path
+    additionally VALIDATES the contract (``loader.validate_measure_
+    contract``, opt-in via ``SPARK_GRAFT_VALIDATE_MEASURES=1`` — the
+    driver_sim verification surface sets it) rather than silently
+    re-quantizing, because rounding at load would mask the ingest bug
+    the contract exists to catch."""
     out = df
     for c in cols:
         col = F.col(c)

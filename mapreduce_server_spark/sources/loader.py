@@ -44,6 +44,91 @@ TABLE_NAMES = (
     "embeddings",
 )
 
+#: measure columns under the ARCHITECTURE §23 fixed-point contract
+#: (2-dp quantum, finite-or-NULL). The sweep-axis fixtures honor it by
+#: construction (build_fixture re-quantizes); this map is what the
+#: opt-in load-time validation below checks on FOREIGN corpora.
+MEASURE_COLUMNS: dict[str, tuple[str, ...]] = {
+    "lineitem": ("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+    "orders": ("o_totalprice",),
+    "customer": ("c_acctbal",),
+    "supplier": ("s_acctbal",),
+    "part": ("p_retailprice",),
+    "events": ("value",),
+}
+
+#: rows sampled per table by the contract check — enough to catch a
+#: systematically sub-quantum or NaN-bearing regeneration (the round-12
+#: ×0.1 probe failure mode was EVERY row off-quantum), cheap enough to
+#: run per process (one limit-pushed scan per measure table).
+_VALIDATE_SAMPLE_ROWS = 8192
+
+#: (path, mtime) pairs already validated this process.
+_VALIDATED: set[tuple[str, float]] = set()
+
+
+def validate_measure_contract(
+    spark: SparkSession, sf_dir: str, name: str, sample_rows: int | None = None
+) -> None:
+    """Assert a sample of ``name``'s measure columns satisfies the
+    ARCHITECTURE §23 at-rest contract: finite-or-NULL and exactly at the
+    2-dp quantum (``round(x, 2) == x``).
+
+    Closes the round-12/13 enforcement gap: ``ingest.quantize_measures``
+    is the documented single normalization gate, but nothing on the load
+    path checked that a *foreign* corpus (or a silently drifted fixture
+    regeneration) actually satisfies the contract — a sub-quantum corpus
+    would surface as dozens of mysterious oracle divergences (the exact
+    ×0.1-probe experience, 44 keys) instead of one loud error here.
+
+    Opt-in: set ``SPARK_GRAFT_VALIDATE_MEASURES=1`` (tools/driver_sim.py
+    sets it) — the check costs one limit-pushed scan per measure table
+    per process, which the hot bench path should not pay every run."""
+    cols = list(MEASURE_COLUMNS.get(name, ()))
+    if not cols:
+        return
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    cols = [c for c in cols if c in df.columns]
+    if not cols:
+        return
+    n = sample_rows or _VALIDATE_SAMPLE_ROWS
+    sample = df.select(*cols).limit(n)
+    viol = sample.select(
+        *[
+            F.count_if(
+                F.col(c).isNotNull()
+                & (
+                    F.isnan(F.col(c))
+                    | (F.abs(F.col(c)) == F.lit(float("inf")))
+                    | (F.round(F.col(c), 2) != F.col(c))
+                )
+            ).alias(c)
+            for c in cols
+        ]
+    ).first()
+    bad = {c: viol[c] for c in cols if viol[c]}
+    if bad:
+        raise ValueError(
+            f"{name} at {sf_dir} violates the measure contract "
+            f"(finite-or-NULL, 2-dp quantum) on sampled rows: {bad} — "
+            "quantize at ingest (ingest.quantize_measures) before loading; "
+            "sub-quantum/NaN measures are out of the parity contract "
+            "(ARCHITECTURE §23)"
+        )
+
+
+def _maybe_validate(
+    spark: SparkSession, sf_dir: str, name: str, path: str, mtime: float
+) -> None:
+    if os.environ.get("SPARK_GRAFT_VALIDATE_MEASURES", "") != "1":
+        return
+    key = (path, mtime)
+    if key in _VALIDATED or name not in MEASURE_COLUMNS:
+        return
+    validate_measure_contract(spark, sf_dir, name)
+    _VALIDATED.add(key)
+
+
 _RUNTIME_CONFS = {
     # Drift armor, NOT dead conf: the fixture's events.ts encoding has
     # flipped between TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across
@@ -112,6 +197,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, name, mtime)
     df = _SCAN_CACHE.get(key)
     if df is None:
+        _maybe_validate(spark, sf_dir, name, path, mtime)
         df = spark.read.parquet(path)
         if name == "events":
             df = _normalize_events_ts(df)

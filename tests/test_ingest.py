@@ -5,6 +5,8 @@ from __future__ import annotations
 import os
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mapreduce_server_spark.sources import ingest
@@ -162,3 +164,42 @@ def test_quantize_measures_enforces_quantum(spark):
         F.col("m"), F.col("m").cast("decimal(18,2)").cast("double").alias("rt")
     ).collect()
     assert all(r.m == r.rt for r in back)
+
+
+def test_measure_contract_validation_at_load(spark, tmp_path, monkeypatch):
+    """Round-13 closure of the quantize_measures enforcement gap: the
+    load path VALIDATES the §23 contract (opt-in) so a sub-quantum or
+    NaN-bearing foreign corpus fails loudly at the first scan instead
+    of as dozens of oracle divergences (the ×0.1-probe failure mode)."""
+    import duckdb as _duck
+
+    from mapreduce_server_spark.sources import loader
+
+    # the committed fixture satisfies the contract on every measure table
+    for t in loader.MEASURE_COLUMNS:
+        loader.validate_measure_contract(spark, SF001, t)
+
+    # a drifted regeneration: sub-quantum quantities + one NaN price
+    bad = str(tmp_path / "badfix")
+    os.makedirs(bad)
+    _duck.connect().execute(
+        "COPY (SELECT * REPLACE (l_quantity * 0.001 AS l_quantity, "
+        "CASE WHEN l_orderkey = 1 THEN 'nan'::DOUBLE ELSE l_extendedprice "
+        f"END AS l_extendedprice) FROM read_parquet('{SF001}/lineitem.parquet')"
+        f" LIMIT 2000) TO '{os.path.join(bad, 'lineitem.parquet')}'"
+        " (FORMAT PARQUET)"
+    )
+    with pytest.raises(ValueError, match="measure contract"):
+        loader.validate_measure_contract(spark, bad, "lineitem")
+
+    # wiring: load_table enforces it only when opted in (bench stays hot)
+    monkeypatch.delenv("SPARK_GRAFT_VALIDATE_MEASURES", raising=False)
+    loader.load_table(spark, bad, "lineitem")  # no opt-in → no check
+    monkeypatch.setenv("SPARK_GRAFT_VALIDATE_MEASURES", "1")
+    loader._SCAN_CACHE.clear()
+    with pytest.raises(ValueError, match="l_quantity"):
+        loader.load_table(spark, bad, "lineitem")
+    # and the committed fixture still loads under the opt-in
+    loader.load_table(spark, SF001, "lineitem")
+    loader._VALIDATED.clear()
+    loader._SCAN_CACHE.clear()

@@ -60,6 +60,47 @@ def test_gc_stale_removes_old_unowned_keeps_young_and_owned():
             shutil.rmtree(p, ignore_errors=True)
 
 
+def test_touch_on_reuse_keeps_live_dirs_younger_than_ttl():
+    """Round-13 ADVICE: a dir written once and re-READ hours later must
+    not go stale under a live process. owned() re-touches an existing
+    path on every registration, so after re-registration even an
+    UNOWNED sweep (another process's perspective) sees it as young."""
+    scratch.gc_stale()  # consume the once-per-process implicit sweep
+    p = os.path.join(scratch.SCRATCH, "gctest_keepalive")
+    os.makedirs(p, exist_ok=True)
+    old = time.time() - 2 * scratch.ttl_seconds()
+    os.utime(p, (old, old))
+    try:
+        assert scratch.owned(p) == p  # reuse → re-touch
+        assert time.time() - os.path.getmtime(p) < 60
+        scratch.disown(p)  # now only the refreshed mtime protects it
+        removed = scratch.gc_stale(force=True)
+        assert os.path.isdir(p) and p not in removed
+    finally:
+        scratch.disown(p)
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def test_bucketed_fast_path_retouches_table_files(spark):
+    """join_bucketed's catalog-hit fast path must refresh the table
+    FILES' mtime (the round-13 ADVICE scenario: catalog entry lives in
+    memory, files on disk — a sibling's TTL sweep must never classify
+    them as crashed-app residue while this process can still scan
+    them)."""
+    from mapreduce_server_spark.registry import REGISTRY
+
+    REGISTRY["join_bucketed"].raw_fn(spark, SF0001)  # creates the tables
+    tag = os.path.basename(SF0001.rstrip("/")).replace(".", "_")
+    path = os.path.join(
+        scratch.SCRATCH, "bucketed", f"mrss_orders_b_{tag}_p{os.getpid()}"
+    )
+    assert os.path.isdir(path), "bucketed table files missing"
+    old = time.time() - 2 * scratch.ttl_seconds()
+    os.utime(path, (old, old))
+    REGISTRY["join_bucketed"].raw_fn(spark, SF0001)  # catalog-hit fast path
+    assert time.time() - os.path.getmtime(path) < 60
+
+
 def test_owned_registers_and_disown_unregisters(tmp_path):
     p = str(tmp_path / "ownme")
     assert scratch.owned(p) == os.path.abspath(p)

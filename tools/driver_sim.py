@@ -15,6 +15,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
+# The verification surface also enforces the measure contract at load
+# (round-13: a sub-quantum/NaN corpus fails loudly at the first scan
+# instead of as dozens of oracle divergences).
+os.environ.setdefault("SPARK_GRAFT_VALIDATE_MEASURES", "1")
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
