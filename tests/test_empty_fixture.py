@@ -313,6 +313,14 @@ def build_fixture(dest: str, mode: str, src_dir: str = SF0001) -> None:
             #   docs (5,6):  sa=4, sb=5, common=3 → J = 3/6  = 0.5 AT 0.5
             #   docs (7,8):  sa=3, sb=4, common=2 → J = 2/5  = 0.4 between
             #   docs (9,10): sa=4, sb=5, common=2 → J = 2/7 ≈ .286 below
+            #   docs (11,12): 11 tokens, last replaced → sa=sb=9,
+            #     common=8 → J = 8/10 = 0.8 AT the minhash-verify cut,
+            #     AND (round-13 mutation audit M13) the pair's 16
+            #     md5('mh…') minhash signatures collide in band 0 under
+            #     the committed salt while the counterfactual 'mx' salt
+            #     collides in NO band — so the pair's presence proves
+            #     the BANDING stage found it (a salt/banding bug cannot
+            #     pass vacuously; searched deterministically, trial 5).
             if t == "documents":
                 q = (
                     "SELECT doc_id::BIGINT AS doc_id, text, lang, source,"
@@ -326,8 +334,54 @@ def build_fixture(dest: str, mode: str, src_dir: str = SF0001) -> None:
                     "(7, 'dx1 dc1 dc2 dc3 dc4', 'en', 'src0'), "
                     "(8, 'dc1 dc2 dc3 dc4 dy1 dy2', 'en', 'src0'), "
                     "(9, 'ex1 ex2 ec1 ec2 ec3 ec4', 'en', 'src0'), "
-                    "(10, 'ec1 ec2 ec3 ec4 ey1 ey2 ey3', 'en', 'src0')"
+                    "(10, 'ec1 ec2 ec3 ec4 ey1 ey2 ey3', 'en', 'src0'), "
+                    "(11, 'm5w0 m5w1 m5w2 m5w3 m5w4 m5w5 m5w6 m5w7 m5w8"
+                    " m5w9 m5w10', 'en', 'src0'), "
+                    "(12, 'm5w0 m5w1 m5w2 m5w3 m5w4 m5w5 m5w6 m5w7 m5w8"
+                    " m5w9 m5z', 'en', 'src0')"
                     ") AS v(doc_id, text, lang, source)"
+                )
+            else:
+                q = f"SELECT * FROM read_parquet('{src}')"
+        elif mode == "calendar":
+            # Calendar-edge axis (round-13 probe, the STATUS queue's
+            # last time candidate): events.ts remapped onto four 48 h
+            # windows straddling (0) the 2024 LEAP DAY, (1) the
+            # 2023→2024 year boundary, (2) the non-leap 2023 Feb 28 →
+            # Mar 1 edge, and (3) the leap-year 2024→2025 year
+            # boundary. Probes date_trunc/year/month/quarter/dayofweek
+            # arithmetic where proleptic-Gregorian engines could
+            # disagree on day-count vs calendar-field logic. Expected
+            # 0-divergent (both engines are field-based); the axis pins
+            # that expectation.
+            if t == "events":
+                q = (
+                    "SELECT * REPLACE (("
+                    "CASE event_id % 4"
+                    " WHEN 0 THEN TIMESTAMP '2024-02-28 12:00:00'"
+                    " WHEN 1 THEN TIMESTAMP '2023-12-30 12:00:00'"
+                    " WHEN 2 THEN TIMESTAMP '2023-02-27 12:00:00'"
+                    " ELSE TIMESTAMP '2024-12-30 12:00:00' END"
+                    " + INTERVAL (epoch(ts)::BIGINT % 172800) SECOND)"
+                    f" AS ts) FROM read_parquet('{src}')"
+                )
+            else:
+                q = f"SELECT * FROM read_parquet('{src}')"
+        elif mode == "vecscale":
+            # Non-unit-norm embedding axis (round-13 mutation audit
+            # M12): the committed embeddings corpus is unit-normalized
+            # to ~1e-7, so a dropped/broken cosine NORMALIZATION is
+            # output-identical at 6 dp on every other fixture — the
+            # similarity tier passed vacuously on that bug class. Scale
+            # each vector by an exact small integer (2 + vec_id % 4 ∈
+            # {2..5}; float32 × small int is exactly representable, no
+            # rounding), making norms heterogeneous so cosine ≠ dot and
+            # any operator that skips or botches normalization diverges.
+            if t == "embeddings":
+                q = (
+                    "SELECT vec_id, list_transform(embedding, x -> "
+                    "(x * (2 + vec_id % 4))::FLOAT) AS embedding, label "
+                    f"FROM read_parquet('{src}')"
                 )
             else:
                 q = f"SELECT * FROM read_parquet('{src}')"
@@ -676,4 +730,24 @@ def test_every_oracle_survives_fractional_measures(spark, xfrac_dir):
     floor(x + 0.5) half-up idiom on both engines (scalar_math,
     ml_auc/calibration/kfold_cv/isotonic, sample_weighted)."""
     bad = _sweep(spark, xfrac_dir)
+    assert not bad, bad
+
+
+@pytest.fixture(scope="module")
+def vecscale_dir():
+    d = tempfile.mkdtemp(prefix="vecscalefix_")
+    build_fixture(d, "vecscale")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_every_oracle_survives_nonunit_embeddings(spark, vecscale_dir):
+    """Nineteenth axis (round-13 mutation audit): embeddings scaled by
+    exact per-row integers {2..5} so the corpus is NOT unit-normalized.
+    The committed corpus has ‖v‖ ∈ [1−1e-7, 1+1e-7], which made every
+    cosine NORMALIZATION bug output-identical at 6 dp — mutation M12
+    (cosine → raw dot product) survived every fixture until this one.
+    Every similarity/ML/embedding key must still match its oracle when
+    norms are heterogeneous."""
+    bad = _sweep(spark, vecscale_dir)
     assert not bad, bad

@@ -214,6 +214,26 @@ def test_every_oracle_survives_dst_boundaries(spark, dst_dir):
 
 
 @pytest.fixture(scope="module")
+def calendar_dir():
+    d = tempfile.mkdtemp(prefix="calfix_")
+    build_fixture(d, "calendar")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_every_oracle_survives_calendar_edges(spark, calendar_dir):
+    """Twentieth axis (round-13 probe): event timestamps straddling the
+    2024 leap day, the non-leap Feb 28 → Mar 1 edge, and both the
+    2023→2024 and leap-year 2024→2025 year boundaries. Both engines are
+    proleptic-Gregorian and the registry uses calendar-field functions
+    (year/month/quarter/date_trunc), so the expected yield was zero —
+    this sweep pins that adjudication the way the DST axis pinned
+    civil-time arithmetic (probe-before-build, STATUS round-12 queue)."""
+    bad = _sweep(spark, calendar_dir)
+    assert not bad, bad
+
+
+@pytest.fixture(scope="module")
 def jacedge_dir():
     d = tempfile.mkdtemp(prefix="jacedgefix_")
     build_fixture(d, "jacedge")
@@ -246,12 +266,12 @@ def test_jaccard_thresholds_do_not_straddle_engines(spark, jacedge_dir):
         )
 
     # boundary inclusion at 0.5: (1,2) J=2/4 and (5,6) J=3/6 are AT the
-    # cut and must be in; (7,8) J=0.4 must be out
+    # cut and must be in; (7,8) J=0.4 must be out; (11,12) J=0.8 above
     got = {
         (r["doc_a"], r["doc_b"])
         for r in REGISTRY["dedup_ngram_jaccard"].raw_fn(spark, jacedge_dir).collect()
     }
-    assert got == {(1, 2), (5, 6)}, got
+    assert got == {(1, 2), (5, 6), (11, 12)}, got
 
     # boundary inclusion at 0.3 (the levenshtein candidate block):
     # (3,4) J=3/10 is AT the cut and must be in; (9,10) J=2/7 out
@@ -260,7 +280,19 @@ def test_jaccard_thresholds_do_not_straddle_engines(spark, jacedge_dir):
         (r["doc_a"], r["doc_b"])
         for r in _jaccard_pairs(d, threshold=0.3).collect()
     }
-    assert cand == {(1, 2), (3, 4), (5, 6), (7, 8)}, cand
+    assert cand == {(1, 2), (3, 4), (5, 6), (7, 8), (11, 12)}, cand
+
+    # minhash banding pin (round-13 mutation audit M13): (11,12) sits
+    # AT the 0.8 verify cut (J = 8/10 exactly) and its signatures were
+    # SEARCHED to collide in a band under the committed 'mh' salt while
+    # colliding in NO band under a counterfactual salt — its presence
+    # proves the banding stage (not just the verify) found the pair, so
+    # an LSH salt/banding regression cannot pass as vacuous parity.
+    mh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in REGISTRY["dedup_minhash"].raw_fn(spark, jacedge_dir).collect()
+    }
+    assert mh.get((11, 12)) == 0.8, mh
 
 
 @pytest.fixture(scope="module")

@@ -1,8 +1,16 @@
 #!/usr/bin/env python
 """Scaling evidence: run the headline queries at every fixture scale
-factor and report per-query wall time plus the sf0.01→sf0.1 scaling
-exponent — the "would this survive 100×?" measurement the plan audit
+factor and report per-query wall time plus per-decade scaling
+exponents — the "would this survive 100×?" measurement the plan audit
 argues qualitatively. Writes SCALING.md.
+
+Round 13 adds the data-dominated decade: an sf1 corpus (10× sf0.1 —
+build once with ``python tools/build_sf1.py``) and a WATCHLIST of the
+keys whose cost is inherently pair- or window-shaped (dedup tier,
+cooccurrence, knn joins, full-corpus ts windows) — the ones a 100×
+scale-up would punish first. ``exp`` is log10(t_big/t_small) per
+decade: ≈1 scales linearly with data, <1 is still overhead-bound,
+>~1.1 is the red flag to chase.
 
 Method matches bench.py (median of 3 timed runs after 1 warm-up,
 collect() included, plan build excluded) so numbers are comparable.
@@ -10,6 +18,7 @@ collect() included, plan build excluded) so numbers are comparable.
 
 from __future__ import annotations
 
+import math
 import os
 import statistics
 import sys
@@ -18,11 +27,48 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+SF1_DIR = os.path.join(REPO, ".localdata", "sf1")
+
 SFS = [
     ("0.001", "/root/testdata/sf0.001"),
     ("0.01", "/root/testdata/sf0.01"),
     ("0.1", "/root/testdata/sf0.1"),
+    ("1", SF1_DIR),
 ]
+
+#: keys whose plans are pair-bounded or full-corpus-window shaped —
+#: the round-13 verdict's watch-list for super-linear growth. Measured
+#: at sf0.01/sf0.1/sf1 (the sf0.001 column adds nothing for these).
+WATCHLIST = [
+    "dedup_exact_hash",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
+    "dedup_levenshtein",
+    "dedup_simhash",
+    "dedup_components",
+    "cooccur_parts",
+    "rec_item_cosine",
+    "knn_join",
+    "knn_join_lsh",
+    "knn_ivf",
+    "text_tfidf",
+    "ts_acf_multi",
+    "ts_changepoint_binseg",
+    "ts_dtw",
+    "ts_mad_outliers",
+]
+
+
+def _median_time(fn, spark, sf_dir: str, runs: int = 3) -> float:
+    fn(spark, sf_dir).collect()  # warm-up (fills scan caches, JIT)
+    times = []
+    for _ in range(runs):
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.collect()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
 
 
 def main() -> int:
@@ -31,61 +77,99 @@ def main() -> int:
     from bench import HEADLINE
     from mapreduce_server_spark import REGISTRY
 
+    sfs = [(sf, d) for sf, d in SFS if os.path.isdir(d)]
+    have_sf1 = any(sf == "1" for sf, _ in sfs)
+    if not have_sf1:
+        print("NOTE: sf1 missing — run tools/build_sf1.py for the "
+              "data-dominated decade", file=sys.stderr)
+
     keys = list(HEADLINE)  # the exact bench-gate query set
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("scaling-report")
+        .config("spark.driver.memory", os.environ.get("MRSS_DRIVER_MEM", "8g"))
         .config("spark.sql.shuffle.partitions", cpus)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     results: dict[str, dict[str, float]] = {k: {} for k in keys}
-    for sf, sf_dir in SFS:
+    for sf, sf_dir in sfs:
         for k in keys:
-            fn = REGISTRY[k].raw_fn
-            df = fn(spark, sf_dir)
-            df.collect()  # warm-up (fills scan caches, JIT)
-            times = []
-            for _ in range(3):
-                df = fn(spark, sf_dir)
-                t0 = time.perf_counter()
-                df.collect()
-                times.append(time.perf_counter() - t0)
-            results[k][sf] = statistics.median(times)
+            results[k][sf] = _median_time(REGISTRY[k].raw_fn, spark, sf_dir)
             print(f"sf{sf} {k}: {results[k][sf]:.3f}s", flush=True)
 
+    watch: dict[str, dict[str, float]] = {k: {} for k in WATCHLIST}
+    for sf, sf_dir in sfs:
+        if sf == "0.001":
+            continue
+        for k in WATCHLIST:
+            watch[k][sf] = _median_time(REGISTRY[k].raw_fn, spark, sf_dir)
+            print(f"sf{sf} {k}: {watch[k][sf]:.3f}s", flush=True)
+
+    def exp(r: dict, lo: str, hi: str) -> float:
+        if lo in r and hi in r and r[lo] > 0:
+            return math.log10(r[hi] / r[lo])
+        return float("nan")
+
     lines = [
-        "# SCALING — headline queries across fixture scale factors "
+        "# SCALING — headline + watch-list queries across scale factors "
         "(generated)",
         "",
         f"`python tools/scaling_report.py` on local[{cpus}]; median of 3",
-        "runs after warm-up, collect() included. `exp` is the empirical",
-        "scaling exponent log10(t_sf0.1 / t_sf0.01) — 1.0 means linear in",
-        "data size, < 1 means fixed overheads still dominate at sf0.1,",
-        "> 1 flags super-linear growth (the 100 TB red flag).",
+        "runs after warm-up, collect() included. `exp01` is the empirical",
+        "per-decade exponent log10(t_sf0.1/t_sf0.01); `exp1` the same for",
+        "sf0.1→sf1 (the data-dominated decade — sf1 is 10 re-keyed stamped",
+        "copies of sf0.1, built by tools/build_sf1.py). 1.0 = linear in",
+        "data, < 1 = overhead-bound, > ~1.1 = super-linear (the 100 TB",
+        "red flag to chase).",
         "",
-        "| query | sf0.001 s | sf0.01 s | sf0.1 s | exp |",
-        "| --- | --- | --- | --- | --- |",
+        "## Headline (bench-gate) queries",
+        "",
+        "| query | sf0.001 s | sf0.01 s | sf0.1 s | sf1 s | exp01 | exp1 |",
+        "| --- | --- | --- | --- | --- | --- | --- |",
     ]
-    import math
-
     worst = 0.0
     for k in keys:
         r = results[k]
-        exp = math.log10(r["0.1"] / r["0.01"]) if r["0.01"] > 0 else float("nan")
-        worst = max(worst, exp)
+        e01, e1 = exp(r, "0.01", "0.1"), exp(r, "0.1", "1")
+        if not math.isnan(e1):
+            worst = max(worst, e1)
         lines.append(
-            f"| {k} | {r['0.001']:.3f} | {r['0.01']:.3f} | {r['0.1']:.3f} "
-            f"| {exp:.2f} |"
+            f"| {k} | {r.get('0.001', float('nan')):.3f} | {r['0.01']:.3f} "
+            f"| {r['0.1']:.3f} | "
+            + (f"{r['1']:.3f}" if "1" in r else "—")
+            + f" | {e01:.2f} | "
+            + (f"{e1:.2f}" if not math.isnan(e1) else "—")
+            + " |"
         )
+
     lines += [
         "",
-        f"Worst exponent this run: **{worst:.2f}** (sub-linear ⇒ runtime",
-        "is still overhead-bound at sf0.1; anything approaching ~1 scales",
-        "with data as expected, and anything well past 1 would be a",
-        "scale hazard to fix).",
+        "## Watch-list (pair-tier / full-corpus-window keys)",
+        "",
+        "| query | sf0.01 s | sf0.1 s | sf1 s | exp1 |",
+        "| --- | --- | --- | --- | --- |",
+    ]
+    for k in WATCHLIST:
+        r = watch[k]
+        e1 = exp(r, "0.1", "1")
+        if not math.isnan(e1):
+            worst = max(worst, e1)
+        lines.append(
+            f"| {k} | {r['0.01']:.3f} | {r['0.1']:.3f} | "
+            + (f"{r['1']:.3f}" if "1" in r else "—")
+            + " | "
+            + (f"{e1:.2f}" if not math.isnan(e1) else "—")
+            + " |"
+        )
+
+    lines += [
+        "",
+        f"Worst sf0.1→sf1 exponent this run: **{worst:.2f}**"
+        if have_sf1
+        else "Worst exponent this run: n/a (sf1 corpus missing)",
         "",
     ]
     out = os.path.join(REPO, "SCALING.md")
