@@ -17,18 +17,33 @@ The dimension tables region/nation keep TPC-H semantics (fixed
 cardinality) and are copied verbatim; FK columns into them
 (c_nationkey, s_nationkey) are NOT re-keyed.
 
-Documents get a per-copy text tag (``c{i} `` prefix, n_chars adjusted):
-without it every doc would have 10 cross-copy EXACT duplicates, turning
-the corpus duplicate-heavy — shingle buckets would hold 10× members and
-the dedup pair tier would go quadratic by CONSTRUCTION, not by data
-growth, distorting exactly the exponents this corpus exists to measure
-(the dup-heavy regime has its own committed axis). Embedding vectors
-are copied verbatim (duplicate vectors are legal corpus content and
-knn output stays well-defined through vec_id tiebreaks).
+Documents get a per-copy tag appended to EVERY token (``word`` →
+``wordc{i}``, n_chars recomputed): copies must be textually DISJOINT at
+the shingle level, or every doc has 10 cross-copy near-duplicates, all
+shingle buckets hold 10× members, and the dedup pair tier goes
+quadratic by CONSTRUCTION, not by data growth — distorting exactly the
+exponents this corpus exists to measure (a first cut tagged only a
+prefix token; the unchanged interior shingles still collided and the
+DuckDB oracle ground for >30 min on the 100× candidate set). The
+per-copy token spaces keep within-copy structure isomorphic to sf0.1,
+so dedup/tfidf/wordcount results are exactly 10 stamped copies of the
+sf0.1 results.
 
-Writes to .localdata/sf1 (gitignored — ~170 MB of derived parquet is
-not repo content; rebuild is one command, ~30 s). Not under .scratch:
-the TTL GC would reap it between sessions.
+Embeddings are the one table the PARITY corpus does NOT scale: the
+similarity tier's DuckDB oracles are inherently all-pairs in ANSI SQL
+(``a JOIN b ON a.vec_id < b.vec_id`` + per-pair 64-dim list folds —
+there is no SQL-expressible sublinear replay), so ×10 vectors make the
+ORACLE evaluate 200M interpreted pairs (>30 min on ONE key, measured)
+while the Spark side stays BLAS-blocked and fast — the sf1 gate would
+be timing DuckDB's nested-loop join, not this engine. sf1 therefore
+keeps embeddings verbatim (2k rows), and a sibling corpus ``sf1emb``
+(embeddings ×10 = 20k with re-keyed vec_ids; every other table a copy
+of sf1's) exists for SPARK-SIDE scaling measurement of the knn
+watch-list in tools/scaling_report.py, where no oracle runs.
+
+Writes to .localdata/sf1 and .localdata/sf1emb (gitignored — ~360 MB
+of derived parquet is not repo content; rebuild is one command,
+~60 s). Not under .scratch: the TTL GC would reap it between sessions.
 
 Usage: python tools/build_sf1.py [dest_dir]
 """
@@ -67,16 +82,22 @@ def build(dest: str = DEFAULT_DEST, copies: int = 10, src: str = SRC) -> str:
     con = duckdb.connect()
     for t, keys in REKEY.items():
         path = os.path.join(src, f"{t}.parquet")
-        if not keys:  # fixed-cardinality dimension: verbatim
+        if not keys or t == "embeddings":
+            # dimensions: fixed cardinality; embeddings: oracle-
+            # tractability (module docstring) — scaled copy in sf1emb
             q = f"SELECT * FROM read_parquet('{path}')"
         else:
             repl = [f"({k} + i * {OFFSET}) AS {k}" for k in keys]
             if t == "documents":
-                # per-copy tag keeps copies from being cross-copy
-                # exact/near duplicates (see module docstring)
+                # per-copy token spaces keep copies shingle-disjoint
+                # (see module docstring); NULL text propagates NULL
+                tagged = (
+                    "regexp_replace(text, '([a-z0-9]+)', "
+                    "'\\1c' || i::VARCHAR, 'g')"
+                )
                 repl += [
-                    "('c' || i || ' ' || text) AS text",
-                    "(n_chars + length('c' || i || ' ')) AS n_chars",
+                    f"{tagged} AS text",
+                    f"length({tagged})::BIGINT AS n_chars",
                 ]
             q = (
                 f"SELECT * REPLACE ({', '.join(repl)}) "
@@ -86,6 +107,26 @@ def build(dest: str = DEFAULT_DEST, copies: int = 10, src: str = SRC) -> str:
         con.execute(f"COPY ({q}) TO '{out}' (FORMAT PARQUET)")
         n = con.execute(f"SELECT count(*) FROM read_parquet('{out}')").fetchone()[0]
         print(f"{t}: {n} rows", flush=True)
+
+    # sibling SPARK-SIDE-only corpus: embeddings ×copies, rest = sf1
+    emb_dest = dest.rstrip("/") + "emb"
+    os.makedirs(emb_dest, exist_ok=True)
+    for t in REKEY:
+        if t == "embeddings":
+            continue
+        link = os.path.join(emb_dest, f"{t}.parquet")
+        if os.path.lexists(link):
+            os.remove(link)
+        os.symlink(os.path.join(dest, f"{t}.parquet"), link)
+    q = (
+        f"SELECT * REPLACE ((vec_id + i * {OFFSET}) AS vec_id) "
+        f"FROM read_parquet('{os.path.join(src, 'embeddings.parquet')}'), "
+        f"range({copies}) AS r(i)"
+    )
+    out = os.path.join(emb_dest, "embeddings.parquet")
+    con.execute(f"COPY ({q}) TO '{out}' (FORMAT PARQUET)")
+    n = con.execute(f"SELECT count(*) FROM read_parquet('{out}')").fetchone()[0]
+    print(f"sf1emb embeddings: {n} rows", flush=True)
     con.close()
     return dest
 

@@ -21,6 +21,25 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 os.environ.setdefault("SPARK_GRAFT_VALIDATE_MEASURES", "1")
 
 
+def _ensure_map_headroom() -> None:
+    """DuckDB 1.0's windowed/grouped aggregates over ~10^5+ partitions
+    retain tens of thousands of allocator mappings, and the distro
+    default vm.max_map_count=65530 then kills the oracle run mid-sweep
+    with a 'bad allocation' OOM at ~6 GB RSS on a 128 GB host (found by
+    the round-13 sf1 run: 84 keys poisoned from ml_naive_bayes onward;
+    with headroom the same sweep peaks at ~1.7k maps). Best-effort
+    raise — harmless if already high; silently skipped if unwritable
+    (then cap DuckDB threads and run heavy oracles in fresh
+    connections instead)."""
+    try:
+        path = "/proc/sys/vm/max_map_count"
+        if int(open(path).read()) < 262144:
+            with open(path, "w") as f:
+                f.write("262144")
+    except OSError:
+        pass
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -49,12 +68,23 @@ def main() -> int:
     assert len(rows) > 0, "entry() smoke failed"
     print(f"entry(): {len(rows)} rows OK")
 
+    _ensure_map_headroom()
     con = duckdb.connect()
+    # spillable oracle: an in-memory DuckDB cannot offload without a
+    # temp dir, and sf1-size window/list aggregates need one
+    from mapreduce_server_spark.scratch import SCRATCH, owned
+
+    spill = owned(os.path.join(SCRATCH, f"duck_spill_p{os.getpid()}"))
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    import time as _time
+
+    verbose = os.environ.get("MRSS_VERBOSE", "") == "1"
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
     bad, rows_only = [], []
     for i, (key, fn) in enumerate(queries.items()):
@@ -62,6 +92,7 @@ def main() -> int:
             # bound cached-block accumulation across the sweep; each
             # query's correctness is independent of cache residency
             spark.catalog.clearCache()
+        t0 = _time.perf_counter()
         try:
             df = fn(spark, sf_dir)
             sql = oracles.get(key)
@@ -70,8 +101,14 @@ def main() -> int:
             else:
                 assert_parity(df, con, sql, key=key)
                 assert_fetch_dtypes(df, con, sql, key=key)
+            if verbose:
+                print(f"[{i}] {key}: ok {_time.perf_counter() - t0:.1f}s",
+                      flush=True)
         except Exception as exc:  # noqa: BLE001 - report, don't abort
             bad.append((key, str(exc)[:200]))
+            if verbose:
+                print(f"[{i}] {key}: BAD {_time.perf_counter() - t0:.1f}s",
+                      flush=True)
 
     print(f"rows-only ({len(rows_only)}): {rows_only}")
     if bad:
