@@ -823,13 +823,28 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_ohlc",
     category="E.window",
     oracle="""
+-- open/close = value at the lexicographic (ts, event_id) min/max.
+-- Spelled arg_min/arg_max over a HUGEINT composite key rather than
+-- min(STRUCT): DuckDB 1.0's struct min/max aggregate is super-linear
+-- in group count and ignores memory_limit (~1M groups at sf1 ground
+-- >10 min and ballooned past 60 GB RSS before the kernel OOM-killed
+-- the sweep; this spelling finishes in ~7 s). Equivalent because
+-- event_id is a non-null unique key (ingest contract) < 1e12, so
+-- epoch_us*1e12 + event_id orders exactly like (ts, event_id) and the
+-- struct's v field never participates in the comparison. The {'v': x}
+-- wrapper keeps a NULL value at the winning row (bare arg_min SKIPS
+-- NULL args; Spark's struct-min preserves them).
 SELECT user_id,
        epoch_us(date_trunc('hour', ts::TIMESTAMP)) // 1000000 AS hour_s,
        count(*) AS n,
-       (min({'ts': ts, 'id': event_id, 'v': value::DOUBLE})).v AS open_v,
+       (arg_min({'v': value::DOUBLE},
+                epoch_us(ts::TIMESTAMP)::HUGEINT * 1000000000000 + event_id)).v
+         AS open_v,
        max(value) AS high_v,
        min(value) AS low_v,
-       (max({'ts': ts, 'id': event_id, 'v': value::DOUBLE})).v AS close_v
+       (arg_max({'v': value::DOUBLE},
+                epoch_us(ts::TIMESTAMP)::HUGEINT * 1000000000000 + event_id)).v
+         AS close_v
 FROM events
 GROUP BY 1, 2
 """,

@@ -1948,8 +1948,15 @@ b AS (
 SELECT user_id, bkt,
        count(*) AS n,
        min(x) AS t_first, max(x) AS t_last,
-       (min({'x': x, 'id': event_id, 'y': y})).y AS first_v,
-       (max({'x': x, 'id': event_id, 'y': y})).y AS last_v,
+       -- arg_min/arg_max over a HUGEINT composite key, not min(STRUCT):
+       -- DuckDB 1.0's struct min/max aggregate is super-linear in group
+       -- count (this key was the 205 s outlier of the sf1 sweep; its
+       -- sibling ts_ohlc OOM-killed the host). event_id is a non-null
+       -- unique key < 1e12, so x*1e12 + event_id orders exactly like
+       -- (x, event_id); the {'v': y} wrapper keeps a NULL y at the
+       -- winning row (bare arg_min skips NULL args).
+       (arg_min({'v': y}, x::HUGEINT * 1000000000000 + event_id)).v AS first_v,
+       (arg_max({'v': y}, x::HUGEINT * 1000000000000 + event_id)).v AS last_v,
        min(y) AS min_v, max(y) AS max_v
 FROM b GROUP BY 1, 2
 """,

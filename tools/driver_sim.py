@@ -77,6 +77,16 @@ def main() -> int:
     spill = owned(os.path.join(SCRATCH, f"duck_spill_p{os.getpid()}"))
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET temp_directory='{spill}'")
+    # Defense-in-depth: DuckDB's default memory_limit is ~80% of
+    # physical RAM, so a runaway oracle starves the host before it
+    # ever spills. NOTE this cap is NOT sufficient for every operator:
+    # DuckDB 1.0's min(STRUCT) aggregate state bypasses the buffer
+    # manager (observed round 13: ts_ohlc at sf1 OOM-killed the sweep
+    # at 118 GB RSS uncapped AND at 63 GB+ with this 32 GB cap) — such
+    # oracles must be rewritten in a scalable spelling instead
+    # (ARCHITECTURE §24 "struct-min cliff"; ts_ohlc/ts_m4 now use
+    # arg_min over a hugeint composite key).
+    con.execute(f"SET memory_limit='{os.environ.get('MRSS_DUCK_MEM', '32GB')}'")
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -86,8 +96,19 @@ def main() -> int:
 
     verbose = os.environ.get("MRSS_VERBOSE", "") == "1"
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    # Targeted-rerun knob: skip ahead to a key (inclusive) so a fix for
+    # a late-sweep failure can be validated in minutes instead of
+    # replaying the full 75-minute sf1 sweep. A run that uses this is a
+    # TAIL validation only — the recorded gate is always a full pass.
+    skip_until = os.environ.get("MRSS_SKIP_UNTIL", "")
     bad, rows_only = [], []
+    started = not skip_until
     for i, (key, fn) in enumerate(queries.items()):
+        if not started:
+            if key == skip_until:
+                started = True
+            else:
+                continue
         if i and i % 40 == 0:
             # bound cached-block accumulation across the sweep; each
             # query's correctness is independent of cache residency
