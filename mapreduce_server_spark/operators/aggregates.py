@@ -21,16 +21,22 @@ from ..registry import query
 from ..sources.loader import Tables
 
 Q1_ORACLE = """
+-- The two product sums go ::VARCHAR::DOUBLE: their scale-4/6 decimals
+-- pass 2^53 UNSCALED at sf1 group totals (~4e10 actual), where
+-- DuckDB's direct decimal->double cast double-rounds 1 ulp off while
+-- Spark's BigDecimal cast is correctly rounded — the q9 adjudication
+-- (ARCHITECTURE §22), which the round-13 sf1 sweep caught biting q1's
+-- sum_charge. The scale-2 sums stay direct (headroom to ~9e13 actual).
 SELECT
   l_returnflag,
   l_linestatus,
   sum(l_quantity)::DOUBLE                         AS sum_qty,
   sum(l_extendedprice::DECIMAL(18,2))::DOUBLE     AS sum_base_price,
   sum(l_extendedprice::DECIMAL(18,2)
-      * (1 - l_discount)::DECIMAL(8,2))::DOUBLE   AS sum_disc_price,
+      * (1 - l_discount)::DECIMAL(8,2))::VARCHAR::DOUBLE AS sum_disc_price,
   sum(l_extendedprice::DECIMAL(18,2)
       * (1 - l_discount)::DECIMAL(8,2)
-      * (1 + l_tax)::DECIMAL(8,2))::DOUBLE        AS sum_charge,
+      * (1 + l_tax)::DECIMAL(8,2))::VARCHAR::DOUBLE      AS sum_charge,
   sum(l_quantity)::DOUBLE / count(*)              AS avg_qty,
   sum(l_extendedprice::DECIMAL(18,2))::DOUBLE
       / count(*)                                  AS avg_price,

@@ -2180,10 +2180,18 @@ t AS (
   FROM g
 )
 SELECT k::BIGINT AS k, nt AS n,
-       round(t_between - st::DOUBLE * st / nt, 6) AS ss_between,
-       round(qt - t_between, 6) AS ss_within,
-       round(((t_between - st::DOUBLE * st / nt) * (nt - k))
-             / ((qt - t_between) * (k - 1)), 6) AS f_stat
+       -- UNROUNDED: every operand here is bit-identical across engines
+       -- (integer sums + one ordered fold), so the outputs match
+       -- exactly — while round(x, 6) is itself an engine-DIVERGENT op
+       -- near a 6-dp tie (Spark rounds the shortest decimal rendering,
+       -- DuckDB the binary value). The round-13 sf1 sweep hit exactly
+       -- that: ss_within landed ~5e-7 from a tie and the engines split
+       -- .599999 / .600000. Rounding identical doubles adds risk and
+       -- removes none.
+       t_between - st::DOUBLE * st / nt AS ss_between,
+       qt - t_between AS ss_within,
+       ((t_between - st::DOUBLE * st / nt) * (nt - k))
+             / ((qt - t_between) * (k - 1)) AS f_stat
 FROM t
 """,
 )
@@ -2235,14 +2243,15 @@ def stat_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         k.alias("k"),
         nt.alias("n"),
-        F.round(ssb, 6).alias("ss_between"),
-        F.round(ssw, 6).alias("ss_within"),
+        # unrounded — see the oracle comment: identical operands make
+        # the outputs exact, and round() near a 6-dp tie is the one
+        # engine-divergent op in the plan (round-13 sf1 find)
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
         # try_divide: constant values (SSW = 0) or a single group
         # (k = 1) zero the denominator — ANSI `/` throws, DuckDB
         # yields NULL (constant-fixture audit)
-        F.round(F.try_divide(ssb * (nt - k), ssw * (k - 1)), 6).alias(
-            "f_stat"
-        ),
+        F.try_divide(ssb * (nt - k), ssw * (k - 1)).alias("f_stat"),
     )
 
 
@@ -2869,17 +2878,26 @@ c AS (
   FROM g WINDOW w AS (ORDER BY v)
 ),
 s AS (
+  -- ::VARCHAR::DOUBLE on the leaf-sum casts (q9 adjudication: DuckDB's
+  -- direct decimal->double cast is 1 ulp off past 2^53 unscaled) and
+  -- NO 6-dp round: at sf1 the score reaches ~1.7e16, where ulp > 1e-6
+  -- makes rounding a mathematical no-op yet DuckDB's
+  -- multiply-round-divide implementation drifts 1 ulp off Spark's
+  -- exact BigDecimal route (round-13 sf1 find). The operands are
+  -- bit-identical across engines, so the unrounded outputs match
+  -- exactly at every magnitude.
   SELECT c.v AS threshold, c.nl, t.n - c.nl AS nr,
          c.sl, t.s - c.sl AS sr,
-         round(c.sl::DOUBLE * c.sl / c.nl
-               + (t.s - c.sl)::DOUBLE * (t.s - c.sl) / (t.n - c.nl), 6)
+         c.sl::VARCHAR::DOUBLE * c.sl::VARCHAR::DOUBLE / c.nl
+               + (t.s - c.sl)::VARCHAR::DOUBLE
+                 * (t.s - c.sl)::VARCHAR::DOUBLE / (t.n - c.nl)
            AS score
   FROM c CROSS JOIN tot t
   WHERE c.nl < t.n
 )
 SELECT threshold, nl::BIGINT AS n_left, nr::BIGINT AS n_right,
-       round(sl::DOUBLE / nl, 6) AS mean_left,
-       round(sr::DOUBLE / nr, 6) AS mean_right,
+       sl::VARCHAR::DOUBLE / nl AS mean_left,
+       sr::VARCHAR::DOUBLE / nr AS mean_right,
        score
 FROM s
 QUALIFY row_number() OVER (ORDER BY score DESC, threshold) = 1
@@ -2895,8 +2913,10 @@ def ml_regression_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the argmax — no squared-target moments needed at all).
 
     The leaf sums are EXACT DECIMAL(18,2); the score is the identical
-    double op sequence both engines, 6-dp-rounded before the argmax,
-    ties to the smaller threshold. Same histogram-then-running-window
+    double op sequence both engines (correctly-rounded casts of exact
+    sums — UNROUNDED, since rounding identical doubles only adds
+    engine-divergence risk; round-13 sf1 find), ties to the smaller
+    threshold. Same histogram-then-running-window
     shape as the classifier stump: the feature has 50 distinct values,
     so everything after the first aggregate is ~50 rows. NULL contract
     (round-11 axis): a threshold split cannot route a NULL feature —
@@ -2919,15 +2939,17 @@ def ml_regression_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     nl, sl = F.col("nl"), F.col("sl")
     nr = F.col("n") - nl
     sr = F.col("s") - sl
-    score = F.round(
-        sl.cast("double") * sl / nl + sr.cast("double") * sr / nr, 6
-    )
+    # unrounded — see the oracle comment: identical correctly-rounded
+    # casts + identical op order make these bit-exact across engines;
+    # round(x, 6) at score magnitudes (~1.7e16 at sf1) is where the
+    # engines' rounding implementations drift a ulp apart
+    score = sl.cast("double") * sl / nl + sr.cast("double") * sr / nr
     s = j.select(
         F.col("v").alias("threshold"),
         nl.alias("n_left"),
         nr.alias("n_right"),
-        F.round(sl.cast("double") / nl, 6).alias("mean_left"),
-        F.round(sr.cast("double") / nr, 6).alias("mean_right"),
+        (sl.cast("double") / nl).alias("mean_left"),
+        (sr.cast("double") / nr).alias("mean_right"),
         score.alias("score"),
     )
     wbest = Window.orderBy(F.col("score").desc(), "threshold")

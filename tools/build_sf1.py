@@ -99,8 +99,13 @@ def build(dest: str = DEFAULT_DEST, copies: int = 10, src: str = SRC) -> str:
                     f"{tagged} AS text",
                     f"length({tagged})::BIGINT AS n_chars",
                 ]
+            # EXCLUDE (i): without it, SELECT * carries the range()
+            # copy index into the output parquet as a real column —
+            # the round-13 sweep caught it as a sketch_countmin binder
+            # error ("ambiguous column i") plus three value mismatches
+            # on queries whose Spark side enumerates table columns.
             q = (
-                f"SELECT * REPLACE ({', '.join(repl)}) "
+                f"SELECT * EXCLUDE (i) REPLACE ({', '.join(repl)}) "
                 f"FROM read_parquet('{path}'), range({copies}) AS r(i)"
             )
         out = os.path.join(dest, f"{t}.parquet")
@@ -119,7 +124,7 @@ def build(dest: str = DEFAULT_DEST, copies: int = 10, src: str = SRC) -> str:
             os.remove(link)
         os.symlink(os.path.join(dest, f"{t}.parquet"), link)
     q = (
-        f"SELECT * REPLACE ((vec_id + i * {OFFSET}) AS vec_id) "
+        f"SELECT * EXCLUDE (i) REPLACE ((vec_id + i * {OFFSET}) AS vec_id) "
         f"FROM read_parquet('{os.path.join(src, 'embeddings.parquet')}'), "
         f"range({copies}) AS r(i)"
     )
