@@ -82,10 +82,7 @@ def _median_time(fn, spark, sf_dir: str, runs: int = 3) -> float:
 
 
 def main() -> int:
-    from pyspark.sql import SparkSession
-
     from bench import HEADLINE
-    from mapreduce_server_spark import REGISTRY
 
     sfs = [(sf, d) for sf, d in SFS if os.path.isdir(d)]
     have_sf1 = any(sf == "1" for sf, _ in sfs)
@@ -95,19 +92,70 @@ def main() -> int:
 
     keys = list(HEADLINE)  # the exact bench-gate query set
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("scaling-report")
-        .config("spark.driver.memory", os.environ.get("MRSS_DRIVER_MEM", "8g"))
-        .config("spark.sql.shuffle.partitions", cpus)
-        .getOrCreate()
+
+    # ONE SUBPROCESS (FRESH JVM) PER KEY-MEASUREMENT — methodology
+    # note. A long-lived session accumulates executor state across the
+    # ~60 (key × sf) measurements, and at sf1 that state changed the
+    # observed cost: round 13 measured dedup_minhash's verify join at
+    # 44 s/run in a fresh process but >15 min (sort-heavy) inside the
+    # long session — twice, at the same sweep position; clearing
+    # DataFrame caches did not help, and spark.stop()+getOrCreate()
+    # reuses the same JVM via the py4j gateway, so in-process session
+    # recycling still carried the contamination. A fresh process per
+    # key also matches how a user actually runs one query, which is
+    # what a per-query scaling exponent claims to measure. Startup
+    # (~10 s × ~63 measurements) is excluded: the child times only
+    # collect(), exactly _median_time.
+    import subprocess
+
+    # the child re-implements _median_time inline (tools/ is not a
+    # package, so it can't import this module by name)
+    child_src = (
+        "import sys, json, time, statistics\n"
+        "sys.path.insert(0, sys.argv[3])\n"
+        "from pyspark.sql import SparkSession\n"
+        "from mapreduce_server_spark import REGISTRY\n"
+        "spark = (SparkSession.builder.master(sys.argv[4])\n"
+        "         .appName('scaling-report-child')\n"
+        "         .config('spark.driver.memory', sys.argv[5])\n"
+        "         .config('spark.sql.shuffle.partitions', sys.argv[6])\n"
+        "         .getOrCreate())\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "fn = REGISTRY[sys.argv[1]].raw_fn\n"
+        "fn(spark, sys.argv[2]).collect()\n"  # warm-up (scan caches, JIT)
+        "times = []\n"
+        "for _ in range(3):\n"
+        "    df = fn(spark, sys.argv[2])\n"
+        "    t0 = time.perf_counter()\n"
+        "    df.collect()\n"
+        "    times.append(time.perf_counter() - t0)\n"
+        "print('RESULT ' + json.dumps(statistics.median(times)), flush=True)\n"
+        "spark.stop()\n"
     )
-    spark.sparkContext.setLogLevel("ERROR")
+
+    def measure(k, sf_dir):
+        out = subprocess.run(
+            [
+                sys.executable, "-c", child_src, k, sf_dir, REPO,
+                f"local[{cpus}]",
+                os.environ.get("MRSS_DRIVER_MEM", "16g"), str(cpus),
+            ],
+            capture_output=True, text=True, timeout=3600,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT "):
+                import json
+
+                return json.loads(line[len("RESULT "):])
+        raise RuntimeError(
+            f"measure({k}, {sf_dir}) produced no RESULT: "
+            f"{out.stdout[-500:]} {out.stderr[-500:]}"
+        )
 
     results: dict[str, dict[str, float]] = {k: {} for k in keys}
     for sf, sf_dir in sfs:
         for k in keys:
-            results[k][sf] = _median_time(REGISTRY[k].raw_fn, spark, sf_dir)
+            results[k][sf] = measure(k, sf_dir)
             print(f"sf{sf} {k}: {results[k][sf]:.3f}s", flush=True)
 
     watch: dict[str, dict[str, float]] = {k: {} for k in WATCHLIST}
@@ -120,7 +168,7 @@ def main() -> int:
                 if not os.path.isdir(SF1EMB_DIR):
                     continue
                 d = SF1EMB_DIR  # embeddings ×10 (Spark-side only)
-            watch[k][sf] = _median_time(REGISTRY[k].raw_fn, spark, d)
+            watch[k][sf] = measure(k, d)
             print(f"sf{sf} {k}: {watch[k][sf]:.3f}s", flush=True)
 
     def exp(r: dict, lo: str, hi: str) -> float:
