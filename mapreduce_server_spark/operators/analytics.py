@@ -36,24 +36,41 @@ HAVING count(*) >= 2
 def cooccur_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item co-occurrence (market-basket pairs): parts appearing in the
     same order, counted across orders — the canonical "pairs" MapReduce
-    workload (emit (a,b) per basket → shuffle → count). As one plan the
-    self-join happens AFTER the distinct projection collapses each order
-    to its part set, and both join sides shuffle on l_orderkey (the
-    basket key), so pair blowup is per-basket local — never a global
-    crossJoin. At 100 TB the hazard is basket skew (one giant order →
-    |basket|² pairs in one task); the mitigation is capping/salting huge
-    baskets or switching to the "stripes" form (per-part neighbor maps)
-    before the shuffle. At fixture scale AQE broadcasts one distinct side
-    (PLANS.md); past the broadcast threshold the same plan becomes a
-    sort-merge join whose two sides reuse the ONE shuffle of `op`
-    (ReusedExchange), so the self-join never pays twice."""
+    workload (emit (a,b) per basket → shuffle → count).
+
+    Round-13 optimization (guide §2.4 "remove shuffles outright"): the
+    round-12 form was distinct → self-join on l_orderkey → pair count,
+    three exchanges of the interaction stream. This is the BASKET form:
+    one groupBy(l_orderkey) with a map-side-combined collect_set folds
+    the distinct AND the join into a single exchange, and the (a<b)
+    pairs are generated basket-locally from the sorted part array by a
+    JVM higher-order transform — 3 Exchanges → 2 and the interaction
+    stream crosses the network once instead of twice
+    (plans/r13/cooccur_parts_{before,after}.txt). Pair blowup stays
+    per-basket local (|basket|² inside one task) exactly as the
+    self-join form's ok-partition did; at 100 TB the skew hazard and
+    its mitigations (cap/salt giant baskets, or the full "stripes"
+    per-part neighbor maps) are unchanged."""
     li = Tables(spark, sf_dir).lineitem
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("parts"),
+                    i + F.lit(2),
+                    F.greatest(F.size(F.col("parts")) - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["l_orderkey"])
-        .where(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= 2)
@@ -1254,22 +1271,47 @@ def rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     above "both just popular" pairs. All inputs are INTEGER counts;
     one sqrt + one division at the end — exact at 6 dp.
 
-    Plan: the pair counts reuse the cooccur_parts basket-local
-    self-join (pair blowup bounded per order, never global) and the
-    per-item counts are a |parts|-row dimension joined in BROADCAST —
-    two small hash joins after the one heavy shuffle. At 100 TB the
-    per-item table still broadcasts (items ≪ interactions)."""
+    Plan (round-13 optimization, guide §2.4 — mirrors cooccur_parts):
+    the pair counts come from the BASKET form — one map-side-combined
+    groupBy(l_orderkey).collect_set exchange, pairs generated
+    basket-locally by a JVM transform (pair blowup bounded per order,
+    never global) — and the per-item counts are a |parts|-row dimension
+    joined in BROADCAST. The round-12 self-join form shuffled the
+    interaction stream twice (distinct + join); this crosses once. At
+    100 TB the per-item table still broadcasts (items ≪ interactions).
+    """
     li = Tables(spark, sf_dir).lineitem
-    # op feeds 3 logical copies (both self-join sides + item counts) and
-    # ic feeds 2 — cache both or each copy re-plans the whole subtree
-    # (ReuseExchange does not dedupe logical duplicates, ARCHITECTURE §13)
-    op = li.select("l_orderkey", "l_partkey").distinct().cache()
-    ic = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c")).cache()
-    a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    # baskets feeds 2 logical copies (pair generation + item counts) —
+    # cache it or each copy re-plans the whole subtree (ReuseExchange
+    # does not dedupe logical duplicates, ARCHITECTURE §13); ic feeds 2
+    # (both cosine denominator sides)
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .cache()
+    )
+    ic = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("parts"),
+                    i + F.lit(2),
+                    F.greatest(F.size(F.col("parts")) - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
     pc = (
-        a.join(b, ["l_orderkey"])
-        .where(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
         .where(F.col("n_both") >= 2)

@@ -64,16 +64,38 @@ WHERE rn = 1
 """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup, deterministic min-doc_id survivor (the window form —
-    ``dropDuplicates`` keeps an arbitrary row and would flake the hash
-    gate; SURVEY §2.J). Emits the surviving row + its duplicate count."""
+    """Exact dedup, deterministic min-doc_id survivor. Emits the
+    surviving row + its duplicate count.
+
+    Round-13 optimization (guide §2.3 "aggregate before you shuffle"):
+    the survivor is a lexicographic STRUCT-min inside an ordinary
+    aggregate keyed on text — doc_id leads the struct and is unique, so
+    min(struct) IS the min-doc_id row (the ts_ohlc discipline). The
+    previous window form (row_number + count over PARTITION BY text)
+    shuffled EVERY document row and sorted each partition; the
+    aggregate form partial-aggregates map-side, so the Exchange moves
+    one row per DISTINCT text per map partition — on a duplicate-heavy
+    corpus (the north-star workload) the shuffle shrinks by the
+    duplication factor, and the two window passes disappear
+    (plans/r13/dedup_exact_{before,after}.txt: Exchange of all rows +
+    Sort + Window×2 → partial SortAggregate + Exchange of survivors +
+    final SortAggregate). ``dropDuplicates`` would keep an arbitrary
+    row and flake the hash gate (SURVEY §2.J); min(struct) keeps it
+    deterministic. NULL texts still form exactly one group (groupBy
+    and PARTITION BY agree on NULL equality)."""
     d = Tables(spark, sf_dir).documents
-    w = Window.partitionBy("text").orderBy("doc_id")
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("text")))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "n_chars", "n_copies")
+        d.groupBy("text")
+        .agg(
+            F.min(F.struct("doc_id", "lang", "n_chars")).alias("s"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            F.col("s.doc_id").alias("doc_id"),
+            F.col("s.lang").alias("lang"),
+            F.col("s.n_chars").alias("n_chars"),
+            "n_copies",
+        )
     )
 
 
@@ -629,12 +651,27 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _jaccard_pairs(d, threshold=0.3).select("doc_a", "doc_b")
     ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
-    lev = F.levenshtein("text_a", "text_b")
+    # Round-13 optimization (guide §1.2 "per-task work"): the verify is
+    # the BOUNDED levenshtein (Spark 3.5+ three-arg form) with the
+    # per-pair threshold k = max_len div 5 — the banded DP costs
+    # O(k·len) instead of O(len²) and abandons early, and the distance
+    # is computed ONCE in a projected column instead of twice (the old
+    # `where(lev*5 <= max_len)` pushed an UNBOUNDED levenshtein into
+    # the join condition and re-evaluated it in the output projection —
+    # plans/r13/dedup_levenshtein_{before,after}.txt). Equivalence is
+    # exact integer math: dist ≤ max_len div 5 ⟺ 5·dist ≤ max_len
+    # (dist integral), and the 3-arg form returns -1 iff dist exceeds
+    # the bound, else the true distance.
+    lev_k = F.expr(
+        "levenshtein(text_a, text_b,"
+        " greatest(length(text_a), length(text_b)) div 5)"
+    )
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .where(lev * 5 <= F.greatest(F.length("text_a"), F.length("text_b")))
-        .select("doc_a", "doc_b", lev.cast("long").alias("edit_dist"))
+        .withColumn("lev_k", lev_k)
+        .where(F.col("lev_k") != -1)
+        .select("doc_a", "doc_b", F.col("lev_k").cast("long").alias("edit_dist"))
     )
 
 

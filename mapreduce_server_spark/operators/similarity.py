@@ -1580,22 +1580,48 @@ MMR_CAND = 10  # relevance candidates entering the greedy stage
 MMR_LAMBDA = 0.5  # relevance vs diversity trade-off
 
 
+def _round6(x: float) -> float:
+    """Driver-side replica of Spark's ``round(double, 6)``: Java
+    ``BigDecimal.valueOf(x)`` parses ``Double.toString(x)`` — the
+    shortest decimal rendering, which is exactly Python ``repr`` — then
+    ``setScale(6, HALF_UP)`` (ties away from zero). Using Python's
+    builtin ``round`` here would be WRONG twice over (banker's
+    rounding, and on the binary value rather than the shortest decimal
+    rendering)."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("1E-6"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 @query("knn_mmr", category="J.sim", oracle=_mmr_oracle())
 def knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance — DIVERSIFIED top-k retrieval, the
     standard RAG re-rank step after any ANN ladder rung: from the
     top-10 cosine candidates, greedily pick 5 maximizing
     λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) (λ = 0.5), so near-duplicate
-    passages can't crowd the context window. The greedy recursion has
-    fixed depth (k is a literal), so it UNROLLS into 4 declarative
-    selection rounds over broadcast-size frames — candidate scoring
-    (the distributed part) runs once; everything after operates on ≤10
-    rows and at 100 TB is unchanged while candidate generation flips
-    to knn_lsh/knn_ivf. Determinism is the argmax recipe: rel and all
-    pairwise sims pin to 6 dp, every argmax orders by (rounded score
-    DESC, vec_id). Oracle: the same unrolling, one CTE per pick,
-    generated by ``_mmr_oracle`` so both engines share the k/λ
-    literals by construction."""
+    passages can't crowd the context window. Candidate scoring and the
+    pairwise sim matrix (the distributed parts) run in Spark; the
+    greedy recursion then operates on ≤10 candidate rows and ≤90 sim
+    rows, so it runs DRIVER-SIDE over two K-bounded collects — the
+    sample_kcenter/Gonzalez precedent. Round 13 (optimization): the
+    previous declarative unroll planned 4 selection rounds of joins/
+    aggregations over ≤10-row frames — ~40 Exchanges and a hundred-odd
+    scheduled tasks of pure orchestration overhead at ANY scale, since
+    the frames never grow with the corpus (noop-sink full recompute
+    4.0 s → see OPTIMIZATION_r13.md; plans/r13/knn_mmr_*.txt). At
+    100 TB only candidate generation changes (flips to knn_lsh/
+    knn_ivf); the greedy stage stays O(K·CAND) driver work.
+    Determinism is the argmax recipe: rel and all pairwise sims pin to
+    6 dp IN SPARK (collected values are the engine's own), every
+    argmax orders by (score DESC, vec_id), and the driver-side
+    round-6 of the mmr score replicates Spark's ROUND_HALF_UP over the
+    shortest-decimal rendering exactly (``_round6``). Oracle: the same
+    unrolling, one CTE per pick, generated by ``_mmr_oracle`` so both
+    engines share the k/λ literals by construction."""
     e = Tables(spark, sf_dir).embeddings
     qv = _query_vector(spark, sf_dir)
     if qv is None:  # no query row → every oracle CTE empties
@@ -1609,7 +1635,7 @@ def knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", rel.alias("rel"))
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(MMR_CAND)
-        .cache()  # feeds pairs + every selection round
+        .cache()  # feeds the pair scoring + the candidate fetch
     )
     a, b = cand.alias("a"), cand.alias("b")
     pairs = (
@@ -1621,41 +1647,37 @@ def knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cosine(F.col("a.embedding"), F.col("b.embedding")), 6
             ).alias("sim"),
         )
-        .cache()
     )
-    selected = (
-        cand.orderBy(F.desc("rel"), F.asc("vec_id"))
-        .limit(1)
-        .select(
-            "vec_id", "rel", F.lit(1).cast("long").alias("pick"),
-            F.col("rel").alias("mmr"),
-        )
-    )
+    # K-bounded driver fetch (≤ MMR_CAND and ≤ MMR_CAND² rows by
+    # construction — lint-pinned in COLLECT_ALLOWLIST): the greedy
+    # argmax recursion runs on these engine-computed 6-dp scores.
+    cand_rows = [
+        (r["vec_id"], r["rel"]) for r in cand.select("vec_id", "rel").collect()
+    ]
+    sim = {(r["ai"], r["bi"]): r["sim"] for r in pairs.collect()}
+    cand_rows.sort(key=lambda t: (-t[1], t[0]))  # (rel DESC, vec_id)
+    rel_of = dict(cand_rows)
+    out: list[tuple[int, int, float, float]] = []
+    if cand_rows:
+        first = cand_rows[0]
+        out.append((1, first[0], first[1], first[1]))
     for i in range(2, MMR_K + 1):
-        sel_ids = selected.select(F.col("vec_id").alias("sid"))
-        maxsim = (
-            pairs.join(F.broadcast(sel_ids), pairs.bi == F.col("sid"))
-            .groupBy("ai")
-            .agg(F.max("sim").alias("ms"))
-        )
-        pick = (
-            cand.join(selected.select("vec_id"), "vec_id", "left_anti")
-            .join(maxsim, cand.vec_id == maxsim.ai)
-            .select(
-                "vec_id",
-                "rel",
-                F.lit(i).cast("long").alias("pick"),
-                F.round(
-                    F.lit(MMR_LAMBDA) * F.col("rel")
-                    - F.lit(1 - MMR_LAMBDA) * F.col("ms"),
-                    6,
-                ).alias("mmr"),
-            )
-            .orderBy(F.desc("mmr"), F.asc("vec_id"))
-            .limit(1)
-        )
-        selected = selected.unionByName(pick)
-    return selected.select("pick", "vec_id", "rel", "mmr")
+        chosen = {v for _, v, _, _ in out}
+        best: tuple[float, int] | None = None
+        for c, rc in cand_rows:
+            if c in chosen:
+                continue
+            ms = max(sim[(c, s)] for s in chosen)
+            mmr = _round6(MMR_LAMBDA * rc - (1 - MMR_LAMBDA) * ms)
+            # argmax by (mmr DESC, vec_id ASC) — the engine's orderBy
+            if best is None or (-mmr, c) < (-best[0], best[1]):
+                best = (mmr, c)
+        if best is None:
+            break
+        out.append((i, best[1], rel_of[best[1]], best[0]))
+    return spark.createDataFrame(
+        out, "pick bigint, vec_id bigint, rel double, mmr double"
+    )
 
 
 # --- hybrid retrieval: reciprocal-rank fusion of lexical + semantic lists

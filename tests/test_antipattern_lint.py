@@ -33,7 +33,11 @@ COLLECT_ALLOWLIST = {
     "serving/scheduler.py": 1,  # serving layer: materializes registered views
     "serving/matview.py": 2,  # matview refresh: distinct key lists (bounded)
     "streaming/twins.py": 1,  # foreachBatch sink for the streaming twin tests
-    "operators/similarity.py": 1,  # IVF quantizer: capped 10k training sample
+    # IVF quantizer: capped 10k training sample; knn_mmr greedy stage:
+    # two K-bounded fetches (≤ MMR_CAND and ≤ MMR_CAND² rows by
+    # construction — the Gonzalez/kcenter precedent, round-13 rewrite
+    # of the 40-Exchange declarative unroll)
+    "operators/similarity.py": 3,
     "operators/quality.py": 1,  # 1-row scalar agg (corpus total)
     # k-center selection: seed fetch + K-1 argmax rounds, each a 1-row
     # TakeOrderedAndProject collect (Gonzalez traversal; cached per sf_dir)
@@ -114,7 +118,10 @@ CACHE_ALLOWLIST = {
     "operators/analytics.py": 6,  # per-item/basket count frames, both join sides
     "operators/curation.py": 2,  # one tokenize pass feeds admission + stats
     "operators/graph.py": 5,  # edge/degree frames reused across triangle/PR branches
-    "operators/similarity.py": 4,  # signatures/centroids feed probe + verify sides
+    # signatures/centroids feed probe + verify sides (knn_mmr's pair
+    # cache dropped in round 13: single consumer after the greedy
+    # stage moved driver-side)
+    "operators/similarity.py": 3,
     "operators/stats_ml.py": 37,  # feature histograms feed root + leaf split search (ML-tier shape)
     "operators/text.py": 4,  # token/posting frames feed tf + df branches
 }
