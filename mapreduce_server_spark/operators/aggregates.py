@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import davg, dsum
 from ..registry import query
-from ..sources.loader import Tables
+from ..sources.loader import Tables, fan_out_scan
 
 Q1_ORACLE = """
 -- The two product sums go ::VARCHAR::DOUBLE: their scale-4/6 decimals
@@ -773,7 +773,11 @@ def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 = the same single-shuffle topk as topk_global. No driver-side
     loops; d and w are compile-time literals."""
     D, W = 4, 512
-    li = Tables(spark, sf_dir).lineitem.select("l_partkey")
+    # round-13: fan out the single-row-group scan before the 4-row md5
+    # explode (guide §2.5; counts-only states — partitioning-invariant)
+    li = fan_out_scan(
+        Tables(spark, sf_dir).lineitem.select("l_partkey"), spark
+    )
 
     def bucket(i: F.Column | int, key: F.Column) -> F.Column:
         istr = F.lit(str(i)) if isinstance(i, int) else i.cast("string")

@@ -20,6 +20,52 @@ from ..registry import query
 from ..sources.loader import Tables
 
 
+def _baskets(li: DataFrame) -> DataFrame:
+    """Per-order DISTINCT part set as a sorted array — the shared input
+    of the co-occurrence family (round-13, guide §2.4): one map-side-
+    combined groupBy(l_orderkey).collect_set exchange replaces the
+    previous distinct-projection + self-join-on-l_orderkey shape, so
+    the interaction stream crosses the network once instead of twice.
+    collect_set dedupes within the order exactly like the old DISTINCT
+    projection; sort_array pins a deterministic element order for the
+    pair generators below."""
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+
+
+def _basket_pair_expr(directed: bool):
+    """Basket-local pair generation as a JVM higher-order transform over
+    the sorted `parts` array: undirected (a < b, ascending-slice form)
+    or directed (every ordered pair with x ≠ y). Pair blowup stays
+    |basket|²-local inside one task — the identical skew envelope the
+    ok-partitioned self-join had; cap/salt giant baskets at 100 TB."""
+    parts = F.col("parts")
+    if directed:
+        return F.flatten(
+            F.transform(
+                parts,
+                lambda x: F.transform(
+                    F.filter(parts, lambda y: y != x),
+                    lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+                ),
+            )
+        )
+    return F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(
+                    parts,
+                    i + F.lit(2),
+                    F.greatest(F.size(parts) - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+
+
 @query(
     "cooccur_parts",
     category="D.agg",
@@ -52,24 +98,9 @@ def cooccur_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     its mitigations (cap/salt giant baskets, or the full "stripes"
     per-part neighbor maps) are unchanged."""
     li = Tables(spark, sf_dir).lineitem
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("parts"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("parts"),
-                    i + F.lit(2),
-                    F.greatest(F.size(F.col("parts")) - i - 1, F.lit(0)),
-                ),
-                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
-            ),
-        )
-    )
     return (
-        baskets.select(F.explode(pair_expr).alias("p"))
+        _baskets(li)
+        .select(F.explode(_basket_pair_expr(directed=False)).alias("p"))
         .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
@@ -1153,14 +1184,21 @@ def rec_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-aggregated pair relation (bounded single-partition sort,
     the topk_global discipline)."""
     li = Tables(spark, sf_dir).lineitem
-    op = li.select("l_orderkey", "l_partkey").distinct().cache()
-    n = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
-    a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    # basket form (round-13, the cooccur_parts/_baskets discipline):
+    # one collect_set exchange feeds the basket count, the per-item
+    # counts AND the pair generation — the old distinct().cache() fed
+    # four copies and the pair side still self-joined (two passes over
+    # the interaction stream)
+    baskets = _baskets(li).cache()
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    item = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
     pair = (
-        a.join(b, ["l_orderkey"])
-        .where(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(_basket_pair_expr(directed=False)).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= 3)
@@ -1285,32 +1323,15 @@ def rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache it or each copy re-plans the whole subtree (ReuseExchange
     # does not dedupe logical duplicates, ARCHITECTURE §13); ic feeds 2
     # (both cosine denominator sides)
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
-        .cache()
-    )
+    baskets = _baskets(li).cache()
     ic = (
         baskets.select(F.explode("parts").alias("l_partkey"))
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("c"))
         .cache()
     )
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("parts"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("parts"),
-                    i + F.lit(2),
-                    F.greatest(F.size(F.col("parts")) - i - 1, F.lit(0)),
-                ),
-                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
-            ),
-        )
-    )
     pc = (
-        baskets.select(F.explode(pair_expr).alias("p"))
+        baskets.select(F.explode(_basket_pair_expr(directed=False)).alias("p"))
         .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
@@ -1363,17 +1384,18 @@ def rec_covisit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks its OWN neighbors; the truncating row_number window is
     partitioned per anchor part, so the rank sort is per-part local and
     the output is |parts|×3 however big the corpus is. Same basket-local
-    join discipline as cooccur_parts: the self-join shuffles on the
-    basket key, pair blowup is per-order, and skewed mega-baskets are
-    the thing to cap/salt at 100 TB. Counts are integers; ties break on
-    the smaller partkey — fully deterministic, no floats anywhere."""
+    discipline as cooccur_parts (round-13: the basket form — one
+    map-side-combined collect_set exchange, DIRECTED pairs generated
+    basket-locally by a JVM transform — replaced the distinct +
+    self-join, which shuffled the interaction stream twice); skewed
+    mega-baskets remain the thing to cap/salt at 100 TB. Counts are
+    integers; ties break on the smaller partkey — fully deterministic,
+    no floats anywhere."""
     li = Tables(spark, sf_dir).lineitem
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part"))
-    b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("rec"))
     pairs = (
-        a.join(b, ["l_orderkey"])
-        .where(F.col("part") != F.col("rec"))
+        _baskets(li)
+        .select(F.explode(_basket_pair_expr(directed=True)).alias("p"))
+        .select(F.col("p.part_a").alias("part"), F.col("p.part_b").alias("rec"))
         .groupBy("part", "rec")
         .agg(F.count(F.lit(1)).alias("n"))
     )

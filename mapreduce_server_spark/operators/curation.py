@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.loader import Tables
+from ..sources.loader import Tables, fan_out_scan
 
 
 def hash_bucket(key: F.Column) -> F.Column:
@@ -709,7 +709,10 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale_patterns import _md5_int
     from .text import tokens
 
-    d = Tables(spark, sf_dir).documents
+    # round-13: fan out the single-row-group scan before the bigram
+    # hashing pass (guide §2.5; per-(doc,bucket) counts and an
+    # explicitly bucket-ordered fold — partitioning-invariant)
+    d = fan_out_scan(Tables(spark, sf_dir).documents, spark)
     idx = F.sequence(F.lit(1), F.size(F.col("t")) - 1)
     bigrams = F.transform(
         idx,

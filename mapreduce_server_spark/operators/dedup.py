@@ -46,8 +46,24 @@ def _nonnull_docs(d: DataFrame) -> DataFrame:
     """The NON-NULL document stream the shingle/minhash tier consumes
     (round-11 NULL-text axis). Applied exactly once per operator, at
     the top, so every use of the frame shares one filtered scan
-    subtree (ReuseExchange needs canonical-equal subtrees)."""
-    return d.where(F.col("text").isNotNull())
+    subtree (ReuseExchange needs canonical-equal subtrees).
+
+    Round-13 optimization (guide §2.5 unsplittable input): the stream
+    is fanned out across the session's cores before the shingle
+    explode — the committed fixtures are single-row-group parquet, so
+    without this every dedup operator's explode+hash map stage
+    (16 md5/posting in minhash, 3-gram shingling everywhere) ran as
+    ONE task (measured: minhash signature pass 6.1 → 1.0 s at sf0.1).
+    No-op on any corpus that already splits to ≥ the default
+    parallelism. Sound for every consumer: the tier's aggregation
+    states are partition-order-free (counts, integer bit votes,
+    min-hash/struct mins) — audited per operator in
+    OPTIMIZATION_r13.md. Living INSIDE the canonical helper keeps the
+    repartitioned subtree canonical-equal across each operator's
+    branches, preserving scan/exchange reuse."""
+    from ..sources.loader import fan_out_scan
+
+    return fan_out_scan(d.where(F.col("text").isNotNull()), d.sparkSession)
 
 
 @query(
@@ -654,14 +670,16 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-13 optimization (guide §1.2 "per-task work"): the verify is
     # the BOUNDED levenshtein (Spark 3.5+ three-arg form) with the
     # per-pair threshold k = max_len div 5 — the banded DP costs
-    # O(k·len) instead of O(len²) and abandons early, and the distance
-    # is computed ONCE in a projected column instead of twice (the old
-    # `where(lev*5 <= max_len)` pushed an UNBOUNDED levenshtein into
-    # the join condition and re-evaluated it in the output projection —
-    # plans/r13/dedup_levenshtein_{before,after}.txt). Equivalence is
-    # exact integer math: dist ≤ max_len div 5 ⟺ 5·dist ≤ max_len
-    # (dist integral), and the 3-arg form returns -1 iff dist exceeds
-    # the bound, else the true distance.
+    # O(k·len) instead of O(len²) and abandons early. The old form ran
+    # the UNBOUNDED DP on every blocked candidate inside the join
+    # condition and again (unbounded) in the output projection; Catalyst
+    # still pushes this filter into the join condition, so the plan
+    # keeps two evaluation sites — but both are now bounded, and the
+    # projection's re-evaluation only runs for the ~10⁻³ of candidates
+    # that survive (plans/r13/dedup_levenshtein_{before,after}.txt).
+    # Equivalence is exact integer math: dist ≤ max_len div 5 ⟺
+    # 5·dist ≤ max_len (dist integral), and the 3-arg form returns -1
+    # iff dist exceeds the bound, else the true distance.
     lev_k = F.expr(
         "levenshtein(text_a, text_b,"
         " greatest(length(text_a), length(text_b)) div 5)"

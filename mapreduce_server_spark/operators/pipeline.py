@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.loader import Tables
+from ..sources.loader import Tables, fan_out_scan
 
 
 @query(
@@ -323,7 +323,12 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     _jaccard_pairs NULL note), mirrored in the oracle."""
     from .dedup import _shingles
 
-    d = Tables(spark, sf_dir).documents.where(F.col("text").isNotNull())
+    # round-13: fan out the single-row-group scan before the 8-gram
+    # explode (guide §2.5; hit counts only — partitioning-invariant)
+    d = fan_out_scan(
+        Tables(spark, sf_dir).documents.where(F.col("text").isNotNull()),
+        spark,
+    )
     bench = (
         d.filter(F.col("doc_id") < 10)
         .select(F.explode(_shingles(k=8)).alias("sh"))

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum
 from ..registry import query
-from ..sources.loader import Tables
+from ..sources.loader import Tables, fan_out_scan
 
 # --------------------------------------------------------------------------
 # B. filters / projections
@@ -607,7 +607,9 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = Tables(spark, sf_dir)
     S = 8
-    orders_salted = t.orders.withColumn(
+    # round-13: fan out the build side before the ×8 salt explode
+    # (guide §2.5; count + exact decimal sum — partitioning-invariant)
+    orders_salted = fan_out_scan(t.orders, spark).withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
     )
     li_salted = t.lineitem.withColumn(

@@ -1226,12 +1226,17 @@ def knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle for the approximate join (the approximation is in which
     pairs exist, pinned by the same bucketing both sides)."""
     e = Tables(spark, sf_dir).embeddings
+    # b feeds BOTH self-join sides (two logical copies → the 32
+    # plane-dot bucket expression would run twice; ReuseExchange does
+    # not dedupe logical duplicates, ARCHITECTURE §13) — cache the
+    # tiny (n·T)-row bucket frame (round-13, measured ~2 s/pass at
+    # sf0.1)
     b = e.select(
         "vec_id",
         F.posexplode(F.array(*_join_bucket_exprs(F.col("embedding")))).alias(
             "tbl", "bucket"
         ),
-    )
+    ).cache()
     x = b.select("vec_id", "tbl", "bucket")
     y = b.select(F.col("vec_id").alias("nbr_id"), "tbl", "bucket")
     cand = (

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.loader import Tables
+from ..sources.loader import Tables, fan_out_scan
 
 @query(
     "stat_linreg",
@@ -221,12 +221,31 @@ _KM_DIM = 64
 
 def _sq_dist(e: Column, c: Column) -> Column:
     """Left-fold squared L2 over dimension order — deterministic, and
-    identical to the oracle's list_reduce(list_prepend(0.0, …)) fold."""
-    return F.aggregate(
+    identical to the oracle's list_reduce(list_prepend(0.0, …)) fold.
+
+    Round-13: size-guarded unrolled fast path at the fixture
+    dimensionality (the functions/vector.py dot/norm discipline —
+    higher-order functions are interpreted, not codegen'd; the unroll
+    performs the SAME double ops in the SAME order, starting from the
+    fold's literal 0.0 so even signed zeros match)."""
+    from ..functions.vector import FAST_DIM
+
+    def unrolled(dim: int) -> Column:
+        d0 = e.getItem(0) - c.getItem(0)
+        acc = F.lit(0.0) + d0 * d0
+        for i in range(1, dim):
+            di = e.getItem(i) - c.getItem(i)
+            acc = acc + di * di
+        return acc
+
+    fold = F.aggregate(
         F.zip_with(e, c, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda s, x: s + x,
     )
+    return F.when(
+        (F.size(e) == FAST_DIM) & (F.size(c) == FAST_DIM), unrolled(FAST_DIM)
+    ).otherwise(fold)
 
 
 def _km_assign(emb: DataFrame, cents_row: DataFrame) -> DataFrame:
@@ -1856,6 +1875,11 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     key."""
     from ..functions.vector import fsum
 
+    # round-13: fan_out_scan A/B'd and REJECTED here — the train token
+    # pass is cached (one fill), so the added exchange only delayed the
+    # cache fill (median 3.7 s vs 2.9 s without; the cost lives in the
+    # per-(doc,class) scoring join + ordered fold, which the fan-out
+    # cannot touch). See OPTIMIZATION_r13.md.
     d = Tables(spark, sf_dir).documents
     train = d.filter((F.col("doc_id") / 20).cast("long") % 2 == 0).select(
         "source", "text"
@@ -3939,10 +3963,15 @@ def stat_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer weights (exact) with ONE rounded double division; the
     across-replicate mean/variance then folds the 32 rounded means in
     REPLICATE order on both engines (fsum ≡ list(… ORDER BY rep) +
-    list_sum), so not even the 32-term sum is fold-order-lucky."""
+    list_sum), so not even the 32-term sum is fold-order-lucky.
+
+    Round-13 optimization: fan_out_scan before the ×32 weight
+    expansion — same single-row-group rationale and partition-order-
+    free-state audit as stat_permtest (weighted decimal sums + integer
+    weight sums; the across-replicate fold is replicate-ordered)."""
     from ..functions.vector import fsum
 
-    li = Tables(spark, sf_dir).lineitem
+    li = fan_out_scan(Tables(spark, sf_dir).lineitem, spark)
     base = li.select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
@@ -4803,8 +4832,16 @@ def stat_permtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     that keeps p valid. Group assignment is an md5 parity — exact on
     both engines; replicate mean gaps are decimal-sum ratios rounded
     6 dp before the ≥ comparison, so the accept/reject of every
-    replicate is reproducible bit-for-bit."""
-    li = Tables(spark, sf_dir).lineitem
+    replicate is reproducible bit-for-bit.
+
+    Round-13 optimization (guide §2.5 unsplittable input): the ×32
+    hash-replicate expansion (~19M md5+conv at sf0.1) ran inside the
+    single-task scan stage (single-row-group fixture), pinning it to
+    one core; fan_out_scan round-robins the narrow pre-expansion rows
+    across the session's cores first (no-op on any multi-split
+    corpus). Partition-order-free states only (decimal sums + counts),
+    so the result is partitioning-invariant."""
+    li = fan_out_scan(Tables(spark, sf_dir).lineitem, spark)
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     is_a = F.col("l_returnflag") == "R"
     obs = li.agg(

@@ -222,6 +222,34 @@ def load_table_fresh(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition for a scan whose FILE LAYOUT under-splits
+    the host — guide §2.5's "one huge unsplittable file ... repartition
+    immediately after the read" case. Every committed fixture parquet is
+    a SINGLE row group, so a parquet split can never parallelize it:
+    each table scans as exactly one task, and a map-expansion operator
+    (the ×32 hash-replicate in stat_permtest/stat_bootstrap — ~19M md5s
+    at sf0.1) runs single-threaded no matter how many cores the session
+    has.
+
+    Conditional by construction: a no-op whenever the scan already
+    splits to ≥ the session's default parallelism (any real multi-file
+    corpus — at 100 TB the scan has thousands of splits and this adds
+    ZERO plan nodes), so the extra exchange exists only where it buys
+    the cores back, and it moves the NARROW pre-expansion rows, never
+    the expanded stream.
+
+    Correctness envelope: round-robin repartitioning changes which
+    partition a row lands in, so callers must feed partition-order-FREE
+    aggregation states only (exact decimal/integer sums, counts,
+    min/max — the ARCHITECTURE §23 measure discipline). Raw double sums
+    would change fold order; do not route them through here."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 class Tables:
     """Attribute-style access to the fixture tables of one scale factor.
 

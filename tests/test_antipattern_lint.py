@@ -118,10 +118,11 @@ CACHE_ALLOWLIST = {
     "operators/analytics.py": 6,  # per-item/basket count frames, both join sides
     "operators/curation.py": 2,  # one tokenize pass feeds admission + stats
     "operators/graph.py": 5,  # edge/degree frames reused across triangle/PR branches
-    # signatures/centroids feed probe + verify sides (knn_mmr's pair
-    # cache dropped in round 13: single consumer after the greedy
-    # stage moved driver-side)
-    "operators/similarity.py": 3,
+    # signatures/centroids feed probe + verify sides (round 13: knn_mmr's
+    # pair cache dropped — single consumer after the greedy stage moved
+    # driver-side; knn_join_lsh's bucket frame cached — feeds both
+    # self-join sides)
+    "operators/similarity.py": 4,
     "operators/stats_ml.py": 37,  # feature histograms feed root + leaf split search (ML-tier shape)
     "operators/text.py": 4,  # token/posting frames feed tf + df branches
 }
