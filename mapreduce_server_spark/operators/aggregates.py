@@ -63,6 +63,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/numeric.py); l_quantity is integer-valued so its double sum
     is already exact.
     """
+    # round-13: fan_out_scan A/B'd and REJECTED here — the repartition's
+    # pre-shuffle sort + moving 7 columns of every row cost more than
+    # the single-task partial aggregate it parallelized (noop median
+    # 1.13 s with vs 0.87 s without at sf0.1); q1's map work is one
+    # cheap filter+project+decimal-agg pass, unlike the ×32
+    # hash-expansion operators where the fan-out pays 6-9×.
     li = Tables(spark, sf_dir).lineitem
     ep = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = (1 - F.col("l_discount")).cast("decimal(8,2)")

@@ -64,7 +64,7 @@ def stat_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle over lineitem; the closed-form arithmetic runs on |groups|
     rows. At 100 TB this is the cheapest possible regression: no
     iteration, no driver round-trip, map-side combine does ~all the work."""
-    li = Tables(spark, sf_dir).lineitem
+    li = fan_out_scan(Tables(spark, sf_dir).lineitem, spark)  # §2.5; exact decimal states
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2565,7 +2565,7 @@ def ml_ridge_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
     2×2 implicitly) and the convex-counterpart of ``ml_logreg_step``'s
     iterative path. Plan: map-side partial aggregate → 1-row result; no
     shuffle beyond the final 1-row merge."""
-    li = Tables(spark, sf_dir).lineitem
+    li = fan_out_scan(Tables(spark, sf_dir).lineitem, spark)  # §2.5; exact decimal states
     x1 = F.col("l_quantity")
     x2 = F.col("l_discount")
     y = F.col("l_extendedprice")
