@@ -710,9 +710,13 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import tokens
 
     # round-13: fan out the single-row-group scan before the bigram
-    # hashing pass (guide §2.5; per-(doc,bucket) counts and an
-    # explicitly bucket-ordered fold — partitioning-invariant)
-    d = fan_out_scan(Tables(spark, sf_dir).documents, spark)
+    # hashing pass ONLY (guide §2.5; per-(doc,bucket) counts and an
+    # explicitly bucket-ordered fold — partitioning-invariant). The
+    # final no-feature left join keeps the plain scan: fanning that
+    # trivial side too A/B'd ~10% slower (extra exchange, no map work
+    # to parallelize).
+    d0 = Tables(spark, sf_dir).documents
+    d = fan_out_scan(d0, spark)
     idx = F.sequence(F.lit(1), F.size(F.col("t")) - 1)
     bigrams = F.transform(
         idx,
@@ -801,7 +805,7 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        d.select("doc_id", "lang")
+        d0.select("doc_id", "lang")
         .join(pd, "doc_id", "left")
         .select(
             "doc_id",

@@ -933,8 +933,17 @@ def ml_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
-    test = e.filter(F.col("vec_id") % 2 == 1).select(
-        "vec_id", F.col("emb").alias("t_emb")
+    # round-13: fan out the single-row-group test scan (guide §2.5) —
+    # the broadcast join streams it, so ALL |test|·|train| sq-dists ran
+    # in one task; the (dist, nbr) window order is total and the vote
+    # counts are partition-free, so round-robin placement is safe. The
+    # map-side WindowGroupLimit then prunes each partition to k rows
+    # per vec_id BEFORE the window exchange.
+    test = fan_out_scan(
+        e.filter(F.col("vec_id") % 2 == 1).select(
+            "vec_id", F.col("emb").alias("t_emb")
+        ),
+        spark,
     )
     train = e.filter(
         (F.col("vec_id") % 2 == 0) & F.col("label").isNotNull()
@@ -5850,7 +5859,13 @@ def stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     SSB/SSW come from the grouped-sums identity (Σ n_g·z̄_g² − (Σz)²/n
     and total − between) with mirrored double ops and one rounded
     division. Two scans of lineitem (median pass + residual pass) — at
-    100 TB the value-level first pass is the whole cost."""
+    100 TB the value-level first pass is the whole cost.
+
+    Round-13: fan_out_scan A/B'd here and REJECTED (both full-width and
+    2-column-projected variants lost ~10-15%, 5 alternations) — the cost
+    is the flag-partitioned cumulative windows over the ~580k-row cents
+    histogram (prices are ~97% unique), which repartitioning the scan
+    cannot parallelize; the map passes it would parallelize are thin."""
     li = Tables(spark, sf_dir).lineitem
     v = li.groupBy(
         F.col("l_returnflag").alias("flag"),
