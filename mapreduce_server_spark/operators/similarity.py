@@ -94,7 +94,21 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in qv:
         acc += float(x) * float(x)
     q_norm = math.sqrt(acc)
-    sim = dot(F.col("embedding"), q) / (norm(F.col("embedding")) * F.lit(q_norm))
+    # round-13: this key deliberately keeps the INTERPRETED fold, not
+    # the FAST_DIM unrolled path (bit-identical either way). The
+    # serving path re-collects a memoized no-shuffle plan, and each
+    # execution regenerates the whole-stage source before the codegen
+    # cache lookup — for the ~130-term unrolled dot+norm that fixed
+    # cost exceeds the per-row win on a 2k-row scan (A/B med 0.14 s
+    # fold vs 0.23+ s unrolled, 3 alternations; r12 FULLBENCH 0.076 s
+    # fold vs r13's 0.126 s unrolled corroborates). The heavy
+    # million-pair consumers (ml_knn_label, knn_join_lsh...) keep the
+    # fast path where it pays 3-11x.
+    from ..functions.vector import _dot_fold, _norm_fold
+
+    sim = _dot_fold(F.col("embedding"), q) / (
+        _norm_fold(F.col("embedding")) * F.lit(q_norm)
+    )
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", F.round(sim, 6).alias("cos_sim"))
