@@ -27,6 +27,27 @@ _FRAME_CACHE: dict[tuple[str, str, str, float], DataFrame] = {}
 _FRAME_LOCK = threading.Lock()
 
 
+def clear_frame_cache() -> None:
+    """Unpersist and forget every memoized frame (all sessions).
+
+    Measurement hook (round-14, VERDICT r13 #2): an honest
+    full-recompute timing must pay each operator's cache FILL, so the
+    instrument clears the Spark cache catalog before every timed run —
+    but `spark.catalog.clearCache()` alone would leave these memoized
+    DataFrame handles pointing at now-unregistered plans, silently
+    downgrading the next build to *uncached* multi-consumer recompute
+    (worse than either honest state). Clearing the memo too makes the
+    next `session_cache` call rebuild and re-register, so the timed run
+    pays exactly one fill per site — the true cold cost."""
+    with _FRAME_LOCK:
+        while _FRAME_CACHE:
+            _, df = _FRAME_CACHE.popitem()
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
 def session_cache(
     spark: SparkSession,
     sf_dir: str,

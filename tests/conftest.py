@@ -21,9 +21,30 @@ def pytest_configure(config):
         "markers",
         "sweep: full-registry degenerate-fixture parity sweep "
         "(slow — each axis runs ~307 Spark+DuckDB oracle compares). "
-        "Inner-loop lane: pytest -m 'not sweep' (~10 min); full lane "
-        "(CI / endgame): plain pytest.",
+        "Deselected by default so a plain `pytest tests/` finishes in "
+        "~10 min (the driver-gate lane); the full lane (CI / endgame) "
+        "is SPARK_GRAFT_FULL_SUITE=1 pytest tests/ (or -m sweep for "
+        "the sweep axes alone).",
     )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default lane excludes the @pytest.mark.sweep axes (round-14,
+    VERDICT r13 #1): the full suite runs ~90-220 min — outside any
+    driver verification window — while the non-sweep lane (~10 min,
+    ~620 tests) covers every operator, helper and lint. The sweep
+    fixtures remain the CI/endgame lane: opt in with
+    SPARK_GRAFT_FULL_SUITE=1 or an explicit -m expression."""
+    if os.environ.get("SPARK_GRAFT_FULL_SUITE"):
+        return
+    if config.getoption("-m"):
+        return  # explicit marker expression wins (e.g. -m sweep)
+    deselected = [it for it in items if it.get_closest_marker("sweep")]
+    if not deselected:
+        return
+    kept = [it for it in items if not it.get_closest_marker("sweep")]
+    config.hook.pytest_deselected(items=deselected)
+    items[:] = kept
 
 
 @pytest.fixture(scope="session")
