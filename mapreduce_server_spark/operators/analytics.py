@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.pairs import skew_safe_pairs
 from ..registry import query
 from ..sources.loader import Tables
 
@@ -28,41 +29,43 @@ def _baskets(li: DataFrame) -> DataFrame:
     the interaction stream crosses the network once instead of twice.
     collect_set dedupes within the order exactly like the old DISTINCT
     projection; sort_array pins a deterministic element order for the
-    pair generators below."""
-    return li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    pair generators.
+
+    NULL-key semantics (round-14, ADVICE r13), pinned by
+    tests/test_r14_optimizations.py on a planted NULL-key corpus:
+
+    - NULL ``l_orderkey`` is filtered EXPLICITLY — the oracles' self-join
+      drops it implicitly (NULL never equi-joins) and rec_lift_pairs'
+      basket total must equal countDistinct(l_orderkey), which excludes
+      NULL; without the filter the groupBy would mint a NULL-orderkey
+      basket and inflate the count.
+    - NULL ``l_partkey`` is NOT row-filtered: collect_set already skips
+      NULL elements (matching the oracles, where NULL < x / NULL <> x
+      never pairs and the NULL item-count group never joins a pair key),
+      while the ORDER itself must survive — an all-NULL-parts order is
+      an empty basket that still counts toward countDistinct(l_orderkey).
+    """
+    return (
+        li.where(F.col("l_orderkey").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
 
 
-def _basket_pair_expr(directed: bool):
-    """Basket-local pair generation as a JVM higher-order transform over
-    the sorted `parts` array: undirected (a < b, ascending-slice form)
-    or directed (every ordered pair with x ≠ y). Pair blowup stays
-    |basket|²-local inside one task — the identical skew envelope the
-    ok-partitioned self-join had; cap/salt giant baskets at 100 TB."""
-    parts = F.col("parts")
-    if directed:
-        return F.flatten(
-            F.transform(
-                parts,
-                lambda x: F.transform(
-                    F.filter(parts, lambda y: y != x),
-                    lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
-                ),
-            )
-        )
-    return F.flatten(
-        F.transform(
-            parts,
-            lambda x, i: F.transform(
-                F.slice(
-                    parts,
-                    i + F.lit(2),
-                    F.greatest(F.size(parts) - i - 1, F.lit(0)),
-                ),
-                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
-            ),
-        )
+def _basket_pairs(baskets: DataFrame, directed: bool) -> DataFrame:
+    """Exploded basket-local pairs (part_a, part_b) with the round-14
+    mega-basket split (functions/pairs.py): baskets over
+    SPARK_GRAFT_BASKET_CAP are chunked and hash-redistributed before
+    generation, bounding any one task's pair blowup — the cap/salt
+    mitigation the round-13 docstrings documented, now implemented
+    (VERDICT r13 #4). Identical pair multiset by construction."""
+    return skew_safe_pairs(
+        baskets,
+        ["l_orderkey"],
+        "parts",
+        directed=directed,
+        a_name="part_a",
+        b_name="part_b",
     )
 
 
@@ -99,9 +102,7 @@ def cooccur_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part neighbor maps) are unchanged."""
     li = Tables(spark, sf_dir).lineitem
     return (
-        _baskets(li)
-        .select(F.explode(_basket_pair_expr(directed=False)).alias("p"))
-        .select("p.part_a", "p.part_b")
+        _basket_pairs(_baskets(li), directed=False)
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= 2)
@@ -1197,8 +1198,7 @@ def rec_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_item"))
     )
     pair = (
-        baskets.select(F.explode(_basket_pair_expr(directed=False)).alias("p"))
-        .select("p.part_a", "p.part_b")
+        _basket_pairs(baskets, directed=False)
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= 3)
@@ -1331,8 +1331,7 @@ def rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     pc = (
-        baskets.select(F.explode(_basket_pair_expr(directed=False)).alias("p"))
-        .select("p.part_a", "p.part_b")
+        _basket_pairs(baskets, directed=False)
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
         .where(F.col("n_both") >= 2)
@@ -1393,9 +1392,8 @@ def rec_covisit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     no floats anywhere."""
     li = Tables(spark, sf_dir).lineitem
     pairs = (
-        _baskets(li)
-        .select(F.explode(_basket_pair_expr(directed=True)).alias("p"))
-        .select(F.col("p.part_a").alias("part"), F.col("p.part_b").alias("rec"))
+        _basket_pairs(_baskets(li), directed=True)
+        .select(F.col("part_a").alias("part"), F.col("part_b").alias("rec"))
         .groupBy("part", "rec")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -21,9 +21,10 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.pairs import skew_safe_pairs
 from ..functions.vector import DUCK_DOT, DUCK_NORM, cosine, dot, norm
 from ..registry import query
-from ..sources.loader import Tables
+from ..sources.loader import Tables, fan_out_scan
 
 QUERY_VEC_ID = 0
 
@@ -1238,27 +1239,46 @@ def knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential-fold dots; scores re-use the oracle-matched JVM dot;
     (score DESC, nbr_id) ranks identically both engines — an EXACT
     oracle for the approximate join (the approximation is in which
-    pairs exist, pinned by the same bucketing both sides)."""
+    pairs exist, pinned by the same bucketing both sides).
+
+    Round-14 candidate stage (VERDICT r13 #3): the round-13 form
+    self-joined the bucket frame — at fixture scale that planned as a
+    broadcast join whose pair stream, partial dedup and all was
+    generated in the ONE partition of the single-row-group scan (the
+    distinct stage measured 7.9 s single-threaded), and the frame had
+    to be .cache()'d because it fed both join sides. Now the join is
+    the CELL form (the cooccur_parts basket discipline): ONE
+    map-side-combined groupBy(tbl, bucket).collect_set exchange,
+    directed pairs generated cell-locally (mega-cells chunk-split by
+    functions/pairs.py, so one hot bucket cannot pin a task), partial
+    pair dedup below the global distinct exchange. The bucketing pass
+    runs once with NO cache (the two pair branches share the cell
+    exchange via ReuseExchange), and fan_out_scan parallelizes the
+    32-plane bucketing over the under-split local scan (no-op at real
+    scale). Candidate SET unchanged: pairs (x ≠ y) sharing ≥1
+    (tbl, bucket) cell, exactly as before — vec_ids are unique within
+    a cell (one row per (vec, tbl)), NULL vec_ids drop on both forms
+    (collect_set vs the old NULL-propagating ≠ filter)."""
     e = Tables(spark, sf_dir).embeddings
-    # b feeds BOTH self-join sides (two logical copies → the 32
-    # plane-dot bucket expression would run twice; ReuseExchange does
-    # not dedupe logical duplicates, ARCHITECTURE §13) — cache the
-    # tiny (n·T)-row bucket frame (round-13, measured ~2 s/pass at
-    # sf0.1)
-    b = e.select(
+    # fan out ONLY the bucketing input — the ea/eb rescore sides are
+    # broadcast dimensions and must stay plain scans
+    b = fan_out_scan(e, spark).select(
         "vec_id",
         F.posexplode(F.array(*_join_bucket_exprs(F.col("embedding")))).alias(
             "tbl", "bucket"
         ),
-    ).cache()
-    x = b.select("vec_id", "tbl", "bucket")
-    y = b.select(F.col("vec_id").alias("nbr_id"), "tbl", "bucket")
-    cand = (
-        x.join(y, ["tbl", "bucket"])
-        .where(F.col("vec_id") != F.col("nbr_id"))
-        .select("vec_id", "nbr_id")
-        .distinct()
     )
+    cells = b.groupBy("tbl", "bucket").agg(
+        F.sort_array(F.collect_set("vec_id")).alias("members")
+    )
+    cand = skew_safe_pairs(
+        cells,
+        ["tbl", "bucket"],
+        "members",
+        directed=True,
+        a_name="vec_id",
+        b_name="nbr_id",
+    ).distinct()
     ea = e.select("vec_id", F.col("embedding").alias("emb_a"))
     eb = e.select(
         F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("emb_b")

@@ -120,9 +120,10 @@ CACHE_ALLOWLIST = {
     "operators/graph.py": 5,  # edge/degree frames reused across triangle/PR branches
     # signatures/centroids feed probe + verify sides (round 13: knn_mmr's
     # pair cache dropped — single consumer after the greedy stage moved
-    # driver-side; knn_join_lsh's bucket frame cached — feeds both
-    # self-join sides)
-    "operators/similarity.py": 4,
+    # driver-side; round 14: knn_join_lsh's bucket cache dropped — the
+    # cell-form candidate stage feeds its pair branches through ONE
+    # ReuseExchange'd groupBy exchange, so nothing plans twice)
+    "operators/similarity.py": 3,
     "operators/stats_ml.py": 37,  # feature histograms feed root + leaf split search (ML-tier shape)
     "operators/text.py": 4,  # token/posting frames feed tf + df branches
 }
