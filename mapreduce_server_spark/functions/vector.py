@@ -27,6 +27,8 @@ query vector, knn-join bounds candidates per key, LSH buckets first.
 
 from __future__ import annotations
 
+from math import isinf, isnan
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -87,6 +89,74 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity in double precision."""
     return dot(a, b) / (norm(a) * norm(b))
+
+
+# ---------------------------------------------------------------------------
+# Literal-vector fast builders (round 14).
+#
+# dot(col, F.lit(vec)) constructs the guarded unrolled expression node by
+# node over py4j: ~300 JVM round-trips per call. Harmless once, but the
+# plane/centroid operators build DOZENS of literal-vector dots per plan —
+# knn_join_lsh's 32 planes measured 28-32 s of pure DRIVER build time per
+# fresh plan (vs ~10 s to actually EXECUTE the query at sf0.1). These
+# builders emit the equivalent expression as ONE SQL string parsed
+# server-side in a single py4j call (~ms): the sequential 0.0-seeded
+# fold, whose result is bit-for-bit the same as dot()'s on every input
+# (the unroll ≡ fold identity pinned in round 13, re-pinned for these
+# builders by tests/test_r14_optimizations.py over every
+# (vector, plane) pair of the fixture corpus).
+# ---------------------------------------------------------------------------
+
+
+def _dlit(v: float) -> str:
+    """Exact Spark SQL DOUBLE literal: repr round-trips the double and
+    Spark's parser is correctly rounded, so the JVM sees the identical
+    bits. Finite values only (planes/centroids/embeddings)."""
+    v = float(v)
+    assert not (isnan(v) or isinf(v)), v
+    return repr(v) + "D"
+
+
+def dot_lit_sql(col_sql: str, vec: list[float]) -> str:
+    """SQL text of ``dot(F.expr(col_sql), F.lit(vec))`` — emitted as the
+    sequential FOLD, not the FAST_DIM unroll. Bit-identical to dot()
+    either way (the r13 pin: the unroll performs the same double ops in
+    the same order as the fold), but these builders exist for plans
+    that stack MANY literal-vector distances into one projection
+    (32 LSH planes, 16 IVF centroids), where the unrolled form's
+    thousands of expression nodes threw Janino out of whole-stage
+    codegen and ran INTERPRETED-unrolled — measured 5.2 s vs the
+    fold's 0.45 s for knn_join_lsh's bucketing pass, and 3.3 s vs
+    0.5 s for the 16-centroid IVF distance array (A/B in
+    OPTIMIZATION_r14.md). The per-row unroll win is real only where a
+    plan evaluates ONE such distance (the Column-built FAST_DIM path
+    above keeps it); per-plan × per-literal, the fold is the fast
+    path."""
+    arr = "array(" + ", ".join(_dlit(v) for v in vec) + ")"
+    return (
+        f"aggregate(zip_with({col_sql}, {arr}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def dot_lit(col_sql: str, vec: list[float]) -> Column:
+    """Column form of :func:`dot_lit_sql`."""
+    return F.expr(dot_lit_sql(col_sql, vec))
+
+
+def l2sq_int_lit_sql(col_sql: str, centroid: list[int]) -> str:
+    """SQL text of the exact int64 squared L2 distance between a
+    micro-unit BIGINT array column and a literal integer centroid — the
+    same zip_with/aggregate fold the py4j builder produced, emitted as
+    one parseable string. Fold-not-unroll for the same measured reason
+    as :func:`dot_lit_sql` (K stacked centroid distances threw the
+    unroll out of codegen)."""
+    arr = "array(" + ", ".join(f"{int(c)}L" for c in centroid) + ")"
+    return (
+        f"aggregate(zip_with({col_sql}, {arr}, "
+        f"(x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+    )
 
 
 #: DuckDB oracle fragment mirroring :func:`dot` exactly (same fold order).

@@ -497,7 +497,7 @@ def _kcenter_centers(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[i
     seed = seed_rows[0]
     centers = [(int(seed[0]), [int(x) for x in seed[1]])]
     for _ in range(K_CENTERS - 1):
-        dcols = [_l2sq_int(F.col("vi"), c) for _, c in centers]
+        dcols = [_l2sq_int("vi", c) for _, c in centers]
         d = F.least(*dcols) if len(dcols) > 1 else dcols[0]
         sel_ids = [vid for vid, _ in centers]
         rows = (
@@ -600,7 +600,7 @@ def sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Tables(spark, sf_dir).embeddings.select(
         "vec_id", _micro(F.col("embedding")).alias("vi")
     )
-    dists = F.array(*[_l2sq_int(F.col("vi"), c) for _, c in cents])
+    dists = F.array(*[_l2sq_int("vi", c) for _, c in cents])
     mn = F.array_min(dists)
     rk = (F.array_position(dists, mn) - 1).cast("int")
     vid_lut = F.lit([vid for vid, _ in cents]).cast("array<long>")

@@ -22,7 +22,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.pairs import skew_safe_pairs
-from ..functions.vector import DUCK_DOT, DUCK_NORM, cosine, dot, norm
+from ..functions.vector import (
+    DUCK_DOT,
+    DUCK_NORM,
+    cosine,
+    dot,
+    dot_lit_sql,
+    l2sq_int_lit_sql,
+    norm,
+)
 from ..registry import query
 from ..sources.loader import Tables, fan_out_scan
 
@@ -200,20 +208,21 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_expr(emb_col):
+def _bucket_expr(col_sql: str):
     """LSH bucket id: N_PLANES sign bits of sequential-fold dot products
     with the static ±1 hyperplanes (pure function of the vector — the
-    exact expression the generated oracles replay)."""
-    bits = []
-    for p in range(N_PLANES):
-        plane = F.lit(_hyperplane(p))
-        bits.append(
-            F.when(dot(emb_col, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    exact expression the generated oracles replay). Takes the column as
+    SQL text and builds the whole bucket as ONE server-side-parsed
+    expression (round 14 — the py4j node-by-node construction of
+    literal-plane dots was measured at ~1 s of driver time PER PLANE on
+    every fresh plan build; vector.dot_lit_sql docstring)."""
+    return F.expr(
+        " + ".join(
+            f"(CASE WHEN ({dot_lit_sql(col_sql, _hyperplane(p))}) >= 0"
+            f" THEN {1 << p} ELSE 0 END)"
+            for p in range(N_PLANES)
         )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    )
 
 
 def _plane_sql(p: int) -> str:
@@ -271,7 +280,6 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "vec_id bigint, bucket int, cos_sim double"
         )
-    bucket_of = _bucket_expr
     q = F.lit(qv).cast("array<float>")
     # the query's bucket is a pure function of known floats — computed
     # driver-side (same double arithmetic as the executor fold)
@@ -288,7 +296,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = [q_bucket] + [q_bucket ^ (1 << p) for p in range(N_PLANES)]
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .withColumn("bucket", bucket_of(F.col("embedding")))
+        .withColumn("bucket", _bucket_expr("embedding"))
         .filter(F.col("bucket").isin(probes))
         .select(
             "vec_id",
@@ -382,19 +390,21 @@ def _micro(emb_col):
     )
 
 
-def _l2sq_int(micro_col, centroid: list[int]):
-    """Squared L2 distance between a micro-unit vector column and a
-    literal integer centroid — one JVM-side int64 fold, exact."""
-    c = F.lit(centroid).cast("array<long>")
-    diff = F.zip_with(micro_col, c, lambda x, y: (x - y) * (x - y))
-    return F.aggregate(diff, F.lit(0).cast("long"), lambda acc, x: acc + x)
+def _l2sq_int(micro_col_sql: str, centroid: list[int]):
+    """Squared L2 distance between a micro-unit vector column (named by
+    SQL text) and a literal integer centroid — exact int64, built as ONE
+    server-side-parsed expression (round 14: the K×dim py4j fold
+    construction cost seconds of driver time per fresh plan;
+    vector.l2sq_int_lit_sql)."""
+    return F.expr(l2sq_int_lit_sql(micro_col_sql, centroid))
 
 
-def _assign_cluster(emb_col, centroids: list[list[int]]):
+def _assign_cluster(micro_col_sql: str, centroids: list[list[int]]):
     """argmin over exact integer centroid distances, ties to the lowest
-    cluster id."""
-    vi = _micro(emb_col)
-    dists = F.array(*[_l2sq_int(vi, c) for c in centroids])
+    cluster id. Operates on a MATERIALIZED micro-unit column (callers
+    project ``_micro(...)`` once, rather than re-quantizing per
+    centroid)."""
+    dists = F.array(*[_l2sq_int(micro_col_sql, c) for c in centroids])
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
@@ -533,8 +543,14 @@ def _ivf_assigned(
         with _IVF_BUILD_LOCK:
             if key not in _IVF_ASSIGN_CACHE:  # re-check under the lock
                 e = Tables(spark, sf_dir).embeddings
-                cluster, dmin = _cell_assign_cols(F.col("embedding"), cents)
-                _IVF_ASSIGN_CACHE[key] = e.select(
+                v = e.select(
+                    "vec_id",
+                    "embedding",
+                    "label",
+                    _micro(F.col("embedding")).alias("_vi"),
+                )
+                cluster, dmin = _cell_assign_cols("_vi", cents)
+                _IVF_ASSIGN_CACHE[key] = v.select(
                     "vec_id",
                     "embedding",
                     "label",
@@ -863,12 +879,14 @@ def knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_T = 0.3
 
 
-def _cell_assign_cols(emb_col, cents: list[list[int]]):
+def _cell_assign_cols(micro_col_sql: str, cents: list[list[int]]):
     """(cluster, sqdist-to-own-centroid) from the exact integer
     distances — the struct-min twin of :func:`_assign_cluster` for
-    operators that also need the winning distance."""
-    vi = _micro(emb_col)
-    dists = F.array(*[_l2sq_int(vi, c) for c in cents])
+    operators that also need the winning distance. Takes the name of a
+    MATERIALIZED micro-unit column (round 14): quantize once per row in
+    a separate projection, not once per centroid inside the distance
+    expressions."""
+    dists = F.array(*[_l2sq_int(micro_col_sql, c) for c in cents])
     dmin = F.array_min(dists)
     cluster = (F.array_position(dists, dmin) - 1).cast("int")
     return cluster, dmin
@@ -1159,24 +1177,25 @@ N_TABLES = 8  # independent LSH tables for the JOIN (recall ~1-(1-p)^T)
 PLANES_PER_TABLE = 4  # shorter codes per table -> higher per-table p
 
 
-def _join_bucket_exprs(emb_col):
+def _join_bucket_exprs(col_sql: str):
     """One bucket id per hash table: table t uses hyperplanes
     [t*PLANES_PER_TABLE, (t+1)*PLANES_PER_TABLE) — independent codes
-    from one shared deterministic plane family."""
+    from one shared deterministic plane family. Takes the column as SQL
+    text: each table's bucket is ONE server-side-parsed expression
+    (round 14 — 32 py4j-built literal-plane dots cost 28-32 s of driver
+    time per fresh knn_join_lsh build; vector.dot_lit_sql docstring).
+    Bit-identical to the old F.when/dot chain by the dot_lit_sql pin."""
     out = []
     for t in range(N_TABLES):
-        bits = []
-        for j in range(PLANES_PER_TABLE):
-            plane = F.lit(_hyperplane(t * PLANES_PER_TABLE + j))
-            bits.append(
-                F.when(dot(emb_col, plane) >= 0, F.lit(1 << j)).otherwise(
-                    F.lit(0)
+        out.append(
+            F.expr(
+                " + ".join(
+                    f"(CASE WHEN ({dot_lit_sql(col_sql, _hyperplane(t * PLANES_PER_TABLE + j))}) >= 0"
+                    f" THEN {1 << j} ELSE 0 END)"
+                    for j in range(PLANES_PER_TABLE)
                 )
             )
-        b = bits[0]
-        for bit in bits[1:]:
-            b = b + bit
-        out.append(b)
+        )
     return out
 
 
@@ -1264,7 +1283,7 @@ def knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast dimensions and must stay plain scans
     b = fan_out_scan(e, spark).select(
         "vec_id",
-        F.posexplode(F.array(*_join_bucket_exprs(F.col("embedding")))).alias(
+        F.posexplode(F.array(*_join_bucket_exprs("embedding"))).alias(
             "tbl", "bucket"
         ),
     )
