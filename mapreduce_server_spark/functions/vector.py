@@ -145,6 +145,71 @@ def dot_lit(col_sql: str, vec: list[float]) -> Column:
     return F.expr(dot_lit_sql(col_sql, vec))
 
 
+def norm_sql(col_sql: str) -> str:
+    """SQL text of ``norm(F.expr(col_sql))`` — the sequential
+    square-sum fold under sqrt (fold-not-unroll per dot_lit_sql)."""
+    return (
+        f"sqrt(aggregate(transform({col_sql}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"0.0D, (acc, x) -> acc + x))"
+    )
+
+
+def norm_lit_sql(vec: list[float]) -> str:
+    """SQL text of ``norm(F.lit(vec))`` — emitted over the literal
+    array so the ENGINE constant-folds it (never pre-computed in
+    Python: the engine's own fold is the value of record)."""
+    arr = "array(" + ", ".join(_dlit(v) for v in vec) + ")"
+    return (
+        f"sqrt(aggregate(transform({arr}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"0.0D, (acc, x) -> acc + x))"
+    )
+
+
+def dot_cols_sql(a_sql: str, b_sql: str, *, unroll: bool = False) -> str:
+    """SQL text of ``dot(F.expr(a_sql), F.expr(b_sql))`` for NAMED
+    columns — one py4j parse instead of ~300 node-building round-trips.
+    ``unroll=True`` emits dot()'s exact guarded FAST_DIM unroll
+    (bit-identical by the r13 pin) for plans that evaluate ONE such dot
+    per row at high volume under whole-stage codegen (knn_join_lsh's
+    million-pair rescore); the default fold is right everywhere else
+    (see dot_lit_sql on why stacked unrolls backfire)."""
+    fold = (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+    if not unroll:
+        return fold
+    unrolled = "0.0D + " + " + ".join(
+        f"CAST({a_sql}[{i}] AS DOUBLE) * CAST({b_sql}[{i}] AS DOUBLE)"
+        for i in range(FAST_DIM)
+    )
+    return (
+        f"CASE WHEN (size({a_sql}) = {FAST_DIM}) "
+        f"AND (size({b_sql}) = {FAST_DIM}) "
+        f"THEN ({unrolled}) ELSE ({fold}) END"
+    )
+
+
+def cosine_lit_sql(col_sql: str, vec: list[float]) -> str:
+    """SQL text of ``cosine(F.expr(col_sql), F.lit(vec))``: same
+    dot/(norm·norm) composition, every piece the fold form."""
+    return (
+        f"({dot_lit_sql(col_sql, vec)}) / "
+        f"(({norm_sql(col_sql)}) * ({norm_lit_sql(vec)}))"
+    )
+
+
+def cosine_cols_sql(a_sql: str, b_sql: str) -> str:
+    """SQL text of ``cosine`` over two NAMED columns."""
+    return (
+        f"({dot_cols_sql(a_sql, b_sql)}) / "
+        f"(({norm_sql(a_sql)}) * ({norm_sql(b_sql)}))"
+    )
+
+
 def l2sq_int_lit_sql(col_sql: str, centroid: list[int]) -> str:
     """SQL text of the exact int64 squared L2 distance between a
     micro-unit BIGINT array column and a literal integer centroid — the

@@ -26,7 +26,10 @@ from ..functions.vector import (
     DUCK_DOT,
     DUCK_NORM,
     cosine,
+    cosine_cols_sql,
+    cosine_lit_sql,
     dot,
+    dot_cols_sql,
     dot_lit_sql,
     l2sq_int_lit_sql,
     norm,
@@ -197,7 +200,9 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "nbr_id",
-            F.round(dot(F.col("emb_a"), F.col("emb_b")), 6).alias("score"),
+            F.expr(
+                f"round({dot_cols_sql('emb_a', 'emb_b', unroll=True)}, 6)"
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("nbr_id"))
@@ -301,7 +306,9 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "bucket",
-            F.round(cosine(F.col("embedding"), q), 6).alias("cos_sim"),
+            F.expr(f"round({cosine_lit_sql('embedding', qv)}, 6)").alias(
+                "cos_sim"
+            ),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
@@ -1308,7 +1315,9 @@ def knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "nbr_id",
-            F.round(dot(F.col("emb_a"), F.col("emb_b")), 6).alias("score"),
+            F.expr(
+                f"round({dot_cols_sql('emb_a', 'emb_b', unroll=True)}, 6)"
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("nbr_id"))
@@ -1645,7 +1654,15 @@ def _round6(x: float) -> float:
     ``setScale(6, HALF_UP)`` (ties away from zero). Using Python's
     builtin ``round`` here would be WRONG twice over (banker's
     rounding, and on the binary value rather than the shortest decimal
-    rendering)."""
+    rendering).
+
+    Round 14: no operator depends on this anymore (knn_mmr's greedy now
+    selects among Spark-computed rounded values), which closes the
+    JDK-version caveat — pre-JDK-19 ``Double.toString`` may emit a
+    non-shortest rendering on rare values (JDK-4511638), so repr parity
+    is only observed-JVM-guaranteed. Retained as the tested reference
+    (tests/test_r13_optimizations.py) for any future driver-side
+    rounding need."""
     import decimal
 
     return float(
@@ -1673,11 +1690,12 @@ def knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     4.0 s → see OPTIMIZATION_r13.md; plans/r13/knn_mmr_*.txt). At
     100 TB only candidate generation changes (flips to knn_lsh/
     knn_ivf); the greedy stage stays O(K·CAND) driver work.
-    Determinism is the argmax recipe: rel and all pairwise sims pin to
-    6 dp IN SPARK (collected values are the engine's own), every
-    argmax orders by (score DESC, vec_id), and the driver-side
-    round-6 of the mmr score replicates Spark's ROUND_HALF_UP over the
-    shortest-decimal rendering exactly (``_round6``). Oracle: the same
+    Determinism is the argmax recipe: rel, all pairwise sims AND every
+    reachable mmr value pin to 6 dp IN SPARK (round 14 — the mmr for
+    any chosen set is a function of one (candidate, chosen) pair, so
+    all of them precompute engine-side and the driver only compares
+    collected doubles; no driver-side rounding remains), and every
+    argmax orders by (score DESC NULLS LAST, vec_id). Oracle: the same
     unrolling, one CTE per pick, generated by ``_mmr_oracle`` so both
     engines share the k/λ literals by construction."""
     e = Tables(spark, sf_dir).embeddings
@@ -1686,8 +1704,9 @@ def knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "pick bigint, vec_id bigint, rel double, mmr double"
         )
-    q = F.lit(qv).cast("array<float>")
-    rel = F.round(cosine(F.col("embedding"), q), 6)
+    # server-side-parsed cosine (round 14: the py4j-built cosine cost
+    # ~2-3 s of driver time per fresh build; bit-identical fold form)
+    rel = F.expr(f"round({cosine_lit_sql('embedding', qv)}, 6)")
     cand = (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", "embedding", rel.alias("rel"))
@@ -1696,14 +1715,27 @@ def knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()  # feeds the pair scoring + the candidate fetch
     )
     a, b = cand.alias("a"), cand.alias("b")
+    sim6 = F.expr(
+        f"round({cosine_cols_sql('a.embedding', 'b.embedding')}, 6)"
+    )
+    # round-14 hardening (VERDICT r13 #8): the candidate mmr for ANY
+    # chosen set is round(λ·rel_c − (1−λ)·max_sim, 6) where max_sim is
+    # always one of the pairwise sims — so EVERY value the greedy can
+    # ever emit is precomputed here, IN SPARK, per (c, s) pair. The
+    # driver then only compares and selects engine-computed doubles;
+    # no driver-side rounding remains, which removes the JDK-dependent
+    # repr ≡ Double.toString assumption _round6 documented.
     pairs = (
         a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("ai"),
             F.col("b.vec_id").alias("bi"),
+            sim6.alias("sim"),
             F.round(
-                cosine(F.col("a.embedding"), F.col("b.embedding")), 6
-            ).alias("sim"),
+                F.lit(MMR_LAMBDA) * F.col("a.rel")
+                - F.lit(1 - MMR_LAMBDA) * sim6,
+                6,
+            ).alias("mmr_if"),
         )
     )
     # K-bounded driver fetch (≤ MMR_CAND and ≤ MMR_CAND² rows by
@@ -1712,27 +1744,46 @@ def knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_rows = [
         (r["vec_id"], r["rel"]) for r in cand.select("vec_id", "rel").collect()
     ]
-    sim = {(r["ai"], r["bi"]): r["sim"] for r in pairs.collect()}
-    cand_rows.sort(key=lambda t: (-t[1], t[0]))  # (rel DESC, vec_id)
+    prows = pairs.collect()
+    sim = {(r["ai"], r["bi"]): r["sim"] for r in prows}
+    mmr_if = {(r["ai"], r["bi"]): r["mmr_if"] for r in prows}
+    # (rel DESC NULLS LAST, vec_id) — the engine orderBy semantics; a
+    # NULL rel (NULL embedding upstream) sorts last instead of raising
+    # (ADVICE r13: the old engine-side form degraded gracefully)
+    cand_rows.sort(
+        key=lambda t: (1, 0.0, t[0]) if t[1] is None else (0, -t[1], t[0])
+    )
     rel_of = dict(cand_rows)
-    out: list[tuple[int, int, float, float]] = []
+    out: list[tuple[int, int, float | None, float | None]] = []
     if cand_rows:
         first = cand_rows[0]
         out.append((1, first[0], first[1], first[1]))
     for i in range(2, MMR_K + 1):
         chosen = {v for _, v, _, _ in out}
-        best: tuple[float, int] | None = None
+        best: tuple[tuple, int, float | None] | None = None
         for c, rc in cand_rows:
             if c in chosen:
                 continue
-            ms = max(sim[(c, s)] for s in chosen)
-            mmr = _round6(MMR_LAMBDA * rc - (1 - MMR_LAMBDA) * ms)
-            # argmax by (mmr DESC, vec_id ASC) — the engine's orderBy
-            if best is None or (-mmr, c) < (-best[0], best[1]):
-                best = (mmr, c)
+            # SQL max() semantics: NULL sims are skipped; all-NULL (or
+            # NULL rel) → NULL mmr, ordered last by the argmax below
+            ms, s_best = None, None
+            for s in chosen:
+                v = sim.get((c, s))
+                if v is not None and (ms is None or v > ms):
+                    ms, s_best = v, s
+            mmr = (
+                mmr_if.get((c, s_best))
+                if (s_best is not None and rc is not None)
+                else None
+            )
+            # argmax by (mmr DESC NULLS LAST, vec_id ASC) — the
+            # engine's orderBy
+            key = (1, 0.0, c) if mmr is None else (0, -mmr, c)
+            if best is None or key < best[0]:
+                best = (key, c, mmr)
         if best is None:
             break
-        out.append((i, best[1], rel_of[best[1]], best[0]))
+        out.append((i, best[1], rel_of[best[1]], best[2]))
     return spark.createDataFrame(
         out, "pick bigint, vec_id bigint, rel double, mmr double"
     )

@@ -222,6 +222,11 @@ def load_table_fresh(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: (applicationId, sorted input files, parallelism) → scan partition
+#: count, for :func:`fan_out_scan`'s conditionality probe.
+_FANOUT_NPART: dict[tuple[str, tuple[str, ...], int], int] = {}
+
+
 def fan_out_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Round-robin repartition for a scan whose FILE LAYOUT under-splits
     the host — guide §2.5's "one huge unsplittable file ... repartition
@@ -243,9 +248,26 @@ def fan_out_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
     partition a row lands in, so callers must feed partition-order-FREE
     aggregation states only (exact decimal/integer sums, counts,
     min/max — the ARCHITECTURE §23 measure discipline). Raw double sums
-    would change fold order; do not route them through here."""
+    would change fold order; do not route them through here.
+
+    Round 14 (ADVICE r13): the split-count probe is memoized per
+    (application, input file set, parallelism) — ``df.rdd`` forces a
+    full physical-plan → RDD translation on every call, and this helper
+    sits on ~10 hot operator build paths. A scan's partition count
+    depends on the file layout and session confs, never on the
+    projection/filter above it, so the file set is the right key; the
+    probe frames in tests (range(), no files) key to an empty file set
+    and skip the memo."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    files = tuple(sorted(df.inputFiles()))
+    key = (spark.sparkContext.applicationId, files, target)
+    if files and key in _FANOUT_NPART:
+        n = _FANOUT_NPART[key]
+    else:
+        n = df.rdd.getNumPartitions()
+        if files:
+            _FANOUT_NPART[key] = n
+    if n >= target:
         return df
     return df.repartition(target)
 
